@@ -1,0 +1,494 @@
+"""Spec → Catalyst Column compiler (the typed, JVM-side hot path).
+
+The analogue of the reference's ``setupValidators`` plan step
+(/root/reference/parser.go:313-407): for each keyword *present* in the spec
+we emit one native ``pyspark.sql.Column`` sub-predicate and AND them — plan
+pruning for free, and Catalyst folds the conjunction into one
+whole-stage-codegen block.  Where the reference walks a document tree per
+row (validators.go:26-53), this produces a single vectorized expression that
+validates **all rows at once**.
+
+Typed-column semantics: a Spark column already has a static type, so the
+dynamic type sniffing of the reference (helpers.go:99-176) collapses to a
+compile-time decision — ``type`` checks become ``lit(True)``/``isNotNull``/
+``lit(False)`` plus an integer-valuedness test for fractional columns
+(the ``1.0 is an integer`` rule, helpers.go:88-95).  SQL ``NULL`` plays the
+role of JSON ``null``; type-specific keywords are vacuously true on NULL,
+exactly as JSON Schema keywords ignore non-matching types.
+
+Dynamic JSON columns (arbitrary nested values, e.g. a JSON-string props
+column) go through :func:`json_column_predicate` instead — an Arrow-batched
+pandas UDF wrapping the parity interpreter (interp.py).
+"""
+
+from __future__ import annotations
+
+import functools
+import operator
+from typing import Any
+
+from pyspark.sql import Column, functions as F, types as T
+
+from go_jsonschema_spark.spec import SchemaSpec, SpecError
+
+__all__ = ["CompileError", "compile_predicate", "json_column_predicate"]
+
+# Bounded $ref inlining depth — the column-expression analogue of the
+# reference's circularThreshold (/root/reference/schema.go:24-26): a Spark
+# column's type has finite nesting depth, so inlining deeper than the type
+# can never be exercised by data.
+_MAX_REF_INLINE = 8
+
+
+class CompileError(SpecError):
+    """Spec cannot be compiled to a native Column for this column type."""
+
+
+def _is_integral(dt: T.DataType) -> bool:
+    return isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType))
+
+
+def _is_fractional(dt: T.DataType) -> bool:
+    return isinstance(dt, (T.FloatType, T.DoubleType, T.DecimalType))
+
+
+def _is_numeric(dt: T.DataType) -> bool:
+    return _is_integral(dt) or _is_fractional(dt)
+
+
+def _static_json_types(dt: T.DataType) -> set[str]:
+    """JSON types a value of this Spark type can inhabit (ignoring NULL)."""
+    if isinstance(dt, T.StringType):
+        return {"string"}
+    if isinstance(dt, T.BooleanType):
+        return {"boolean"}
+    if _is_integral(dt):
+        return {"integer", "number"}
+    if _is_fractional(dt):
+        return {"number", "integer"}  # integer iff integer-valued (draft>=6)
+    if isinstance(dt, T.ArrayType):
+        return {"array"}
+    if isinstance(dt, (T.MapType, T.StructType)):
+        return {"object"}
+    if isinstance(dt, T.NullType):
+        return {"null"}
+    if isinstance(dt, (T.DateType, T.TimestampType, T.TimestampNTZType)):
+        return {"string"}  # serialized form
+    return {"unknown"}
+
+
+def _all(preds: list[Column]) -> Column:
+    if not preds:
+        return F.lit(True)
+    return functools.reduce(operator.and_, preds)
+
+
+def _null_safe(col: Column, pred: Column) -> Column:
+    """Keyword checks are vacuous on NULL (JSON keywords ignore other types)."""
+    return F.when(col.isNull(), F.lit(True)).otherwise(pred)
+
+
+def _lit_value(v: Any) -> Column:
+    """Literal for const/enum values incl. arrays."""
+    if isinstance(v, list):
+        return F.array(*[_lit_value(x) for x in v])
+    return F.lit(v)
+
+
+def compile_predicate(
+    schema: Any,
+    col: Column,
+    dtype: T.DataType,
+    *,
+    draft: int = 7,
+    spec: SchemaSpec | None = None,
+    _ref_depth: int = 0,
+) -> Column:
+    """Compile one schema spec into a boolean Column over ``col``.
+
+    Returns a never-NULL boolean predicate (violations are ``~pred``).
+    Raises :class:`CompileError` for specs that genuinely need the dynamic
+    path (heterogeneous enums over typed columns, schema-valued
+    propertyNames over structs, ...).
+    """
+    if spec is None:
+        spec = SchemaSpec(schema if isinstance(schema, (dict, bool)) else {})
+
+    # boolean schemas (validators.go:64-80)
+    if schema is True:
+        return F.lit(True)
+    if schema is False:
+        return F.lit(False)
+    if not isinstance(schema, dict):
+        raise CompileError(f"invalid schema node: {schema!r}")
+
+    # $ref → bounded compile-time inlining (SURVEY §2.6: refs are inlined,
+    # nothing resolves at runtime)
+    if "$ref" in schema:
+        if _ref_depth >= _MAX_REF_INLINE:
+            return F.lit(True)
+        target = spec.resolve_ref(schema["$ref"])
+        return compile_predicate(
+            target, col, dtype, draft=draft, spec=spec, _ref_depth=_ref_depth + 1
+        )
+
+    preds: list[Column] = []
+
+    # --- type (validators.go:306-349) -----------------------------------
+    t = schema.get("type")
+    if t is not None:
+        types = set(t) if isinstance(t, list) else {t}
+        static = _static_json_types(dtype)
+        null_ok = "null" in types
+        if _is_fractional(dtype) and "integer" in types and "number" not in types:
+            # fractional column must hold integer-valued numbers
+            # (1.0-is-integer, helpers.go:88-95; draft 4 would reject — the
+            # dynamic path handles draft-4 text-level semantics)
+            if draft >= 6:
+                ok_t = col.isNotNull() & (col == F.floor(col))
+            else:
+                ok_t = F.lit(False)
+        elif types & static - {"integer"} or (
+            "integer" in types and _is_integral(dtype)
+        ) or ("number" in types and _is_numeric(dtype)):
+            ok_t = col.isNotNull()
+        else:
+            ok_t = F.lit(False)
+        preds.append((F.lit(True) if null_ok else F.lit(False)) if isinstance(
+            dtype, T.NullType
+        ) else (col.isNull() | ok_t if null_ok else ok_t))
+
+    # --- enum / const (validators.go:584-628) ----------------------------
+    if "enum" in schema:
+        vals = schema["enum"]
+        scalars = [v for v in vals if not isinstance(v, (list, dict))]
+        arrays = [v for v in vals if isinstance(v, list)]
+        alts: list[Column] = []
+        if None in scalars:
+            alts.append(col.isNull())
+            scalars = [v for v in scalars if v is not None]
+        if scalars:
+            compat = [v for v in scalars if _lit_compatible(v, dtype)]
+            if compat:
+                alts.append(col.isin(compat))
+        for a in arrays:
+            if isinstance(dtype, T.ArrayType):
+                alts.append(col == _lit_value(a))
+        if not alts:
+            preds.append(F.lit(False))
+        else:
+            preds.append(F.coalesce(functools.reduce(operator.or_, alts), F.lit(False)))
+
+    if "const" in schema:
+        c = schema["const"]
+        if c is None:
+            preds.append(col.isNull())
+        elif not _lit_compatible(c, dtype) and not isinstance(c, list):
+            preds.append(F.lit(False))
+        else:
+            preds.append(F.coalesce(col == _lit_value(c), F.lit(False)))
+
+    # --- numeric bounds (validators.go:486-560) --------------------------
+    if _is_numeric(dtype):
+        if "multipleOf" in schema:
+            m = schema["multipleOf"]
+            if _is_integral(dtype) and isinstance(m, int):
+                p = F.pmod(col, F.lit(m)) == 0
+            else:
+                # exact decimal arithmetic (big.Rat analogue,
+                # validators.go:492-496): decimal pmod is exact
+                dec = "decimal(38,12)"
+                p = F.pmod(col.cast(dec), F.lit(m).cast(dec)) == 0
+            preds.append(_null_safe(col, p))
+        if "maximum" in schema:
+            excl = schema.get("exclusiveMaximum") is True  # draft-4 flag
+            bound = F.lit(schema["maximum"])
+            preds.append(_null_safe(col, (col < bound) if excl else (col <= bound)))
+        if "exclusiveMaximum" in schema and not isinstance(
+            schema["exclusiveMaximum"], bool
+        ):
+            preds.append(_null_safe(col, col < F.lit(schema["exclusiveMaximum"])))
+        if "minimum" in schema:
+            excl = schema.get("exclusiveMinimum") is True
+            bound = F.lit(schema["minimum"])
+            preds.append(_null_safe(col, (col > bound) if excl else (col >= bound)))
+        if "exclusiveMinimum" in schema and not isinstance(
+            schema["exclusiveMinimum"], bool
+        ):
+            preds.append(_null_safe(col, col > F.lit(schema["exclusiveMinimum"])))
+
+    # --- string checks (validators.go:279-290, 562-582, 656-857) ---------
+    if isinstance(dtype, T.StringType):
+        if "maxLength" in schema:
+            preds.append(_null_safe(col, F.length(col) <= schema["maxLength"]))
+        if "minLength" in schema:
+            preds.append(_null_safe(col, F.length(col) >= schema["minLength"]))
+        if "pattern" in schema:
+            # Java regex via rlike; ECMA dialect gap documented in SURVEY §4.3
+            preds.append(_null_safe(col, col.rlike(schema["pattern"])))
+        if "format" in schema:
+            from go_jsonschema_spark.functions.formats import format_predicate
+
+            preds.append(_null_safe(col, format_predicate(schema["format"], col)))
+
+    # --- array checks (validators.go:92-192) ------------------------------
+    if isinstance(dtype, T.ArrayType):
+        et = dtype.elementType
+        items = schema.get("items")
+        if items is not None:
+            if isinstance(items, list):
+                for i, s in enumerate(items):
+                    ep = compile_predicate(
+                        s, F.element_at(col, i + 1), et, draft=draft, spec=spec,
+                        _ref_depth=_ref_depth,
+                    )
+                    preds.append(
+                        _null_safe(col, (F.size(col) < i + 1) | ep)
+                    )
+                add = schema.get("additionalItems")
+                if add is not None and add is not True:
+                    rest = F.slice(col, len(items) + 1, 2147483647 - len(items) - 1)
+                    if add is False:
+                        preds.append(_null_safe(col, F.size(col) <= len(items)))
+                    else:
+                        preds.append(
+                            _null_safe(
+                                col,
+                                F.forall(
+                                    rest,
+                                    lambda x: compile_predicate(
+                                        add, x, et, draft=draft, spec=spec,
+                                        _ref_depth=_ref_depth,
+                                    ),
+                                ),
+                            )
+                        )
+            elif items is False:
+                preds.append(_null_safe(col, F.size(col) == 0))
+            elif items is not True:
+                preds.append(
+                    _null_safe(
+                        col,
+                        F.forall(
+                            col,
+                            lambda x: compile_predicate(
+                                items, x, et, draft=draft, spec=spec,
+                                _ref_depth=_ref_depth,
+                            ),
+                        ),
+                    )
+                )
+        if "maxItems" in schema:
+            preds.append(_null_safe(col, F.size(col) <= schema["maxItems"]))
+        if "minItems" in schema:
+            preds.append(_null_safe(col, F.size(col) >= schema["minItems"]))
+        if schema.get("uniqueItems") is True:
+            # typed arrays sidestep the reference's canonicalization
+            # (validate_unique.go:57-104) — element equality is native
+            preds.append(
+                _null_safe(col, F.size(col) == F.size(F.array_distinct(col)))
+            )
+        if "contains" in schema:
+            preds.append(
+                _null_safe(
+                    col,
+                    F.exists(
+                        col,
+                        lambda x: compile_predicate(
+                            schema["contains"], x, et, draft=draft, spec=spec,
+                            _ref_depth=_ref_depth,
+                        ),
+                    ),
+                )
+            )
+
+    # --- object checks over StructType / MapType (validators.go:196-304) --
+    if isinstance(dtype, T.StructType):
+        fields = {f.name: f for f in dtype.fields}
+        for k in schema.get("required", []):
+            preds.append(
+                _null_safe(col, col.getField(k).isNotNull())
+                if k in fields
+                else F.lit(False)
+            )
+        for k, s in (schema.get("properties") or {}).items():
+            if k in fields:
+                preds.append(
+                    _null_safe(
+                        col,
+                        compile_predicate(
+                            s, col.getField(k), fields[k].dataType,
+                            draft=draft, spec=spec, _ref_depth=_ref_depth,
+                        ),
+                    )
+                )
+        # min/maxProperties over structs: count non-null fields
+        if "minProperties" in schema or "maxProperties" in schema:
+            n = functools.reduce(
+                operator.add,
+                [col.getField(f).isNotNull().cast("int") for f in fields],
+                F.lit(0),
+            )
+            if "minProperties" in schema:
+                preds.append(_null_safe(col, n >= schema["minProperties"]))
+            if "maxProperties" in schema:
+                preds.append(_null_safe(col, n <= schema["maxProperties"]))
+
+    if isinstance(dtype, T.MapType):
+        vt = dtype.valueType
+        for k in schema.get("required", []):
+            preds.append(_null_safe(col, F.array_contains(F.map_keys(col), k)))
+        props = schema.get("properties") or {}
+        for k, s in props.items():
+            ep = compile_predicate(
+                s, F.element_at(col, k), vt, draft=draft, spec=spec,
+                _ref_depth=_ref_depth,
+            )
+            preds.append(
+                _null_safe(col, ~F.array_contains(F.map_keys(col), k) | ep)
+            )
+        for pat, s in (schema.get("patternProperties") or {}).items():
+            # forall over entries: key matches pattern → value predicate
+            preds.append(
+                _null_safe(
+                    col,
+                    F.forall(
+                        F.map_entries(col),
+                        lambda e: ~e.getField("key").rlike(pat)
+                        | compile_predicate(
+                            s, e.getField("value"), vt, draft=draft, spec=spec,
+                            _ref_depth=_ref_depth,
+                        ),
+                    ),
+                )
+            )
+        add = schema.get("additionalProperties")
+        if add is not None and add is not True:
+            known = list(props.keys())
+            pats = list((schema.get("patternProperties") or {}).keys())
+
+            def _unmatched(k: Column) -> Column:
+                u = ~k.isin(known) if known else F.lit(True)
+                for p in pats:
+                    u = u & ~k.rlike(p)
+                return u
+
+            if add is False:
+                preds.append(
+                    _null_safe(
+                        col, F.forall(F.map_keys(col), lambda k: ~_unmatched(k))
+                    )
+                )
+            else:
+                preds.append(
+                    _null_safe(
+                        col,
+                        F.forall(
+                            F.map_entries(col),
+                            lambda e: ~_unmatched(e.getField("key"))
+                            | compile_predicate(
+                                add, e.getField("value"), vt, draft=draft,
+                                spec=spec, _ref_depth=_ref_depth,
+                            ),
+                        ),
+                    )
+                )
+        if "propertyNames" in schema:
+            preds.append(
+                _null_safe(
+                    col,
+                    F.forall(
+                        F.map_keys(col),
+                        lambda k: compile_predicate(
+                            schema["propertyNames"], k, T.StringType(),
+                            draft=draft, spec=spec, _ref_depth=_ref_depth,
+                        ),
+                    ),
+                )
+            )
+        if "minProperties" in schema:
+            preds.append(_null_safe(col, F.size(col) >= schema["minProperties"]))
+        if "maxProperties" in schema:
+            preds.append(_null_safe(col, F.size(col) <= schema["maxProperties"]))
+
+    # --- combinators (validators.go:435-484, 630-648) ---------------------
+    sub = functools.partial(
+        compile_predicate, col=col, dtype=dtype, draft=draft, spec=spec,
+        _ref_depth=_ref_depth,
+    )
+    if "allOf" in schema:
+        preds.extend(sub(s) for s in schema["allOf"])
+    if "anyOf" in schema:
+        preds.append(functools.reduce(operator.or_, [sub(s) for s in schema["anyOf"]]))
+    if "oneOf" in schema:
+        # exactly-one via integer sum — mirrors the must-count semantics
+        # (validators.go:457-476); no short-circuit, matching the reference
+        total = functools.reduce(
+            operator.add, [sub(s).cast("int") for s in schema["oneOf"]]
+        )
+        preds.append(total == 1)
+    if "not" in schema:
+        preds.append(~sub(schema["not"]))
+    if "if" in schema:
+        cond = sub(schema["if"])
+        then_p = sub(schema["then"]) if "then" in schema else F.lit(True)
+        else_p = sub(schema["else"]) if "else" in schema else F.lit(True)
+        preds.append(F.when(cond, then_p).otherwise(else_p))
+
+    return F.coalesce(_all(preds), F.lit(False))
+
+
+def _lit_compatible(v: Any, dtype: T.DataType) -> bool:
+    if isinstance(v, bool):
+        return isinstance(dtype, T.BooleanType)
+    if isinstance(v, (int, float)):
+        return _is_numeric(dtype)
+    if isinstance(v, str):
+        return isinstance(dtype, T.StringType)
+    return False
+
+
+# ---------------------------------------------------------------------------
+# Dynamic JSON columns — Arrow-batched interpreter UDF
+# ---------------------------------------------------------------------------
+
+def json_column_predicate(
+    schema: Any, *, draft: int = 7, assert_formats: bool = True
+):
+    """Pandas UDF: validate a column of JSON *strings* against ``schema``.
+
+    The slow-path escape hatch for truly dynamic payloads (e.g. an
+    ``events.props`` JSON column): the parity interpreter runs once per
+    Arrow batch over ~10k parsed values — never a per-row pyspark UDF.
+    Unparseable JSON is invalid, matching the reference's empty/garbage
+    handling (validators.go:55-62)."""
+    import json as _json
+
+    import pandas as pd
+
+    from go_jsonschema_spark.interp import validate_instance
+    from go_jsonschema_spark.spec import SchemaSpec
+
+    spec = SchemaSpec(schema)
+
+    @F.pandas_udf(T.BooleanType())
+    def _judge(s: pd.Series) -> pd.Series:
+        out = []
+        for raw in s:
+            if raw is None:
+                out.append(False)
+                continue
+            try:
+                v = _json.loads(raw)
+            except (ValueError, TypeError):
+                out.append(False)
+                continue
+            out.append(
+                validate_instance(
+                    schema, v, draft=draft, spec=spec,
+                    assert_formats=assert_formats,
+                ).valid
+            )
+        return pd.Series(out)
+
+    return _judge

@@ -1,0 +1,262 @@
+"""ConstraintSuite — compile a TableSpec and run it in one pass.
+
+The Spark lifecycle replacing the reference's per-document loop
+(SURVEY.md §3.4):
+
+    spec ──(driver: normalize → resolve refs → compile)──► ConstraintPlan
+    DataFrame scan ──► ONE select() computing every row predicate
+      ──► violations = explode(filter(array(struct(...)), failed))
+      ──► verdicts   = per-partition groupBy(every(pass), counts)
+    table checks (unique / foreign_key / stats / drift) run as separate
+    aggregate stages over narrow projections of the same table.
+
+Violations are *data*, not exceptions (helpers.go:58-67 addError analogue):
+one row ``(doc_id, constraint_id, observed)`` per failed constraint, and —
+unlike the reference, which stops at the first error per document
+(validators.go:45-50) — ALL constraints are evaluated, a deliberate
+superset of the reference's verdicts (SURVEY.md §4.1).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, functions as F, types as T
+
+from go_jsonschema_spark.compile import compile_predicate
+from go_jsonschema_spark.spec import SchemaSpec, TableSpec
+
+__all__ = ["ConstraintSuite", "SuiteResult", "ConstraintPlan"]
+
+# keyword groups that must compile together (draft-4 exclusive flags ride on
+# their base bound, schema.go:173-178)
+_BOUND_PAIRS = {
+    "maximum": ("maximum", "exclusiveMaximum"),
+    "minimum": ("minimum", "exclusiveMinimum"),
+    "items": ("items", "additionalItems"),
+    "properties": ("properties", "patternProperties", "additionalProperties",
+                   "required"),
+}
+_SKIP_KEYWORDS = {
+    # annotations — parsed, preserved, never validated (parser.go:90-99 and
+    # the reference's non-validating keywords)
+    "$id", "id", "$schema", "$comment", "title", "description", "default",
+    "readOnly", "writeOnly", "examples", "definitions", "$defs",
+    "contentMediaType", "contentEncoding",
+    # handled as riders on their pair
+    "exclusiveMaximum", "exclusiveMinimum", "additionalItems",
+    "patternProperties", "additionalProperties", "required",
+    # if/then/else compile as one unit keyed "if"
+    "then", "else",
+}
+
+
+@dataclass
+class ConstraintPlan:
+    """Compiled plan: named boolean predicates + table-check specs."""
+
+    predicates: list[tuple[str, Column]]  # (constraint_id, pred)
+    observed: dict[str, Column]  # constraint_id -> observed-value column
+    table_checks: list[dict[str, Any]]
+
+
+@dataclass
+class SuiteResult:
+    """Lazily-defined result DataFrames (caller picks the actions)."""
+
+    checked: DataFrame  # input + one boolean column per constraint + __pass__
+    violations: DataFrame  # (doc_id, constraint_id, observed)
+    verdicts: DataFrame  # per-partition pass/fail + counts
+    constraint_ids: list[str] = field(default_factory=list)
+
+
+def _observed_col(col: Column, dtype: T.DataType) -> Column:
+    if isinstance(dtype, (T.ArrayType, T.MapType, T.StructType)):
+        return F.substring(F.to_json(col), 1, 256)
+    return F.substring(col.cast("string"), 1, 256)
+
+
+class ConstraintSuite:
+    """Compile once, run on any DataFrame with matching columns.
+
+    ``register(name, spec)`` adds named specs for ``$ref`` reuse
+    (AddSchema analogue, /root/reference/schema_refs.go:118-129)."""
+
+    def __init__(self, table_spec: TableSpec, *, key: str = "doc_id") -> None:
+        self.spec = table_spec
+        self.key = key
+        self.registry: dict[str, Any] = {}
+
+    def register(self, name: str, spec: Any) -> None:
+        self.registry[name] = spec
+
+    # -- compile ----------------------------------------------------------
+    def compile(self, df: DataFrame) -> ConstraintPlan:
+        dtypes = {f.name: f.dataType for f in df.schema.fields}
+        preds: list[tuple[str, Column]] = []
+        observed: dict[str, Column] = {}
+        draft = self.spec.draft
+
+        for name, schema in self.spec.columns.items():
+            if name not in dtypes:
+                raise KeyError(f"spec column {name!r} not in DataFrame")
+            col = F.col(name)
+            dt = dtypes[name]
+            sspec = SchemaSpec(schema)
+            sspec.registry.update(self.registry)
+            if not isinstance(schema, dict):
+                cid = f"{name}.schema"
+                preds.append((cid, compile_predicate(schema, col, dt,
+                                                     draft=draft, spec=sspec)))
+                observed[cid] = _observed_col(col, dt)
+                continue
+            # per-keyword decomposition → violation granularity matches the
+            # reference's per-validator errors (setupValidators analogue)
+            for kw in schema:
+                if kw in _SKIP_KEYWORDS:
+                    continue
+                group = _BOUND_PAIRS.get(kw, (kw,))
+                sub = {k: schema[k] for k in group if k in schema}
+                if kw == "if":
+                    sub = {k: schema[k] for k in ("if", "then", "else")
+                           if k in schema}
+                # carry type info the sub-keywords may need
+                cid = f"{name}.{kw}"
+                preds.append(
+                    (cid, compile_predicate(sub, col, dt, draft=draft,
+                                            spec=sspec))
+                )
+                observed[cid] = _observed_col(col, dt)
+
+        for rc in self.spec.row_checks:
+            cid = rc["id"]
+            preds.append((cid, F.coalesce(F.expr(rc["expr"]), F.lit(False))))
+            obs = rc.get("observed")
+            observed[cid] = (
+                F.substring(F.expr(obs).cast("string"), 1, 256)
+                if obs
+                else F.lit(None).cast("string")
+            )
+
+        return ConstraintPlan(preds, observed, list(self.spec.table_checks))
+
+    # -- run --------------------------------------------------------------
+    def run(
+        self,
+        df: DataFrame,
+        *,
+        partition_col: str | None = None,
+        dims: dict[str, DataFrame] | None = None,
+    ) -> SuiteResult:
+        """Build the lazy result DataFrames.  ``partition_col`` keys the
+        per-partition verdicts (defaults to a constant — whole-table)."""
+        plan = self.compile(df)
+        ids = [cid for cid, _ in plan.predicates]
+        # internal alias per constraint — ids may contain '.', which Column
+        # resolution would read as struct access
+        safe = {cid: f"__c{i}__" for i, cid in enumerate(ids)}
+
+        import functools
+        import operator
+
+        pass_col = (
+            functools.reduce(
+                operator.and_, [F.col(safe[cid]) for cid in ids]
+            )
+            if ids
+            else F.lit(True)
+        )
+        checked = df.select(
+            "*",
+            *[p.alias(safe[cid]) for cid, p in plan.predicates],
+        ).withColumn("__pass__", pass_col)
+
+        # violations: filter the struct array to failed constraints, explode
+        entries = [
+            F.when(
+                ~F.col(safe[cid]),
+                F.struct(
+                    F.lit(cid).alias("constraint_id"),
+                    plan.observed[cid].alias("observed"),
+                ),
+            )
+            for cid in ids
+        ]
+        row_viol = (
+            checked.filter(~F.col("__pass__"))
+            .select(
+                F.col(self.key).cast("string").alias("doc_id"),
+                F.explode(
+                    F.filter(
+                        F.array(*entries) if entries else F.array(),
+                        lambda x: x.isNotNull(),
+                    )
+                ).alias("v"),
+            )
+            .select("doc_id", "v.constraint_id", "v.observed")
+        )
+
+        # table checks → more violations + metrics
+        dims = dims or {}
+        viol_parts = [row_viol]
+        for tc in plan.table_checks:
+            kind = tc["kind"]
+            if kind == "unique":
+                from go_jsonschema_spark.operators.uniqueness import (
+                    uniqueness_violations,
+                )
+
+                viol_parts.append(
+                    uniqueness_violations(
+                        df,
+                        tc["columns"][0] if "columns" in tc else tc["column"],
+                        constraint_id=tc["id"],
+                        salt_buckets=tc.get("salt_buckets", 64),
+                    )
+                )
+            elif kind == "foreign_key":
+                from go_jsonschema_spark.operators.referential import (
+                    referential_violations,
+                )
+
+                dim = dims[tc["dim"]]
+                viol_parts.append(
+                    referential_violations(
+                        df,
+                        tc["column"],
+                        dim,
+                        tc.get("dim_column"),
+                        key=self.key,
+                        constraint_id=tc["id"],
+                    )
+                )
+            # stats/drift/row_count produce metrics, not violations — exposed
+            # via operators.stats / operators.drift and the checkpoint layer
+
+        violations = viol_parts[0]
+        for v in viol_parts[1:]:
+            violations = violations.unionByName(v)
+
+        part = (
+            F.col(partition_col)
+            if partition_col
+            else F.lit("__all__")
+        )
+        verdicts = (
+            checked.groupBy(part.alias("partition"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("__pass__").cast("long")).alias("n_pass"),
+                F.sum((~F.col("__pass__")).cast("long")).alias("n_fail"),
+                *[
+                    F.sum((~F.col(safe[cid])).cast("long")).alias(
+                        f"fail: {cid}"
+                    )
+                    for cid in ids
+                ],
+            )
+            .withColumn("passed", F.col("n_fail") == 0)
+        )
+
+        return SuiteResult(checked, violations, verdicts, ids)

@@ -1,0 +1,103 @@
+"""Distribution-drift checks: KS statistic and PSI over binned histograms.
+
+Not a reference capability (SURVEY.md §2.8) and not a Catalyst builtin
+(SURVEY.md §4.3): the engine computes a **binned histogram** with one
+groupBy over the numeric column (map-side combinable, tiny result ≈ n_bins
+rows), then the KS / PSI math runs driver-side on the two histograms —
+O(bins), never O(rows).  Baselines are persisted as plain tables
+(``ntok_baseline(bucket, count, snapshot_id)``, FIXTURES.md §1).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["histogram", "DriftReport", "ks_statistic", "psi", "drift_check"]
+
+
+def histogram(df: DataFrame, column: str, *, bucket_width: float) -> DataFrame:
+    """Fixed-width binned histogram ``(bucket, count)``; bucket = floor(x/w).
+
+    One narrow-scan aggregate; NULLs excluded (they are the null-count
+    stat's job, stats.py)."""
+    return (
+        df.filter(F.col(column).isNotNull())
+        .groupBy(
+            F.floor(F.col(column) / F.lit(float(bucket_width))).alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+@dataclass
+class DriftReport:
+    ks: float
+    psi: float
+    n_current: int
+    n_baseline: int
+    passed: bool
+
+
+def _aligned(cur: dict[int, int], base: dict[int, int]):
+    buckets = sorted(set(cur) | set(base))
+    nc = sum(cur.values()) or 1
+    nb = sum(base.values()) or 1
+    pc = [cur.get(b, 0) / nc for b in buckets]
+    pb = [base.get(b, 0) / nb for b in buckets]
+    return pc, pb, nc, nb
+
+
+def ks_statistic(cur: dict[int, int], base: dict[int, int]) -> float:
+    """Two-sample KS statistic over binned data: max |ECDF_cur - ECDF_base|."""
+    pc, pb, _, _ = _aligned(cur, base)
+    d = 0.0
+    cc = cb = 0.0
+    for x, y in zip(pc, pb):
+        cc += x
+        cb += y
+        d = max(d, abs(cc - cb))
+    return d
+
+
+def psi(cur: dict[int, int], base: dict[int, int], *, eps: float = 1e-6) -> float:
+    """Population Stability Index: Σ (p_c - p_b) · ln(p_c / p_b)."""
+    pc, pb, _, _ = _aligned(cur, base)
+    total = 0.0
+    for x, y in zip(pc, pb):
+        x = max(x, eps)
+        y = max(y, eps)
+        total += (x - y) * math.log(x / y)
+    return total
+
+
+def drift_check(
+    df: DataFrame,
+    column: str,
+    baseline: DataFrame,
+    *,
+    bucket_width: float,
+    ks_threshold: float = 0.1,
+    psi_threshold: float = 0.2,
+) -> DriftReport:
+    """Compare ``df[column]``'s histogram against a baseline histogram table
+    ``(bucket, count)``.  Triggers two tiny collects (n_bins rows each)."""
+    cur = {
+        int(r["bucket"]): int(r["count"])
+        for r in histogram(df, column, bucket_width=bucket_width).collect()
+    }
+    base = {
+        int(r["bucket"]): int(r["count"])
+        for r in baseline.select("bucket", "count").collect()
+    }
+    ks = ks_statistic(cur, base)
+    p = psi(cur, base)
+    return DriftReport(
+        ks=ks,
+        psi=p,
+        n_current=sum(cur.values()),
+        n_baseline=sum(base.values()),
+        passed=(ks <= ks_threshold and p <= psi_threshold),
+    )

@@ -1,0 +1,104 @@
+"""Per-column statistics in ONE aggregate pass.
+
+North-star check (SURVEY.md §2.8): min/max/mean, approx quantiles
+(``percentile_approx``), approx distinct (HyperLogLog++,
+``approx_count_distinct``), null counts — all computed as a single
+partial+final hash aggregation so the 100 TB scan happens once.  Column
+pruning keeps the scan narrow: only the profiled columns are read.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+__all__ = ["column_stats", "grouped_stats"]
+
+_DEFAULT_QUANTILES = [0.5, 0.95, 0.99]
+
+
+def _is_numeric(dt: T.DataType) -> bool:
+    return isinstance(
+        dt,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.FloatType,
+         T.DoubleType, T.DecimalType),
+    )
+
+
+def column_stats(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    *,
+    quantiles: list[float] | None = None,
+    approx_distinct: bool = True,
+) -> DataFrame:
+    """One-row-per-column stats: (column, n, n_null, n_distinct_approx,
+    min, max, mean, q50, q95, q99).  min/max/mean/quantiles only for numeric
+    columns (others get NULL).
+
+    Scale: a single ``agg`` → Catalyst plans partial aggregation per
+    partition then one final reduce; no per-column scans."""
+    qs = _DEFAULT_QUANTILES if quantiles is None else quantiles
+    dtypes = dict((f.name, f.dataType) for f in df.schema.fields)
+    cols = columns or [f.name for f in df.schema.fields]
+
+    aggs = [F.count(F.lit(1)).alias("__n__")]
+    for c in cols:
+        aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}__nnull"))
+        if approx_distinct:
+            aggs.append(F.approx_count_distinct(c).alias(f"{c}__ndist"))
+        if _is_numeric(dtypes[c]):
+            aggs.append(F.min(c).cast("double").alias(f"{c}__min"))
+            aggs.append(F.max(c).cast("double").alias(f"{c}__max"))
+            aggs.append(F.avg(c).alias(f"{c}__mean"))
+            aggs.append(
+                F.percentile_approx(c, qs, 10000).alias(f"{c}__q")
+            )
+    wide = df.agg(*aggs)
+
+    # unpivot driver-side shape (one tiny row) into per-column rows
+    structs = []
+    for c in cols:
+        fields = [
+            F.lit(c).alias("column"),
+            F.col("__n__").alias("n"),
+            F.col(f"{c}__nnull").alias("n_null"),
+        ]
+        fields.append(
+            F.col(f"{c}__ndist").alias("n_distinct_approx")
+            if approx_distinct
+            else F.lit(None).cast("long").alias("n_distinct_approx")
+        )
+        if _is_numeric(dtypes[c]):
+            fields += [
+                F.col(f"{c}__min").alias("min"),
+                F.col(f"{c}__max").alias("max"),
+                F.col(f"{c}__mean").alias("mean"),
+                F.col(f"{c}__q").alias("quantiles"),
+            ]
+        else:
+            fields += [
+                F.lit(None).cast("double").alias("min"),
+                F.lit(None).cast("double").alias("max"),
+                F.lit(None).cast("double").alias("mean"),
+                F.lit(None).cast("array<double>").alias("quantiles"),
+            ]
+        structs.append(F.struct(*fields))
+    return wide.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+
+
+def grouped_stats(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Per-group stats of one numeric column — the grouped-checks primitive
+    (`groupBy(source)`-keyed verdicts).  Partial aggregation handles skewed
+    group sizes; AQE coalesces the post-shuffle partitions."""
+    return (
+        df.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(value_col).cast("double").alias("min"),
+            F.max(value_col).cast("double").alias("max"),
+            F.avg(value_col).alias("mean"),
+            F.stddev_pop(value_col).alias("stddev"),
+        )
+    )

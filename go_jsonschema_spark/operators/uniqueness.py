@@ -1,0 +1,71 @@
+"""Cross-row uniqueness with explicit skew handling.
+
+The reference's ``uniqueItems`` is intra-array only (validate_unique.go);
+the north star demands global uniqueness of ``doc_id`` over 10^12 rows with
+a hot key duplicated on ~5% of rows.  Strategy (SURVEY.md §4.3):
+
+1. **Salted partial count** — group by ``(key, salt)`` where salt spreads a
+   hot key over S reducers, so no single reducer receives 5% of the table.
+   Spark's hash aggregation is already partial+final (map-side combine), so
+   the salt matters for the *reduce* side distribution of distinct keys —
+   i.e. when one key's pre-combined partial rows would still swamp one task.
+2. **Final count** — re-aggregate the partial counts by ``key`` alone; at
+   most S rows per key arrive, tiny.
+3. Optional HLL pre-check: ``approx_count_distinct(key) ≈ count(*)`` means
+   duplicates are rare → the exact pass confirms.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["duplicate_keys", "uniqueness_violations", "approx_unique_ratio"]
+
+
+def duplicate_keys(
+    df: DataFrame, key: str, *, salt_buckets: int = 64
+) -> DataFrame:
+    """Keys occurring more than once, with their counts: ``(key, n_dup)``.
+
+    Two-phase salted aggregation: phase 1 groups on ``(key, salt)`` where
+    the salt is derived from the whole row (xxhash64 over all columns), so
+    a hot key fans out over ``salt_buckets`` reduce tasks; phase 2 sums the
+    per-salt partial counts per key."""
+    salted = df.select(
+        F.col(key).alias("key"),
+        F.pmod(F.xxhash64(*df.columns), F.lit(salt_buckets)).alias("__salt__"),
+    )
+    partial = salted.groupBy("key", "__salt__").agg(
+        F.count(F.lit(1)).alias("__c__")
+    )
+    return (
+        partial.groupBy("key")
+        .agg(F.sum("__c__").alias("n_dup"))
+        .filter(F.col("n_dup") > 1)
+    )
+
+
+def uniqueness_violations(
+    df: DataFrame, key: str, *, constraint_id: str | None = None,
+    salt_buckets: int = 64,
+) -> DataFrame:
+    """Violation rows ``(doc_id, constraint_id, observed)`` for duplicate
+    keys — ``observed`` is the duplicate count as a string."""
+    cid = constraint_id or f"unique:{key}"
+    dups = duplicate_keys(df, key, salt_buckets=salt_buckets)
+    return dups.select(
+        F.col("key").cast("string").alias("doc_id"),
+        F.lit(cid).alias("constraint_id"),
+        F.concat(F.lit("count="), F.col("n_dup").cast("string")).alias("observed"),
+    )
+
+
+def approx_unique_ratio(df: DataFrame, key: str) -> DataFrame:
+    """Cheap HLL++ pre-check: ``approx_distinct / count`` — a ratio ≈ 1.0
+    means duplicates are rare and the exact pass is mostly confirmatory
+    (SURVEY.md §2.8)."""
+    return df.agg(
+        F.count(key).alias("n"),
+        F.approx_count_distinct(key).alias("n_distinct_approx"),
+        (F.approx_count_distinct(key) / F.count(key)).alias("unique_ratio"),
+    )

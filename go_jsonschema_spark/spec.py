@@ -1,0 +1,415 @@
+"""Declarative constraint-spec model.
+
+Mirrors the reference's closed keyword set (the 46 ``SchemaProp`` constants,
+/root/reference/schema_types.go:112-160) as plain dicts with a normalization
+and sanity-check layer, plus the table-level check vocabulary the north star
+adds (unique / foreign_key / stats / drift / row expression checks) that the
+reference does not have (SURVEY.md §2.8).
+
+Design choice vs the reference: the reference materializes a recursive
+``Schema`` struct tree with pointer-typed keyword fields
+(/root/reference/schema.go:31-179).  Here a schema stays a JSON-shaped dict
+("spec") — lossless round-trip (unknown keywords preserved, like
+/root/reference/parser.go:90-99) comes for free, and the compile step
+(compile.py) and interpreter (interp.py) consume the dict directly.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from typing import Any
+
+# The reference's known keyword set, /root/reference/schema_types.go:163-211.
+KNOWN_KEYWORDS = frozenset(
+    {
+        "$id",
+        "id",  # draft-4 spelling
+        "$ref",
+        "$schema",
+        "$comment",
+        "title",
+        "description",
+        "default",
+        "readOnly",
+        "writeOnly",
+        "examples",
+        "multipleOf",
+        "maximum",
+        "exclusiveMaximum",
+        "minimum",
+        "exclusiveMinimum",
+        "maxLength",
+        "minLength",
+        "pattern",
+        "additionalItems",
+        "items",
+        "maxItems",
+        "minItems",
+        "uniqueItems",
+        "contains",
+        "maxProperties",
+        "minProperties",
+        "required",
+        "properties",
+        "patternProperties",
+        "additionalProperties",
+        "dependencies",
+        "propertyNames",
+        "const",
+        "enum",
+        "type",
+        "format",
+        "contentMediaType",
+        "contentEncoding",
+        "definitions",
+        "$defs",
+        "if",
+        "then",
+        "else",
+        "allOf",
+        "anyOf",
+        "oneOf",
+        "not",
+    }
+)
+
+# Keywords whose value is itself a schema (or list/map of schemas) — used by
+# ref collection and compile-time inlining.
+_SUBSCHEMA_KEYS = ("items", "additionalItems", "contains", "propertyNames",
+                   "additionalProperties", "if", "then", "else", "not")
+_SUBSCHEMA_LIST_KEYS = ("allOf", "anyOf", "oneOf")
+_SUBSCHEMA_MAP_KEYS = ("properties", "patternProperties", "definitions", "$defs")
+
+JSON_TYPES = frozenset(
+    {"string", "number", "integer", "object", "array", "boolean", "null"}
+)
+
+
+class SpecError(ValueError):
+    """Raised for malformed specs (the compile-time analogue of the parse
+    errors in /root/reference/parser.go)."""
+
+
+def normalize_spec(spec: Any) -> Any:
+    """Validate + normalize a schema spec dict (or boolean schema).
+
+    Checks the keyword grammar the way the reference's parser switch does
+    (/root/reference/parser.go:87-258): known keywords get shape checks,
+    unknown keywords are preserved untouched (parser.go:90-99).  Returns the
+    spec unchanged on success (dicts are already insertion-ordered, matching
+    the reference's order-preserving Properties, schema_types.go:344-359).
+    """
+    if isinstance(spec, bool):
+        # Boolean schemas: true accepts everything, false rejects everything
+        # (/root/reference/validators.go:64-80).
+        return spec
+    if not isinstance(spec, dict):
+        raise SpecError(f"schema spec must be dict or bool, got {type(spec).__name__}")
+
+    t = spec.get("type")
+    if t is not None:
+        types = t if isinstance(t, list) else [t]
+        for x in types:
+            if x not in JSON_TYPES:
+                raise SpecError(f"unknown type {x!r}")
+
+    for kw in ("minimum", "maximum", "exclusiveMinimum", "exclusiveMaximum"):
+        v = spec.get(kw)
+        if v is not None and not isinstance(v, (int, float, bool)):
+            # bool allowed for draft-4 exclusive flags (schema.go:173-178)
+            raise SpecError(f"{kw} must be numeric (or bool in draft 4)")
+    for kw in ("minLength", "maxLength", "minItems", "maxItems",
+               "minProperties", "maxProperties"):
+        v = spec.get(kw)
+        if v is not None and (isinstance(v, bool) or not isinstance(v, int) or v < 0):
+            raise SpecError(f"{kw} must be a non-negative integer")
+    mo = spec.get("multipleOf")
+    if mo is not None and (isinstance(mo, bool) or not isinstance(mo, (int, float)) or mo <= 0):
+        raise SpecError("multipleOf must be a positive number")
+    if "enum" in spec and not isinstance(spec["enum"], list):
+        raise SpecError("enum must be an array")
+    if "required" in spec and not (
+        isinstance(spec["required"], list)
+        and all(isinstance(x, str) for x in spec["required"])
+    ):
+        raise SpecError("required must be an array of strings")
+
+    for kw in _SUBSCHEMA_KEYS:
+        if kw in spec:
+            sub = spec[kw]
+            if kw == "items" and isinstance(sub, list):
+                for s in sub:
+                    normalize_spec(s)
+            else:
+                normalize_spec(sub)
+    for kw in _SUBSCHEMA_LIST_KEYS:
+        if kw in spec:
+            if not isinstance(spec[kw], list) or not spec[kw]:
+                raise SpecError(f"{kw} must be a non-empty array of schemas")
+            for s in spec[kw]:
+                normalize_spec(s)
+    for kw in _SUBSCHEMA_MAP_KEYS:
+        if kw in spec:
+            if not isinstance(spec[kw], dict):
+                raise SpecError(f"{kw} must be an object")
+            for s in spec[kw].values():
+                normalize_spec(s)
+    deps = spec.get("dependencies")
+    if deps is not None:
+        if not isinstance(deps, dict):
+            raise SpecError("dependencies must be an object")
+        for v in deps.values():
+            if isinstance(v, list):
+                if not all(isinstance(x, str) for x in v):
+                    raise SpecError("property dependency must list strings")
+            else:
+                normalize_spec(v)
+    return spec
+
+
+def unescape_pointer(token: str) -> str:
+    """JSON-Pointer ``~1``/``~0`` unescaping
+    (/root/reference/schema_refs.go:20-44)."""
+    return token.replace("~1", "/").replace("~0", "~")
+
+
+def escape_pointer(token: str) -> str:
+    """Inverse of :func:`unescape_pointer`
+    (/root/reference/schema_refs.go:46-70)."""
+    return token.replace("~", "~0").replace("/", "~1")
+
+
+def _pointer_token(raw: str) -> str:
+    """Decode one JSON-Pointer token: RFC3986 %-decode then RFC6901
+    ``~1``/``~0`` unescape (schema_refs.go:20-44 analogue + URI escaping)."""
+    from urllib.parse import unquote
+
+    return unescape_pointer(unquote(raw))
+
+
+def _norm_uri(u: str) -> str:
+    """Canonical registry key: strip an empty trailing fragment."""
+    return u[:-1] if u.endswith("#") else u
+
+
+@dataclass
+class SchemaSpec:
+    """A parsed + normalized schema spec with its ``$id`` registry and
+    per-node base-URI context.
+
+    The registry plays the role of the reference's ``pointers`` map
+    (/root/reference/schema_types.go:29, populated at parser.go:271-299):
+    any subschema carrying ``$id``/``id`` is addressable for ``$ref``, with
+    relative ``$id`` resolved against the enclosing base URI chain
+    (ExpandURI analogue, schema_refs.go:73-116).  ``base_of`` records, for
+    every dict node, the base *document* node and base URI in scope — this
+    is what makes ``#/definitions/x`` inside an ``$id``-carrying subschema
+    resolve against that subschema, not the root.
+    """
+
+    root: Any  # dict or bool
+    registry: dict[str, Any] = field(default_factory=dict)
+
+    def __post_init__(self) -> None:
+        normalize_spec(self.root)
+        self.base_of: dict[int, tuple[Any, str]] = {}
+        root_uri = ""
+        if isinstance(self.root, dict):
+            sid = self.root.get("$id") or self.root.get("id")
+            if isinstance(sid, str) and not sid.startswith("#"):
+                root_uri = _norm_uri(sid)
+        self._index(self.root, self.root, root_uri)
+        if root_uri:
+            self.registry[root_uri] = self.root
+
+    # -- $id indexing (parser.go:44-85 analogue) -------------------------
+    def _index(self, node: Any, base_node: Any, base_uri: str) -> None:
+        from urllib.parse import urljoin
+
+        if isinstance(node, list):
+            for s in node:
+                self._index(s, base_node, base_uri)
+            return
+        if not isinstance(node, dict):
+            return
+        sid = node.get("$id") or node.get("id")
+        if isinstance(sid, str) and sid:
+            if sid.startswith("#") and len(sid) > 1:
+                # plain-name fragment: location-independent anchor
+                anchor = _norm_uri(urljoin(base_uri, sid) if base_uri else sid)
+                self.registry[anchor] = node
+            else:
+                base_uri = _norm_uri(urljoin(base_uri, sid) if base_uri else sid)
+                base_node = node
+                self.registry[base_uri] = node
+        self.base_of[id(node)] = (base_node, base_uri)
+        for kw in _SUBSCHEMA_KEYS:
+            if kw in node:
+                self._index(node[kw], base_node, base_uri)
+        for kw in _SUBSCHEMA_LIST_KEYS:
+            for s in node.get(kw, []) or []:
+                self._index(s, base_node, base_uri)
+        for kw in _SUBSCHEMA_MAP_KEYS:
+            if isinstance(node.get(kw), dict):
+                for s in node[kw].values():
+                    self._index(s, base_node, base_uri)
+        deps = node.get("dependencies")
+        if isinstance(deps, dict):
+            for v in deps.values():
+                if not isinstance(v, list):
+                    self._index(v, base_node, base_uri)
+
+    def _context(self, at: Any) -> tuple[Any, str]:
+        if at is not None and id(at) in self.base_of:
+            return self.base_of[id(at)]
+        if isinstance(self.root, dict):
+            return self.base_of.get(id(self.root), (self.root, ""))
+        return (self.root, "")
+
+    @staticmethod
+    def _walk_pointer(node: Any, frag: str, ref: str) -> Any:
+        for raw in frag.split("/"):
+            token = _pointer_token(raw)
+            if isinstance(node, list):
+                try:
+                    node = node[int(token)]
+                except (ValueError, IndexError) as e:
+                    raise SpecError(f"unresolvable $ref {ref!r}") from e
+            elif isinstance(node, dict):
+                if token not in node:
+                    raise SpecError(f"unresolvable $ref {ref!r}")
+                node = node[token]
+            else:
+                raise SpecError(f"unresolvable $ref {ref!r}")
+        return node
+
+    # -- $ref resolution (schema_refs.go:157-358 analogue, local only) ----
+    def resolve_ref(
+        self, ref: str, *, at: Any = None, extra: dict[str, Any] | None = None
+    ) -> Any:
+        """Resolve ``#``, ``#/json/pointer``, ``#anchor`` and absolute /
+        relative URI refs against the base in scope at node ``at``.
+
+        Remote HTTP fetch (schema_refs.go:300-345) is intentionally absent:
+        executors never fetch; cross-spec refs go through the registry
+        (AddSchema analogue) and the embedded meta-schemas
+        (schemas.go:10-50 analogue, metaschema.py).
+        """
+        from urllib.parse import unquote, urljoin
+
+        base_node, base_uri = self._context(at)
+
+        if ref in ("#", ""):
+            return base_node
+        if ref.startswith("#/"):
+            return self._walk_pointer(base_node, ref[2:], ref)
+
+        def _lookup(uri: str) -> Any | None:
+            uri = _norm_uri(uri)
+            for table in (self.registry, extra or {}):
+                if uri in table:
+                    return table[uri]
+            from go_jsonschema_spark.metaschema import META_SCHEMAS
+
+            return META_SCHEMAS.get(uri)
+
+        if ref.startswith("#"):
+            # plain-name anchor in the current base document
+            full = _norm_uri((base_uri or "") + ref)
+            hit = _lookup(full) or _lookup(ref)
+            if hit is not None:
+                return hit
+            raise SpecError(f"unresolvable $ref {ref!r}")
+
+        doc, _, frag = ref.partition("#")
+        full_doc = _norm_uri(urljoin(base_uri, doc) if base_uri else doc)
+        target = _lookup(full_doc)
+        if target is None:
+            target = _lookup(doc)
+        if target is None:
+            # suffix match against registered ids (relative-uri laxness,
+            # mirroring the reference's fallback walks)
+            for key in self.registry:
+                if key.endswith("/" + doc) or key == doc:
+                    target = self.registry[key]
+                    break
+        if target is None:
+            raise SpecError(f"unresolvable $ref {ref!r}")
+        if frag:
+            if frag.startswith("/"):
+                return self._walk_pointer(target, frag[1:], ref) if len(frag) > 1 else target
+            anchored = _lookup(full_doc + "#" + frag)
+            if anchored is not None:
+                return anchored
+            raise SpecError(f"unresolvable $ref {ref!r}")
+        return target
+
+    @classmethod
+    def from_json(cls, data: str | bytes) -> "SchemaSpec":
+        return cls(json.loads(data))
+
+    def to_json(self) -> str:
+        return json.dumps(self.root)
+
+
+# ---------------------------------------------------------------------------
+# Table-level spec (north-star vocabulary — new vs the reference, SURVEY §2.8)
+# ---------------------------------------------------------------------------
+
+_TABLE_CHECK_KINDS = frozenset(
+    {"unique", "foreign_key", "stats", "drift", "row_count"}
+)
+
+
+@dataclass
+class TableSpec:
+    """A full table validation spec.
+
+    ``columns``      — {column name: schema spec} per-column predicates.
+    ``row_checks``   — cross-column SQL boolean expressions, each with an id
+                       (e.g. the shape invariant ``n_tok = size(tokens)``).
+    ``table_checks`` — dataset-level checks: unique / foreign_key / stats /
+                       drift / row_count (SURVEY.md §2.8 table).
+    """
+
+    columns: dict[str, Any] = field(default_factory=dict)
+    row_checks: list[dict[str, Any]] = field(default_factory=list)
+    table_checks: list[dict[str, Any]] = field(default_factory=list)
+    draft: int = 7
+
+    def __post_init__(self) -> None:
+        for name, spec in self.columns.items():
+            try:
+                normalize_spec(spec)
+            except SpecError as e:
+                raise SpecError(f"column {name!r}: {e}") from e
+        for rc in self.row_checks:
+            if "id" not in rc or "expr" not in rc:
+                raise SpecError("row_check needs 'id' and 'expr'")
+        for tc in self.table_checks:
+            kind = tc.get("kind")
+            if kind not in _TABLE_CHECK_KINDS:
+                raise SpecError(f"unknown table check kind {kind!r}")
+            if "id" not in tc and kind != "stats":
+                raise SpecError(f"table check {kind} needs an 'id'")
+
+    @classmethod
+    def from_json(cls, data: str | bytes) -> "TableSpec":
+        d = json.loads(data)
+        return cls(
+            columns=d.get("columns", {}),
+            row_checks=d.get("row_checks", []),
+            table_checks=d.get("table_checks", []),
+            draft=d.get("draft", 7),
+        )
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "columns": self.columns,
+                "row_checks": self.row_checks,
+                "table_checks": self.table_checks,
+                "draft": self.draft,
+            }
+        )

@@ -1,0 +1,167 @@
+"""Parity harness: the official JSON-Schema-Test-Suite (vendored read-only by
+the reference at /root/reference/testdata/) re-run through the engine's
+interpreter — the accept/reject sets must match exactly.
+
+Mirrors the reference's own test driver (validate_test.go:179-390) including
+its skip lists: remote-ref files (the reference spins an HTTP server we
+don't, validate_test.go:84-98), ecmascript-regex and content
+(validate_test.go:251-263), and the format edge-case files it skips
+(validate_test.go:234-250).
+
+These tests are pure Python (no Spark session) — the typed-column compiler
+is covered separately in test_compile_typed.py.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pytest
+
+from go_jsonschema_spark.interp import validate_instance
+from go_jsonschema_spark.spec import SchemaSpec
+
+SUITE_ROOT = "/root/reference/testdata"
+
+# Files the reference's driver skips (validate_test.go:234-268).
+SKIP_FILES = {
+    "refRemote.json",  # needs the :1234 HTTP server
+    "ecmascript-regex.json",  # regex dialect gap, skipped by reference too
+    "content.json",  # content* keywords not validated (same as reference)
+}
+SKIP_FORMAT_FILES = {
+    # reference skip list, validate_test.go:234-250
+    "idn-hostname.json",
+    "ipv4.json",
+    "ipv6.json",
+    "iri.json",
+    "iri-reference.json",
+    "uri.json",
+    "uri-reference.json",
+    "relative-json-pointer.json",
+}
+
+DRAFTS = [("draft4", 4), ("draft6", 6), ("draft7", 7)]
+
+
+def _cases(draft_dir: str, subdir: str = "", skip: set[str] = SKIP_FILES):
+    root = os.path.join(SUITE_ROOT, draft_dir, subdir)
+    out = []
+    for path in sorted(glob.glob(os.path.join(root, "*.json"))):
+        name = os.path.basename(path)
+        if name in skip:
+            continue
+        with open(path) as f:
+            groups = json.load(f)
+        for gi, group in enumerate(groups):
+            for ti, test in enumerate(group["tests"]):
+                out.append(
+                    pytest.param(
+                        group["schema"],
+                        test["data"],
+                        test["valid"],
+                        id=f"{draft_dir}/{subdir}{name}[{gi}.{ti}] {group['description'][:40]} :: {test['description'][:40]}",
+                    )
+                )
+    return out
+
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SUITE_ROOT), reason="reference test corpus not present"
+)
+
+
+@pytest.mark.parametrize("draft_dir,draft", DRAFTS)
+def test_mandatory_suite(draft_dir: str, draft: int):
+    """Whole-draft sweep in one test (fast) — per-case IDs would be 2000+
+    parametrizations; aggregate instead and report every mismatch."""
+    mismatches = []
+    n = 0
+    for path in sorted(glob.glob(os.path.join(SUITE_ROOT, draft_dir, "*.json"))):
+        name = os.path.basename(path)
+        if name in SKIP_FILES:
+            continue
+        with open(path) as f:
+            groups = json.load(f)
+        for group in groups:
+            spec = SchemaSpec(group["schema"])
+            for test in group["tests"]:
+                n += 1
+                got = validate_instance(
+                    group["schema"], test["data"], draft=draft, spec=spec,
+                    assert_formats=False,
+                ).valid
+                if got != test["valid"]:
+                    mismatches.append(
+                        f"{name}: {group['description']} :: {test['description']}"
+                        f" (got {got}, want {test['valid']})"
+                    )
+    assert not mismatches, f"{len(mismatches)}/{n} mismatches:\n" + "\n".join(
+        mismatches[:25]
+    )
+    assert n > 500  # sanity: the corpus actually loaded
+
+
+@pytest.mark.parametrize("draft_dir,draft", DRAFTS)
+def test_optional_format_suite(draft_dir: str, draft: int):
+    """optional/format files, minus the reference's own skip list."""
+    mismatches = []
+    n = 0
+    root = os.path.join(SUITE_ROOT, draft_dir, "optional", "format")
+    for path in sorted(glob.glob(os.path.join(root, "*.json"))):
+        name = os.path.basename(path)
+        if name in SKIP_FORMAT_FILES:
+            continue
+        with open(path) as f:
+            groups = json.load(f)
+        for group in groups:
+            spec = SchemaSpec(group["schema"])
+            for test in group["tests"]:
+                n += 1
+                got = validate_instance(
+                    group["schema"], test["data"], draft=draft, spec=spec,
+                    assert_formats=True,
+                ).valid
+                if got != test["valid"]:
+                    mismatches.append(
+                        f"{name}: {group['description']} :: {test['description']}"
+                        f" (got {got}, want {test['valid']})"
+                    )
+    assert not mismatches, f"{len(mismatches)}/{n} mismatches:\n" + "\n".join(
+        mismatches[:25]
+    )
+
+
+def test_optional_bignum():
+    """optional/bignum.json — arbitrary-precision parity
+    (validators.go:486-560 big.Float semantics via Fraction)."""
+    path = os.path.join(SUITE_ROOT, "draft7", "optional", "bignum.json")
+    mismatches = []
+    with open(path) as f:
+        groups = json.load(f)
+    for group in groups:
+        spec = SchemaSpec(group["schema"])
+        for test in group["tests"]:
+            got = validate_instance(
+                group["schema"], test["data"], spec=spec
+            ).valid
+            if got != test["valid"]:
+                mismatches.append(f"{group['description']} :: {test['description']}")
+    assert not mismatches, "\n".join(mismatches)
+
+
+def test_roundtrip_spec_json():
+    """Spec ⇄ JSON round-trip equality — the parser-completeness oracle
+    (validate_test.go:293-316 analogue): every suite schema survives
+    load → dump → load unchanged (unknown keywords preserved)."""
+    for path in sorted(glob.glob(os.path.join(SUITE_ROOT, "draft7", "*.json")))[:20]:
+        with open(path) as f:
+            groups = json.load(f)
+        for group in groups:
+            if not isinstance(group["schema"], (dict, bool)):
+                continue
+            s = SchemaSpec(group["schema"])
+            again = SchemaSpec.from_json(s.to_json())
+            assert again.root == group["schema"]
