@@ -27,6 +27,7 @@ import functools
 import operator
 from typing import Any
 
+import pandas as pd
 from pyspark.sql import Column, functions as F, types as T
 
 from go_jsonschema_spark.spec import SchemaSpec, SpecError
@@ -161,32 +162,19 @@ def compile_predicate(
     # --- enum / const (validators.go:584-628) ----------------------------
     if "enum" in schema:
         vals = schema["enum"]
-        scalars = [v for v in vals if not isinstance(v, (list, dict))]
-        arrays = [v for v in vals if isinstance(v, list)]
         alts: list[Column] = []
-        if None in scalars:
-            alts.append(col.isNull())
-            scalars = [v for v in scalars if v is not None]
-        if scalars:
-            compat = [v for v in scalars if _lit_compatible(v, dtype)]
-            if compat:
-                alts.append(col.isin(compat))
-        for a in arrays:
-            if isinstance(dtype, T.ArrayType):
-                alts.append(col == _lit_value(a))
+        for v in vals:
+            alt = _equality_alt(col, dtype, v)
+            if alt is not None:
+                alts.append(alt)
         if not alts:
             preds.append(F.lit(False))
         else:
             preds.append(F.coalesce(functools.reduce(operator.or_, alts), F.lit(False)))
 
     if "const" in schema:
-        c = schema["const"]
-        if c is None:
-            preds.append(col.isNull())
-        elif not _lit_compatible(c, dtype) and not isinstance(c, list):
-            preds.append(F.lit(False))
-        else:
-            preds.append(F.coalesce(col == _lit_value(c), F.lit(False)))
+        alt = _equality_alt(col, dtype, schema["const"])
+        preds.append(F.lit(False) if alt is None else F.coalesce(alt, F.lit(False)))
 
     # --- numeric bounds (validators.go:486-560) --------------------------
     if _is_numeric(dtype):
@@ -448,6 +436,40 @@ def _lit_compatible(v: Any, dtype: T.DataType) -> bool:
     return False
 
 
+def _equality_alt(col: Column, dtype: T.DataType, v: Any) -> Column | None:
+    """Equality predicate of ``col`` against one enum/const value, or None
+    when the value can never inhabit this column type (deep-equality
+    normalization: numbers compare numerically, bool is its own type —
+    validate_unique.go:57-104 semantics carried by Spark's typed equality)."""
+    if v is None:
+        return col.isNull()
+    if isinstance(v, list):
+        if not isinstance(dtype, T.ArrayType):
+            return None
+        if len(v) == 0:
+            return F.size(col) == 0
+        if all(_value_compatible(x, dtype.elementType) for x in v):
+            return col == _lit_value(v)
+        return None
+    if isinstance(v, dict):
+        return None  # object consts need the dynamic path
+    if _lit_compatible(v, dtype):
+        return col == F.lit(v)
+    return None
+
+
+def _value_compatible(v: Any, dtype: T.DataType) -> bool:
+    if v is None:
+        return True
+    if isinstance(v, list):
+        return isinstance(dtype, T.ArrayType) and all(
+            _value_compatible(x, dtype.elementType) for x in v
+        )
+    if isinstance(v, dict):
+        return False
+    return _lit_compatible(v, dtype)
+
+
 # ---------------------------------------------------------------------------
 # Dynamic JSON columns — Arrow-batched interpreter UDF
 # ---------------------------------------------------------------------------
@@ -463,8 +485,6 @@ def json_column_predicate(
     Unparseable JSON is invalid, matching the reference's empty/garbage
     handling (validators.go:55-62)."""
     import json as _json
-
-    import pandas as pd
 
     from go_jsonschema_spark.interp import validate_instance
     from go_jsonschema_spark.spec import SchemaSpec

@@ -10,6 +10,7 @@ per batch regardless of how many format constraints a spec has).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, functions as F, types as T
 
 # JVM-side formats: Java-regex equivalents of the reference's precompiled
@@ -51,8 +52,6 @@ def _get_batch_checker():
     worker (the reference precompiles at parse time, parser.go:181-193)."""
     global _batch_checker
     if _batch_checker is None:
-        import pandas as pd
-
         from go_jsonschema_spark.interp import _FORMAT_CHECKS
 
         @F.pandas_udf(T.BooleanType())
