@@ -225,7 +225,7 @@ def _q_minhash_pairs_documents(spark: SparkSession, sf: str) -> DataFrame:
     from go_jsonschema_spark.operators.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(
-        _t(spark, sf, "documents"), threshold=0.9, k=32, bands=8
+        _t(spark, sf, "documents"), threshold=0.9, k=64, bands=8
     )
 
 

@@ -1,0 +1,181 @@
+"""Checkpoint / resume protocol: per-partition lineage + metrics.
+
+North-rule requirement (BASELINE.json): "all state (per-partition stats,
+drift baselines, completed-partition watermarks) lives in checkpointed
+metadata tables so a killed run resumes per-partition with full lineage +
+metrics".
+
+Sandbox implementation: a checkpoint DIRECTORY holding one JSON manifest
+per (run_id, batch) written atomically (tmp + rename) plus parquet
+violation outputs per batch committed via Spark's own ``_SUCCESS`` marker.
+On a cluster the same protocol targets an Iceberg metadata table via
+MERGE (the table layer is the only swap — see ``IcebergCheckpointStore``
+stub); the resume logic is identical.
+
+Granularity: logical-partition BATCHES.  Running one Spark job per
+partition value would serialize the cluster; instead the partition values
+are grouped into batches of ``batch_size``, each batch is one job whose
+outputs commit atomically, and a killed run re-does at most one batch.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+__all__ = ["CheckpointStore", "ResumableValidation", "RunReport"]
+
+
+class CheckpointStore:
+    """File-backed checkpoint state (atomic JSON manifests)."""
+
+    def __init__(self, root: str) -> None:
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _run_dir(self, run_id: str) -> str:
+        d = os.path.join(self.root, run_id)
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def completed(self, run_id: str) -> dict[str, dict[str, Any]]:
+        """batch_key -> manifest (partitions, metrics, output path)."""
+        out = {}
+        d = self._run_dir(run_id)
+        for name in os.listdir(d):
+            if name.endswith(".json"):
+                with open(os.path.join(d, name)) as f:
+                    m = json.load(f)
+                out[m["batch_key"]] = m
+        return out
+
+    def mark_complete(
+        self, run_id: str, batch_key: str, partitions: list,
+        metrics: dict[str, Any], output: str | None,
+    ) -> None:
+        d = self._run_dir(run_id)
+        manifest = {
+            "run_id": run_id,
+            "batch_key": batch_key,
+            "partitions": partitions,
+            "metrics": metrics,
+            "output": output,
+            "ts": time.time(),
+        }
+        tmp = os.path.join(d, f".{batch_key}.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, os.path.join(d, f"{batch_key}.json"))  # atomic
+
+
+class IcebergCheckpointStore:  # pragma: no cover - cluster target
+    """Cluster variant: the same manifest rows MERGEd into an Iceberg table
+    ``checkpoints(run_id, batch_key, partitions, metrics, output, ts)``.
+    Requires the iceberg-spark-runtime jar (not in this sandbox)."""
+
+    def __init__(self, spark: SparkSession, table: str) -> None:
+        raise NotImplementedError(
+            "iceberg-spark-runtime not available in this sandbox; use "
+            "CheckpointStore (parquet+manifest) which implements the same "
+            "protocol"
+        )
+
+
+@dataclass
+class RunReport:
+    run_id: str
+    batches_run: int
+    batches_skipped: int
+    partitions: dict
+    violations_path: str
+
+
+class ResumableValidation:
+    """Partition-batched, resumable execution of a ConstraintSuite."""
+
+    def __init__(self, suite, store: CheckpointStore, *,
+                 partition_col: str, batch_size: int = 4) -> None:
+        self.suite = suite
+        self.store = store
+        self.partition_col = partition_col
+        self.batch_size = batch_size
+
+    def run(
+        self,
+        df: DataFrame,
+        run_id: str,
+        out_root: str,
+        *,
+        dims: dict[str, DataFrame] | None = None,
+    ) -> RunReport:
+        """Validate all logical partitions, skipping batches already
+        committed for ``run_id``.  Violations land under
+        ``out_root/batch=<key>/``; per-partition metrics go into the
+        checkpoint manifests."""
+        pcol = self.partition_col
+        parts = sorted(
+            r[0] for r in df.select(pcol).distinct().collect()
+        )
+        batches = [
+            parts[i : i + self.batch_size]
+            for i in range(0, len(parts), self.batch_size)
+        ]
+        done = self.store.completed(run_id)
+        n_run = n_skip = 0
+        part_metrics: dict = {}
+        row_suite = self.suite.row_only()
+        for batch in batches:
+            key = f"b{batch[0]}_{batch[-1]}"
+            if key in done:
+                n_skip += 1
+                part_metrics.update(done[key]["metrics"])
+                continue
+            # partition pruning: the filter reaches the scan, so completed
+            # partitions are never re-read.  ROW-level checks only — the
+            # dataset-level checks are global (a per-batch uniqueness scan
+            # would miss cross-batch duplicates) and run as their own phase.
+            sub = df.filter(F.col(pcol).isin([*batch]))
+            res = row_suite.run(
+                sub, partition_col=pcol, dims=dims, persist_violations=True
+            )
+            out_path = os.path.join(out_root, f"batch={key}")
+            res.violations.write.mode("overwrite").parquet(out_path)
+            verdicts = res.verdicts.collect()
+            if res.row_violations is not None:
+                res.row_violations.unpersist()
+            metrics = {
+                str(r["partition"]): {
+                    "n_rows": r["n_rows"],
+                    "n_pass": r["n_pass"],
+                    "n_fail": r["n_fail"],
+                    "passed": r["passed"],
+                }
+                for r in verdicts
+            }
+            part_metrics.update(metrics)
+            self.store.mark_complete(run_id, key, [*batch], metrics, out_path)
+            n_run += 1
+
+        # global phase: dataset-level checks over the full table, its own
+        # checkpoint key so a resume after the batches skips it too
+        if self.suite.spec.table_checks and "global" not in done:
+            gv = self.suite.table_check_violations(df, dims=dims)
+            if gv is not None:
+                out_path = os.path.join(out_root, "batch=global")
+                gv.write.mode("overwrite").parquet(out_path)
+                n_viol = (
+                    df.sparkSession.read.parquet(out_path).count()
+                )
+                self.store.mark_complete(
+                    run_id, "global", parts,
+                    {"__global__": {"n_violations": n_viol}}, out_path,
+                )
+                n_run += 1
+        elif "global" in done:
+            n_skip += 1
+        return RunReport(run_id, n_run, n_skip, part_metrics, out_root)

@@ -69,6 +69,7 @@ class SuiteResult:
     violations: DataFrame  # (doc_id, constraint_id, observed)
     verdicts: DataFrame  # per-partition pass/fail + counts
     constraint_ids: list[str] = field(default_factory=list)
+    row_violations: DataFrame | None = None  # persisted handle (unpersist me)
 
 
 def _observed_col(col: Column, dtype: T.DataType) -> Column:
@@ -141,6 +142,68 @@ class ConstraintSuite:
 
         return ConstraintPlan(preds, observed, list(self.spec.table_checks))
 
+    # -- dataset-level checks (GLOBAL: never evaluate these on a slice of
+    # the table — uniqueness/referential over a subset miss cross-slice
+    # duplicates; the checkpoint layer runs them as their own phase) -------
+    def table_check_violations(
+        self, df: DataFrame, *, dims: dict[str, DataFrame] | None = None
+    ) -> DataFrame | None:
+        """Violations from the table-level checks (unique / foreign_key),
+        or None if the spec has none."""
+        dims = dims or {}
+        parts: list[DataFrame] = []
+        for tc in self.spec.table_checks:
+            kind = tc["kind"]
+            if kind == "unique":
+                from go_jsonschema_spark.operators.uniqueness import (
+                    uniqueness_violations,
+                )
+
+                parts.append(
+                    uniqueness_violations(
+                        df,
+                        tc["columns"][0] if "columns" in tc else tc["column"],
+                        constraint_id=tc["id"],
+                        salt_buckets=tc.get("salt_buckets", 64),
+                    )
+                )
+            elif kind == "foreign_key":
+                from go_jsonschema_spark.operators.referential import (
+                    referential_violations,
+                )
+
+                parts.append(
+                    referential_violations(
+                        df,
+                        tc["column"],
+                        dims[tc["dim"]],
+                        tc.get("dim_column"),
+                        key=self.key,
+                        constraint_id=tc["id"],
+                    )
+                )
+            # stats/drift/row_count produce metrics, not violations — exposed
+            # via operators.stats / operators.drift and the checkpoint layer
+        if not parts:
+            return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def row_only(self) -> "ConstraintSuite":
+        """A copy of this suite with the dataset-level checks stripped —
+        what the checkpoint layer runs per partition batch."""
+        spec = TableSpec(
+            columns=self.spec.columns,
+            row_checks=self.spec.row_checks,
+            table_checks=[],
+            draft=self.spec.draft,
+        )
+        s = ConstraintSuite(spec, key=self.key)
+        s.registry = self.registry
+        return s
+
     # -- run --------------------------------------------------------------
     def run(
         self,
@@ -148,9 +211,20 @@ class ConstraintSuite:
         *,
         partition_col: str | None = None,
         dims: dict[str, DataFrame] | None = None,
+        persist_violations: bool = False,
     ) -> SuiteResult:
         """Build the lazy result DataFrames.  ``partition_col`` keys the
-        per-partition verdicts (defaults to a constant — whole-table)."""
+        per-partition verdicts (defaults to a constant — whole-table).
+
+        One-pass design (SURVEY.md §3.4): the heavy predicate evaluation
+        over the full table appears in exactly ONE plan — the row-violation
+        extraction.  Per-partition verdicts are then derived from (a) the
+        small violations set and (b) a column-pruned ``groupBy(part).count``
+        that reads a single column from the scan; the predicates are never
+        re-evaluated for the verdict aggregation.  With
+        ``persist_violations`` the row-violation DF is persisted
+        (MEMORY_AND_DISK) so violations + verdicts together still cost one
+        predicate pass."""
         plan = self.compile(df)
         ids = [cid for cid, _ in plan.predicates]
         # internal alias per constraint — ids may contain '.', which Column
@@ -167,12 +241,15 @@ class ConstraintSuite:
             if ids
             else F.lit(True)
         )
+        part = F.col(partition_col) if partition_col else F.lit("__all__")
         checked = df.select(
             "*",
             *[p.alias(safe[cid]) for cid, p in plan.predicates],
         ).withColumn("__pass__", pass_col)
 
-        # violations: filter the struct array to failed constraints, explode
+        # violations: filter the struct array to failed constraints, explode.
+        # __rid__ keeps row identity (doc_id may legitimately repeat —
+        # duplicate plants) so verdict fail-counts count rows, not keys.
         entries = [
             F.when(
                 ~F.col(safe[cid]),
@@ -183,10 +260,12 @@ class ConstraintSuite:
             )
             for cid in ids
         ]
-        row_viol = (
+        row_viol_part = (
             checked.filter(~F.col("__pass__"))
             .select(
                 F.col(self.key).cast("string").alias("doc_id"),
+                part.alias("__part__"),
+                F.monotonically_increasing_id().alias("__rid__"),
                 F.explode(
                     F.filter(
                         F.array(*entries) if entries else F.array(),
@@ -194,69 +273,55 @@ class ConstraintSuite:
                     )
                 ).alias("v"),
             )
-            .select("doc_id", "v.constraint_id", "v.observed")
+            .select("doc_id", "__part__", "__rid__",
+                    "v.constraint_id", "v.observed")
         )
+        if persist_violations:
+            from pyspark import StorageLevel
+
+            row_viol_part = row_viol_part.persist(StorageLevel.MEMORY_AND_DISK)
+        row_viol = row_viol_part.select("doc_id", "constraint_id", "observed")
 
         # table checks → more violations + metrics
-        dims = dims or {}
         viol_parts = [row_viol]
-        for tc in plan.table_checks:
-            kind = tc["kind"]
-            if kind == "unique":
-                from go_jsonschema_spark.operators.uniqueness import (
-                    uniqueness_violations,
-                )
-
-                viol_parts.append(
-                    uniqueness_violations(
-                        df,
-                        tc["columns"][0] if "columns" in tc else tc["column"],
-                        constraint_id=tc["id"],
-                        salt_buckets=tc.get("salt_buckets", 64),
-                    )
-                )
-            elif kind == "foreign_key":
-                from go_jsonschema_spark.operators.referential import (
-                    referential_violations,
-                )
-
-                dim = dims[tc["dim"]]
-                viol_parts.append(
-                    referential_violations(
-                        df,
-                        tc["column"],
-                        dim,
-                        tc.get("dim_column"),
-                        key=self.key,
-                        constraint_id=tc["id"],
-                    )
-                )
-            # stats/drift/row_count produce metrics, not violations — exposed
-            # via operators.stats / operators.drift and the checkpoint layer
+        tv = self.table_check_violations(df, dims=dims)
+        if tv is not None:
+            viol_parts.append(tv)
 
         violations = viol_parts[0]
         for v in viol_parts[1:]:
             violations = violations.unionByName(v)
 
-        part = (
-            F.col(partition_col)
-            if partition_col
-            else F.lit("__all__")
+        # verdicts WITHOUT re-running predicates: row counts come from a
+        # single-column scan; fail counts and the per-constraint breakdown
+        # come from the (small) violations set
+        row_counts = df.groupBy(part.alias("partition")).agg(
+            F.count(F.lit(1)).alias("n_rows")
+        )
+        fail_counts = row_viol_part.groupBy(
+            F.col("__part__").alias("partition")
+        ).agg(F.count_distinct(F.col("__rid__")).alias("n_fail"))
+        per_constraint = (
+            row_viol_part.groupBy(
+                F.col("__part__").alias("partition"), "constraint_id"
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .groupBy("partition")
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("constraint_id", "n"))
+                ).alias("fail_by_constraint")
+            )
         )
         verdicts = (
-            checked.groupBy(part.alias("partition"))
-            .agg(
-                F.count(F.lit(1)).alias("n_rows"),
-                F.sum(F.col("__pass__").cast("long")).alias("n_pass"),
-                F.sum((~F.col("__pass__")).cast("long")).alias("n_fail"),
-                *[
-                    F.sum((~F.col(safe[cid])).cast("long")).alias(
-                        f"fail: {cid}"
-                    )
-                    for cid in ids
-                ],
-            )
+            row_counts.join(fail_counts, "partition", "left")
+            .join(per_constraint, "partition", "left")
+            .withColumn("n_fail", F.coalesce(F.col("n_fail"), F.lit(0)))
+            .withColumn("n_pass", F.col("n_rows") - F.col("n_fail"))
             .withColumn("passed", F.col("n_fail") == 0)
         )
 
-        return SuiteResult(checked, violations, verdicts, ids)
+        return SuiteResult(
+            checked, violations, verdicts, ids,
+            row_violations=row_viol_part if persist_violations else None,
+        )

@@ -36,6 +36,18 @@ __all__ = [
 ]
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure the signature computation can use every core: a small input
+    (one parquet file → one partition) would otherwise serialize the whole
+    LSH pipeline onto a single task.  No-op for big inputs — at 100 TB the
+    scan already has thousands of partitions and an extra shuffle here
+    would be pure waste."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # exact
 # ---------------------------------------------------------------------------
@@ -96,23 +108,28 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     *,
     k: int = 64,
-    bands: int = 16,
+    bands: int = 8,
     shingle_n: int = 3,
     threshold: float = 0.8,
 ) -> DataFrame:
     """Near-duplicate pairs ``(a, b, jaccard)`` with jaccard ≥ threshold.
 
-    Pipeline (each arrow is one Spark stage boundary at most):
+    Pipeline:
       shingle+sign (narrow) → explode bands (narrow) →
-      self-join on (band, band_hash) (ONE shuffle on the band hash) →
-      exact-verify candidates (narrow).
+      self-join on (band, band_hash) carrying ONLY ids (8-byte keys; the
+      shingle arrays never enter the candidate shuffle) →
+      dropDuplicates(a,b) → re-attach shingles by two id-joins →
+      exact-Jaccard verify.
 
-    With k=64, bands=16 (r=4 rows/band) the S-curve midpoint is
-    (1/16)^(1/4) ≈ 0.5 — catches ≥0.8-similar pairs with prob ~1-(1-0.8⁴)¹⁶
-    ≈ 0.999.  Band hash = xxhash64 of the 4-slot slice, so bucket keys are
-    fixed-width, never the shingle text."""
+    Defaults k=64, bands=8 → r=8 rows/band: S-curve midpoint
+    (1/8)^(1/8) ≈ 0.77 — a 0.8-similar pair collides with prob
+    1-(1-0.8⁸)⁸ ≈ 0.79 per run while 0.5-similar noise collides at ~3%,
+    which keeps candidate volume (the real cost at scale — measured 76 s
+    vs 8 s at sf0.1 with r=4 + array-carrying joins) near the true-pair
+    count.  For recall-critical production set bands=16 (r=4) and accept
+    the larger candidate join."""
     r = k // bands
-    base = df.select(
+    base = _spread(df).select(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col), shingle_n).alias("sh"),
     ).filter(F.size("sh") > 0)
@@ -121,7 +138,6 @@ def minhash_lsh_pairs(
     )
     banded = sig.select(
         "id",
-        "sh",
         F.explode(
             F.array(
                 *[
@@ -135,25 +151,24 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("e"),
-    ).select("id", "sh", "e.band", "e.bh")
+    ).select("id", "e.band", "e.bh")
 
-    left = banded.select(
-        F.col("band"), F.col("bh"),
-        F.col("id").alias("a"), F.col("sh").alias("sh_a"),
-    )
-    right = banded.select(
-        F.col("band"), F.col("bh"),
-        F.col("id").alias("b"), F.col("sh").alias("sh_b"),
-    )
     cand = (
-        left.join(right, on=["band", "bh"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b", "sh_a", "sh_b")
+        banded.alias("l")
+        .join(banded.alias("rt"), on=["band", "bh"])
+        .filter(F.col("l.id") < F.col("rt.id"))
+        .select(F.col("l.id").alias("a"), F.col("rt.id").alias("b"))
         .dropDuplicates(["a", "b"])
     )
+    sh_tbl = sig.select("id", "sh")
+    withsh = (
+        cand.join(sh_tbl.select(F.col("id").alias("a"), F.col("sh").alias("sh_a")), "a")
+        .join(sh_tbl.select(F.col("id").alias("b"), F.col("sh").alias("sh_b")), "b")
+    )
     return (
-        cand.select(
-            "a", "b", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard")
+        withsh.select(
+            "a", "b",
+            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
@@ -208,7 +223,7 @@ def simhash_dup_pairs(
     Returns ``(a, b, hamming)``.  Stage layout mirrors minhash_lsh_pairs:
     hash once (narrow) → signature (narrow) → explode 4 block keys →
     ONE shuffle for the self-join → exact verify."""
-    hashed = df.select(
+    hashed = _spread(df).select(
         F.col(id_col).alias("id"),
         F.transform(
             word_shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s)
@@ -294,7 +309,7 @@ def embedding_cosine_pairs(
         )
         bucket = bucket.bitwiseOR(F.shiftleft(bit, i))
 
-    b = df.select(F.col(id_col).alias("id"), vec.alias("v"), bucket.alias("bkt"))
+    b = _spread(df).select(F.col(id_col).alias("id"), vec.alias("v"), bucket.alias("bkt"))
     left = b.select("bkt", F.col("id").alias("a"), F.col("v").alias("va"))
     right = b.select("bkt", F.col("id").alias("b"), F.col("v").alias("vb"))
     cos = _dot(F.col("va"), F.col("vb")) / (

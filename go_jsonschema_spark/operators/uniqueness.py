@@ -28,12 +28,16 @@ def duplicate_keys(
     """Keys occurring more than once, with their counts: ``(key, n_dup)``.
 
     Two-phase salted aggregation: phase 1 groups on ``(key, salt)`` where
-    the salt is derived from the whole row (xxhash64 over all columns), so
-    a hot key fans out over ``salt_buckets`` reduce tasks; phase 2 sums the
-    per-salt partial counts per key."""
+    the salt is a cheap per-row counter hash (NOT a hash of row content —
+    hashing a 1 KB tokens array per row would dominate the pass, and
+    identical duplicate rows would collapse onto one salt, defeating the
+    spread), so a hot key fans out over ``salt_buckets`` reduce tasks;
+    phase 2 sums the per-salt partial counts per key."""
     salted = df.select(
         F.col(key).alias("key"),
-        F.pmod(F.xxhash64(*df.columns), F.lit(salt_buckets)).alias("__salt__"),
+        F.pmod(
+            F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets)
+        ).alias("__salt__"),
     )
     partial = salted.groupBy("key", "__salt__").agg(
         F.count(F.lit(1)).alias("__c__")

@@ -1,0 +1,94 @@
+"""Streaming validation: the compiled constraint plan over readStream.
+
+The row predicates compiled by compile.py are STATELESS Column expressions,
+so they apply to a streaming DataFrame unchanged — the one engine serves
+batch and streaming (the reference has no streaming at all, SURVEY.md
+§2.8; this is a north-star addition built on Structured Streaming).
+
+* :func:`stream_violations` — per-record violations stream (append mode).
+* :func:`windowed_verdicts` — event-time-windowed pass/fail aggregation
+  with a watermark for late data.
+
+Dataset-level checks (uniqueness, referential, drift) are NOT streamed —
+global exactness over unbounded input needs either state that grows with
+keys (``applyInPandasWithState``, roadmap) or periodic batch reconciliation
+over the sink table, which is the recommended pattern at 10^12 scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from go_jsonschema_spark.engine import ConstraintSuite
+
+
+def _checked(suite: ConstraintSuite, stream: DataFrame):
+    plan = suite.compile(stream)
+    ids = [cid for cid, _ in plan.predicates]
+    safe = {cid: f"__c{i}__" for i, cid in enumerate(ids)}
+    out = stream.select(
+        "*", *[p.alias(safe[cid]) for cid, p in plan.predicates]
+    )
+    import functools
+    import operator
+
+    pass_col = (
+        functools.reduce(operator.and_, [F.col(safe[cid]) for cid in ids])
+        if ids
+        else F.lit(True)
+    )
+    return out.withColumn("__pass__", pass_col), plan, ids, safe
+
+
+def stream_violations(suite: ConstraintSuite, stream: DataFrame) -> DataFrame:
+    """Append-mode violations stream ``(doc_id, constraint_id, observed)``
+    — attach ``.writeStream`` to sink it."""
+    checked, plan, ids, safe = _checked(suite, stream)
+    entries = [
+        F.when(
+            ~F.col(safe[cid]),
+            F.struct(
+                F.lit(cid).alias("constraint_id"),
+                plan.observed[cid].alias("observed"),
+            ),
+        )
+        for cid in ids
+    ]
+    return (
+        checked.filter(~F.col("__pass__"))
+        .select(
+            F.col(suite.key).cast("string").alias("doc_id"),
+            F.explode(
+                F.filter(F.array(*entries), lambda x: x.isNotNull())
+            ).alias("v"),
+        )
+        .select("doc_id", "v.constraint_id", "v.observed")
+    )
+
+
+def windowed_verdicts(
+    suite: ConstraintSuite,
+    stream: DataFrame,
+    *,
+    ts_col: str,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Event-time-windowed verdict counts with late-data watermark:
+    ``(window, n_rows, n_pass, n_fail)`` in append mode once the watermark
+    passes — the streaming analogue of per-partition verdicts."""
+    checked, _, _, _ = _checked(suite, stream)
+    # watermarks need TIMESTAMP (with zone); parquet often stores NTZ
+    ts_field = dict((f.name, f.dataType.simpleString())
+                    for f in stream.schema.fields).get(ts_col)
+    if ts_field == "timestamp_ntz":
+        checked = checked.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        checked.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("__pass__").cast("long")).alias("n_pass"),
+            F.sum((~F.col("__pass__")).cast("long")).alias("n_fail"),
+        )
+    )
