@@ -159,6 +159,50 @@ def _q_revenue_by_segment(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_grouped_stats_events(spark: SparkSession, sf: str) -> DataFrame:
+    from go_jsonschema_spark.operators.stats import grouped_stats
+
+    s = grouped_stats(_t(spark, sf, "events"), "event_type", "value")
+    return s.select(
+        "event_type", "n",
+        F.round("min", 4).alias("min"),
+        F.round("max", 4).alias("max"),
+        F.round("mean", 4).alias("mean"),
+        F.round("stddev", 4).alias("stddev"),
+    )
+
+
+def _q_topk_users_by_value(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = _t(spark, sf, "events")
+    sums = e.groupBy("user_id").agg(
+        F.round(F.sum("value"), 2).alias("total")
+    )
+    w = Window.orderBy(F.col("total").desc(), F.col("user_id"))
+    return (
+        sums.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+    )
+
+
+def _q_sessionize_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Sessionization: 30-min inactivity gap starts a new session; count
+    sessions per user (lag + cumulative gap flags — the window-function
+    pattern from the OLAP playbook)."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp").cast("long")  # parquet ts is NTZ
+    gap = epoch - F.lag(epoch).over(w)
+    flags = e.select(
+        "user_id",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0).alias("new_s"),
+    )
+    return flags.groupBy("user_id").agg(F.sum("new_s").alias("n_sessions"))
+
+
 def _q_token_counts_documents(spark: SparkSession, sf: str) -> DataFrame:
     from go_jsonschema_spark.functions.text import token_count
 
@@ -302,6 +346,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hist_events_value": _q_hist_events_value,
         "q1_pricing_summary": _q_q1_pricing_summary,
         "revenue_by_segment": _q_revenue_by_segment,
+        "grouped_stats_events": _q_grouped_stats_events,
+        "topk_users_by_value": _q_topk_users_by_value,
+        "sessionize_events": _q_sessionize_events,
         "token_counts_documents": _q_token_counts_documents,
         "fingerprints_documents": _q_fingerprints_documents,
         "quality_documents": _q_quality_documents,
@@ -429,6 +476,36 @@ def oracle_sql() -> dict[str, str]:
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
+        """,
+        "grouped_stats_events": """
+            SELECT event_type, count(*) AS n,
+                   round(min(value), 4) AS min,
+                   round(max(value), 4) AS max,
+                   round(avg(value), 4) AS mean,
+                   round(stddev_pop(value), 4) AS stddev
+            FROM events GROUP BY event_type
+        """,
+        "topk_users_by_value": """
+            WITH s AS (
+                SELECT user_id, round(sum(value), 2) AS total
+                FROM events GROUP BY user_id
+            )
+            SELECT user_id, total,
+                   row_number() OVER (ORDER BY total DESC, user_id) AS rank
+            FROM s QUALIFY rank <= 20
+        """,
+        "sessionize_events": """
+            WITH g AS (
+                SELECT user_id,
+                       CASE WHEN epoch(ts) - lag(epoch(ts)) OVER
+                                 (PARTITION BY user_id ORDER BY ts, event_id)
+                                 > 1800
+                            OR lag(ts) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) IS NULL
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+            )
+            SELECT user_id, sum(new_s) AS n_sessions FROM g GROUP BY user_id
         """,
         "token_counts_documents": r"""
             SELECT doc_id,

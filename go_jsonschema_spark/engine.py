@@ -247,9 +247,12 @@ class ConstraintSuite:
             *[p.alias(safe[cid]) for cid, p in plan.predicates],
         ).withColumn("__pass__", pass_col)
 
-        # violations: filter the struct array to failed constraints, explode.
-        # __rid__ keeps row identity (doc_id may legitimately repeat —
-        # duplicate plants) so verdict fail-counts count rows, not keys.
+        # violations: one row per FAILING source row with the array of its
+        # failed constraints (kept un-exploded so row identity survives —
+        # a nondeterministic row id would be re-evaluated per exploded row
+        # and doc_id may legitimately repeat via duplicate rows); the
+        # exploded per-constraint view and the per-partition counts all
+        # derive from this one DF.
         entries = [
             F.when(
                 ~F.col(safe[cid]),
@@ -260,27 +263,25 @@ class ConstraintSuite:
             )
             for cid in ids
         ]
-        row_viol_part = (
-            checked.filter(~F.col("__pass__"))
-            .select(
-                F.col(self.key).cast("string").alias("doc_id"),
-                part.alias("__part__"),
-                F.monotonically_increasing_id().alias("__rid__"),
-                F.explode(
-                    F.filter(
-                        F.array(*entries) if entries else F.array(),
-                        lambda x: x.isNotNull(),
-                    )
-                ).alias("v"),
-            )
-            .select("doc_id", "__part__", "__rid__",
-                    "v.constraint_id", "v.observed")
+        failed_rows = checked.filter(~F.col("__pass__")).select(
+            F.col(self.key).cast("string").alias("doc_id"),
+            part.alias("__part__"),
+            F.filter(
+                F.array(*entries)
+                if entries
+                else F.array().cast(
+                    "array<struct<constraint_id:string,observed:string>>"
+                ),
+                lambda x: x.isNotNull(),
+            ).alias("entries"),
         )
         if persist_violations:
             from pyspark import StorageLevel
 
-            row_viol_part = row_viol_part.persist(StorageLevel.MEMORY_AND_DISK)
-        row_viol = row_viol_part.select("doc_id", "constraint_id", "observed")
+            failed_rows = failed_rows.persist(StorageLevel.MEMORY_AND_DISK)
+        row_viol = failed_rows.select(
+            "doc_id", F.explode("entries").alias("v")
+        ).select("doc_id", "v.constraint_id", "v.observed")
 
         # table checks → more violations + metrics
         viol_parts = [row_viol]
@@ -298,13 +299,15 @@ class ConstraintSuite:
         row_counts = df.groupBy(part.alias("partition")).agg(
             F.count(F.lit(1)).alias("n_rows")
         )
-        fail_counts = row_viol_part.groupBy(
+        fail_counts = failed_rows.groupBy(
             F.col("__part__").alias("partition")
-        ).agg(F.count_distinct(F.col("__rid__")).alias("n_fail"))
+        ).agg(F.count(F.lit(1)).alias("n_fail"))
         per_constraint = (
-            row_viol_part.groupBy(
-                F.col("__part__").alias("partition"), "constraint_id"
+            failed_rows.select(
+                F.col("__part__").alias("partition"),
+                F.explode("entries").alias("v"),
             )
+            .groupBy("partition", "v.constraint_id")
             .agg(F.count(F.lit(1)).alias("n"))
             .groupBy("partition")
             .agg(
@@ -323,5 +326,5 @@ class ConstraintSuite:
 
         return SuiteResult(
             checked, violations, verdicts, ids,
-            row_violations=row_viol_part if persist_violations else None,
+            row_violations=failed_rows if persist_violations else None,
         )
