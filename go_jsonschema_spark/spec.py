@@ -353,6 +353,19 @@ class SchemaSpec:
         return json.dumps(self.root)
 
 
+def validate_spec_against_metaschema(spec: Any, draft: int = 7) -> list[str]:
+    """Validate a schema spec against the embedded draft meta-schema —
+    the analogue of the reference's package-level ``Validate``
+    (/root/reference/validate.go:12-29): compile-time self-validation, no
+    Spark involved.  Returns a list of errors (empty = valid)."""
+    from go_jsonschema_spark.interp import validate_instance
+    from go_jsonschema_spark.metaschema import DRAFT04, DRAFT06, DRAFT07
+
+    meta = {4: DRAFT04, 6: DRAFT06, 7: DRAFT07}[draft]
+    out = validate_instance(meta, spec, draft=draft, collect_all=True)
+    return out.errors
+
+
 # ---------------------------------------------------------------------------
 # Table-level spec (north-star vocabulary — new vs the reference, SURVEY §2.8)
 # ---------------------------------------------------------------------------

@@ -152,6 +152,21 @@ def test_optional_bignum():
     assert not mismatches, "\n".join(mismatches)
 
 
+def test_spec_self_validation():
+    """Entry point B analogue (validate.go:12-29): specs validate against
+    the embedded meta-schema at compile time."""
+    from go_jsonschema_spark.spec import validate_spec_against_metaschema
+
+    assert validate_spec_against_metaschema({"type": "integer"}) == []
+    assert validate_spec_against_metaschema(True) == []
+    assert validate_spec_against_metaschema({"type": "integr"}) != []
+    assert validate_spec_against_metaschema({"minLength": -1}) != []
+    for draft in (4, 6, 7):
+        assert validate_spec_against_metaschema(
+            {"enum": [1, "a"], "minimum": 0}, draft=draft
+        ) == []
+
+
 def test_roundtrip_spec_json():
     """Spec ⇄ JSON round-trip equality — the parser-completeness oracle
     (validate_test.go:293-316 analogue): every suite schema survives
