@@ -172,6 +172,11 @@ class ConstraintSuite:
                     referential_violations,
                 )
 
+                if tc["dim"] not in dims:
+                    raise KeyError(
+                        f"foreign_key check {tc['id']!r} needs dimension "
+                        f"{tc['dim']!r} passed via run(..., dims={{...}})"
+                    )
                 parts.append(
                     referential_violations(
                         df,

@@ -66,6 +66,24 @@ def stream_violations(suite: ConstraintSuite, stream: DataFrame) -> DataFrame:
     )
 
 
+def dedup_stream(
+    stream: DataFrame,
+    key: str,
+    *,
+    ts_col: str,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup on ``key``: keep the first record per key,
+    with state bounded by the watermark (Spark's native stateful
+    ``dropDuplicates`` — late duplicates beyond the watermark age out of
+    state, the standard unbounded-dedup tradeoff)."""
+    ts_field = dict((f.name, f.dataType.simpleString())
+                    for f in stream.schema.fields).get(ts_col)
+    if ts_field == "timestamp_ntz":
+        stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return stream.withWatermark(ts_col, watermark).dropDuplicates([key])
+
+
 def windowed_verdicts(
     suite: ConstraintSuite,
     stream: DataFrame,

@@ -67,6 +67,25 @@ def test_resume_skips_completed_batches(spark, suite, tmp_path):
     assert all("n_rows" in m for m in rep2.partitions.values())
 
 
+def test_streaming_dedup(spark, tmp_path):
+    """Stateful streaming dedup keeps first record per key."""
+    from go_jsonschema_spark.streaming.validate import dedup_stream
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    dup = events.unionByName(events.limit(200))  # plant duplicates
+    src = str(tmp_path / "dedup_src")
+    dup.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(dup.schema).parquet(src)
+    out = dedup_stream(stream, "event_id", ts_col="ts", watermark="1 day")
+    q = (
+        out.writeStream.format("memory").queryName("dedup_out")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    n = spark.sql("SELECT count(DISTINCT event_id) d, count(*) n FROM dedup_out").first()
+    assert n["n"] == n["d"] == events.count()
+
+
 def test_streaming_violations_and_verdicts(spark, tmp_path):
     """Drive the streaming path synchronously with a file source at
     availableNow, memory sink (the guide's smoke pattern)."""

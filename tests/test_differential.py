@@ -1,0 +1,229 @@
+"""Differential + property-based tests.
+
+1. Hypothesis over the pure-Python semantics kernel: ``deep_equal`` /
+   ``canonical_key`` consistency, validator robustness (never raises,
+   collect_all doesn't change the verdict), spec JSON round-trip.
+2. Seeded random schema×value differential: the typed Catalyst compiler
+   must agree with the parity interpreter on every generated case —
+   batched into a handful of Spark jobs (one per column type), not one
+   job per example.
+"""
+
+from __future__ import annotations
+
+import json
+import random
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from go_jsonschema_spark.interp import (
+    canonical_key,
+    deep_equal,
+    validate_instance,
+)
+
+json_scalars = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(2**40), max_value=2**40),
+    st.floats(allow_nan=False, allow_infinity=False, width=32),
+    st.text(max_size=20),
+)
+json_values = st.recursive(
+    json_scalars,
+    lambda inner: st.one_of(
+        st.lists(inner, max_size=6),
+        st.dictionaries(st.text(max_size=8), inner, max_size=6),
+    ),
+    max_leaves=12,
+)
+
+
+@given(json_values, json_values)
+@settings(max_examples=300, deadline=None)
+def test_deep_equal_matches_canonical_key(a, b):
+    """deep_equal(a,b) ⟺ canonical_key(a)==canonical_key(b) — the intra-row
+    uniqueItems set logic and the pairwise equality must agree
+    (validate_unique.go:53-104 invariant)."""
+    assert deep_equal(a, b) == (canonical_key(a) == canonical_key(b))
+    assert deep_equal(a, a)
+
+
+_KEYWORDS = st.fixed_dictionaries(
+    {},
+    optional={
+        "type": st.sampled_from(
+            ["string", "number", "integer", "boolean", "null", "array", "object"]
+        ),
+        "enum": st.lists(json_scalars, min_size=1, max_size=4),
+        "const": json_scalars,
+        "minimum": st.integers(-100, 100),
+        "maximum": st.integers(-100, 100),
+        "minLength": st.integers(0, 10),
+        "maxLength": st.integers(0, 10),
+        "minItems": st.integers(0, 5),
+        "maxItems": st.integers(0, 5),
+        "uniqueItems": st.booleans(),
+        "multipleOf": st.sampled_from([1, 2, 3, 0.5, 1.5]),
+        "not": st.fixed_dictionaries(
+            {}, optional={"type": st.sampled_from(["string", "integer"])}
+        ),
+    },
+)
+
+
+@given(_KEYWORDS, json_values)
+@settings(max_examples=300, deadline=None)
+def test_validator_total_and_consistent(schema, value):
+    """The interpreter is total (no exceptions on any JSON input) and
+    collect_all doesn't change the verdict."""
+    fast = validate_instance(schema, value)
+    full = validate_instance(schema, value, collect_all=True)
+    assert fast.valid == full.valid
+    if not full.valid:
+        assert full.errors
+
+
+@given(_KEYWORDS)
+@settings(max_examples=200, deadline=None)
+def test_spec_json_roundtrip(schema):
+    from go_jsonschema_spark.spec import SchemaSpec
+
+    s = SchemaSpec(schema)
+    assert SchemaSpec.from_json(s.to_json()).root == schema
+
+
+# ---------------------------------------------------------------------------
+# compile vs interp differential on Spark
+# ---------------------------------------------------------------------------
+
+def _rand_schema(rng: random.Random, dtype: str) -> dict:
+    """Random schema whose keywords are meaningful for the column type."""
+    s: dict = {}
+    if dtype == "long":
+        if rng.random() < 0.7:
+            s["type"] = rng.choice(["integer", "number"])
+        if rng.random() < 0.5:
+            s["minimum"] = rng.randint(-50, 50)
+        if rng.random() < 0.5:
+            s["maximum"] = rng.randint(-50, 50)
+        if rng.random() < 0.3:
+            s["multipleOf"] = rng.choice([2, 3, 5])
+        if rng.random() < 0.2:
+            s["enum"] = [rng.randint(-50, 50) for _ in range(3)]
+        if rng.random() < 0.2:
+            s["exclusiveMinimum"] = rng.randint(-50, 50)
+    elif dtype == "double":
+        if rng.random() < 0.7:
+            s["type"] = rng.choice(["number", "integer"])
+        if rng.random() < 0.5:
+            s["minimum"] = round(rng.uniform(-50, 50), 2)
+        if rng.random() < 0.5:
+            s["exclusiveMaximum"] = round(rng.uniform(-50, 50), 2)
+        if rng.random() < 0.3:
+            s["multipleOf"] = rng.choice([0.5, 0.25, 2])
+    elif dtype == "string":
+        if rng.random() < 0.7:
+            s["type"] = "string"
+        if rng.random() < 0.5:
+            s["minLength"] = rng.randint(0, 6)
+        if rng.random() < 0.5:
+            s["maxLength"] = rng.randint(0, 8)
+        if rng.random() < 0.4:
+            s["pattern"] = rng.choice(["^a", "b$", "[0-9]+", "^[ab]*$"])
+        if rng.random() < 0.3:
+            s["enum"] = [rng.choice(["a", "ab", "abc", "b", ""]) for _ in range(2)]
+    elif dtype == "array":
+        s["type"] = "array"
+        if rng.random() < 0.6:
+            s["items"] = {"type": "integer", "minimum": 0,
+                          "maximum": rng.randint(5, 30)}
+        if rng.random() < 0.5:
+            s["minItems"] = rng.randint(0, 3)
+        if rng.random() < 0.5:
+            s["maxItems"] = rng.randint(2, 6)
+        if rng.random() < 0.5:
+            s["uniqueItems"] = True
+        if rng.random() < 0.3:
+            s["contains"] = {"minimum": rng.randint(0, 20)}
+    # combinators on top
+    if rng.random() < 0.25:
+        s = {"anyOf": [s or True, _leaf(rng, dtype)]}
+    elif rng.random() < 0.2:
+        s = {"allOf": [s or True, _leaf(rng, dtype)]}
+    elif rng.random() < 0.15:
+        s = {"oneOf": [s or True, _leaf(rng, dtype)]}
+    elif rng.random() < 0.15:
+        s = {"not": s or {"type": "string"}}
+    elif rng.random() < 0.15:
+        s = {"if": _leaf(rng, dtype), "then": s or True,
+             "else": _leaf(rng, dtype)}
+    return s if isinstance(s, dict) and s else {"type": "integer"}
+
+
+def _leaf(rng: random.Random, dtype: str) -> dict:
+    if dtype == "long":
+        return {"minimum": rng.randint(-20, 20)}
+    if dtype == "double":
+        return {"maximum": round(rng.uniform(-20, 20), 1)}
+    if dtype == "string":
+        return {"minLength": rng.randint(0, 4)}
+    return {"minItems": rng.randint(0, 2)}
+
+
+def _rand_value(rng: random.Random, dtype: str):
+    if rng.random() < 0.08:
+        return None
+    if dtype == "long":
+        return rng.randint(-60, 60)
+    if dtype == "double":
+        return rng.choice(
+            [round(rng.uniform(-60, 60), 3), float(rng.randint(-10, 10))]
+        )
+    if dtype == "string":
+        return "".join(rng.choice("ab0 ") for _ in range(rng.randint(0, 8)))
+    return [rng.randint(-2, 35) for _ in range(rng.randint(0, 6))]
+
+
+@pytest.mark.parametrize("dtype,spark_type", [
+    ("long", "bigint"), ("double", "double"),
+    ("string", "string"), ("array", "array<bigint>"),
+])
+def test_compile_matches_interp_random(spark, dtype, spark_type):
+    """200 random (schema, value) pairs per column type: the native Column
+    predicate and the interpreter must produce the same verdict.  One Spark
+    job per type (when-chain over schema index)."""
+    from pyspark.sql import functions as F, types as T
+
+    from go_jsonschema_spark.compile import compile_predicate
+
+    rng = random.Random(20260816 + hash(dtype) % 1000)
+    schemas = [_rand_schema(rng, dtype) for _ in range(40)]
+    rows = []
+    want = {}
+    for si, schema in enumerate(schemas):
+        for vi in range(5):
+            v = _rand_value(rng, dtype)
+            cid = f"{si}.{vi}"
+            rows.append((si, cid, v))
+            # null column cell = JSON null for the typed mapping
+            want[cid] = validate_instance(schema, v).valid
+
+    df = spark.createDataFrame(
+        rows, f"si int, cid string, value {spark_type}"
+    )
+    dt = df.schema["value"].dataType
+    pred = None
+    for si in range(len(schemas) - 1, -1, -1):
+        p = compile_predicate(schemas[si], F.col("value"), dt)
+        pred = p if pred is None else F.when(F.col("si") == si, p).otherwise(pred)
+    got = {r["cid"]: r["ok"] for r in df.select("cid", pred.alias("ok")).collect()}
+    mismatches = [
+        f"schema={json.dumps(schemas[int(c.split('.')[0])])} "
+        f"value={rows[[r[1] for r in rows].index(c)][2]!r} "
+        f"got={got[c]} want={want[c]}"
+        for c in want
+        if got[c] != want[c]
+    ]
+    assert not mismatches, "\n".join(mismatches[:10])
