@@ -304,26 +304,36 @@ class ConstraintSuite:
         row_counts = df.groupBy(part.alias("partition")).agg(
             F.count(F.lit(1)).alias("n_rows")
         )
+        # ONE aggregation over failed_rows yields both the row fail count
+        # and the per-constraint breakdown (one sum(exists(...)) per
+        # constraint — the plan prunes to nothing extra, and the predicate
+        # pass is not re-run a second time for the map)
+        def _cid_count(cid: str) -> Column:
+            return F.sum(
+                F.exists(
+                    "entries", lambda e: e.getField("constraint_id") == cid
+                ).cast("long")
+            ).alias(f"__n{ids.index(cid)}__")
+
         fail_counts = failed_rows.groupBy(
             F.col("__part__").alias("partition")
-        ).agg(F.count(F.lit(1)).alias("n_fail"))
-        per_constraint = (
-            failed_rows.select(
-                F.col("__part__").alias("partition"),
-                F.explode("entries").alias("v"),
-            )
-            .groupBy("partition", "v.constraint_id")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .groupBy("partition")
-            .agg(
-                F.map_from_entries(
-                    F.collect_list(F.struct("constraint_id", "n"))
-                ).alias("fail_by_constraint")
-            )
+        ).agg(
+            F.count(F.lit(1)).alias("n_fail"),
+            *[_cid_count(cid) for cid in ids],
+        ).select(
+            "partition",
+            "n_fail",
+            F.map_from_arrays(
+                F.array(*[F.lit(cid) for cid in ids]),
+                F.array(*[F.col(f"__n{i}__") for i in range(len(ids))]),
+            ).alias("fail_by_constraint")
+            if ids
+            else F.lit(None)
+            .cast("map<string,bigint>")
+            .alias("fail_by_constraint"),
         )
         verdicts = (
             row_counts.join(fail_counts, "partition", "left")
-            .join(per_constraint, "partition", "left")
             .withColumn("n_fail", F.coalesce(F.col("n_fail"), F.lit(0)))
             .withColumn("n_pass", F.col("n_rows") - F.col("n_fail"))
             .withColumn("passed", F.col("n_fail") == 0)
