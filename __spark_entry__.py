@@ -298,16 +298,20 @@ def _q_ann_lsh_embeddings(spark: SparkSession, sf: str) -> DataFrame:
 def _q_props_json_validation(spark: SparkSession, sf: str) -> DataFrame:
     """Dynamic-JSON path: validate events.props with the Arrow-batched
     interpreter UDF; return failing event ids + payload."""
-    from go_jsonschema_spark.compile import json_column_predicate
+    from go_jsonschema_spark.compile import json_column_errors
 
     schema = {
         "type": "object",
         "required": ["k"],
         "properties": {"k": {"type": "integer", "minimum": 0, "maximum": 49}},
     }
-    ok = json_column_predicate(schema)
+    errs = json_column_errors(schema)
     e = _t(spark, sf, "events")
-    return e.select("event_id", "props").filter(~ok(F.col("props")))
+    return (
+        e.select("event_id", "props", errs(F.col("props")).alias("errors"))
+        .filter(F.size("errors") > 0)
+        .select("event_id", "props", F.element_at("errors", 1).alias("error"))
+    )
 
 
 def _q_sequences_validation(spark: SparkSession, sf: str) -> DataFrame:
@@ -325,6 +329,19 @@ def _q_sequences_validation(spark: SparkSession, sf: str) -> DataFrame:
     return (
         res.violations.groupBy("constraint_id")
         .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _q_column_stats_full(spark: SparkSession, sf: str) -> DataFrame:
+    """Full stats profile incl. approx quantiles (percentile_approx) and
+    HLL++ approx distinct — approximate by construction, so rows-only
+    (DuckDB's approximations differ)."""
+    from go_jsonschema_spark.operators.stats import column_stats
+
+    return column_stats(
+        _t(spark, sf, "lineitem"),
+        ["l_quantity", "l_extendedprice", "l_orderkey"],
+        quantiles=[0.5, 0.95, 0.99],
     )
 
 
@@ -361,6 +378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_embeddings": _q_ann_lsh_embeddings,
         "props_json_validation": _q_props_json_validation,
         "sequences_validation": _q_sequences_validation,
+        "column_stats_full": _q_column_stats_full,
         "multimodal_features": _q_multimodal_features,
     }
 

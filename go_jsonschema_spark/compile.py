@@ -512,3 +512,39 @@ def json_column_predicate(
         return pd.Series(out)
 
     return _judge
+
+
+def json_column_errors(
+    schema: Any, *, draft: int = 7, assert_formats: bool = True
+):
+    """Pandas UDF: ALL validation errors for a column of JSON strings as
+    ``array<string>`` (empty = valid) — the violations-with-details
+    counterpart of :func:`json_column_predicate`, mirroring the
+    reference's chained error strings (helpers.go:58-67) but as data."""
+    import json as _json
+
+    from go_jsonschema_spark.interp import validate_instance
+    from go_jsonschema_spark.spec import SchemaSpec
+
+    spec = SchemaSpec(schema)
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _errors(s: pd.Series) -> pd.Series:
+        out = []
+        for raw in s:
+            if raw is None:
+                out.append(["$: null payload"])
+                continue
+            try:
+                v = _json.loads(raw)
+            except (ValueError, TypeError) as e:
+                out.append([f"$: invalid JSON: {e}"])
+                continue
+            r = validate_instance(
+                schema, v, draft=draft, spec=spec,
+                assert_formats=assert_formats, collect_all=True,
+            )
+            out.append([] if r.valid else r.errors)
+        return pd.Series(out)
+
+    return _errors
