@@ -332,6 +332,43 @@ def _q_sequences_validation(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_asof_purchase_last_error(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join: each purchase event picks the latest error event of the
+    same user at-or-before its timestamp (operators/asof.py — windowed
+    union formulation, one shuffle)."""
+    from go_jsonschema_spark.operators.asof import asof_join
+
+    e = _t(spark, sf, "events")
+    purchases = e.filter(F.col("event_type") == "purchase")
+    errors = e.filter(F.col("event_type") == "error")
+    out = asof_join(
+        purchases, errors, key="user_id", ts="ts", payload=["event_id"]
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.col("event_id_asof").alias("error_event_id"),
+    )
+
+
+def _q_hourly_event_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Tumbling-window aggregation (batch form of the streaming windowed
+    verdicts): events per hour per type."""
+    e = _t(spark, sf, "events")
+    return e.groupBy(
+        F.date_trunc("hour", F.col("ts")).cast("string").alias("hour"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+def _q_rollup_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouping sets: rollup over (returnflag, linestatus)."""
+    li = _t(spark, sf, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def _q_column_stats_full(spark: SparkSession, sf: str) -> DataFrame:
     """Full stats profile incl. approx quantiles (percentile_approx) and
     HLL++ approx distinct — approximate by construction, so rows-only
@@ -366,6 +403,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_stats_events": _q_grouped_stats_events,
         "topk_users_by_value": _q_topk_users_by_value,
         "sessionize_events": _q_sessionize_events,
+        "asof_purchase_last_error": _q_asof_purchase_last_error,
+        "hourly_event_counts": _q_hourly_event_counts,
+        "rollup_lineitem": _q_rollup_lineitem,
         "token_counts_documents": _q_token_counts_documents,
         "fingerprints_documents": _q_fingerprints_documents,
         "quality_documents": _q_quality_documents,
@@ -524,6 +564,23 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
             )
             SELECT user_id, sum(new_s) AS n_sessions FROM g GROUP BY user_id
+        """,
+        "asof_purchase_last_error": """
+            SELECT l.event_id, l.user_id, r.event_id AS error_event_id
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+            ASOF LEFT JOIN
+                 (SELECT * FROM events WHERE event_type = 'error') r
+            ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "hourly_event_counts": """
+            SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour,
+                   event_type, count(*) AS n
+            FROM events GROUP BY 1, 2
+        """,
+        "rollup_lineitem": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """,
         "token_counts_documents": r"""
             SELECT doc_id,

@@ -83,13 +83,17 @@ def main(sf_dir: str) -> int:
             print(f"FAIL  {name}: rowcount {len(rows)} != oracle {len(orows)}")
             n_bad += 1
             continue
+        def _key(row):
+            return tuple((v is None, str(type(v)), v) for v in row)
+
         got = sorted(
-            tuple(norm_cell(r[c]) for c in cols) for r in rows
+            (tuple(norm_cell(r[c]) for c in cols) for r in rows), key=_key
         )
         names = [d[0] for d in o.description]
         idx = {c: names.index(c) for c in cols}
         want = sorted(
-            tuple(norm_cell(r[idx[c]]) for c in cols) for r in orows
+            (tuple(norm_cell(r[idx[c]]) for c in cols) for r in orows),
+            key=_key,
         )
         if got != want:
             bad = next(
