@@ -277,18 +277,20 @@ def compile_predicate(
                 _null_safe(col, F.size(col) == F.size(F.array_distinct(col)))
             )
         if "contains" in schema:
-            preds.append(
-                _null_safe(
-                    col,
-                    F.exists(
-                        col,
-                        lambda x: compile_predicate(
-                            schema["contains"], x, et, draft=draft, spec=spec,
-                            _ref_depth=_ref_depth,
-                        ),
-                    ),
-                )
+            contains_pred = lambda x: compile_predicate(  # noqa: E731
+                schema["contains"], x, et, draft=draft, spec=spec,
+                _ref_depth=_ref_depth,
             )
+            if "minContains" in schema or "maxContains" in schema:
+                # 2019-09 counted form: size(filter(...)) between bounds
+                n_match = F.size(F.filter(col, contains_pred))
+                c = F.lit(True)
+                c = c & (n_match >= schema.get("minContains", 1))
+                if "maxContains" in schema:
+                    c = c & (n_match <= schema["maxContains"])
+                preds.append(_null_safe(col, c))
+            else:
+                preds.append(_null_safe(col, F.exists(col, contains_pred)))
 
     # --- object checks over StructType / MapType (validators.go:196-304) --
     if isinstance(dtype, T.StructType):

@@ -35,6 +35,7 @@ _BOUND_PAIRS = {
     "maximum": ("maximum", "exclusiveMaximum"),
     "minimum": ("minimum", "exclusiveMinimum"),
     "items": ("items", "additionalItems"),
+    "contains": ("contains", "minContains", "maxContains"),
     "properties": ("properties", "patternProperties", "additionalProperties",
                    "required"),
 }
@@ -46,6 +47,7 @@ _SKIP_KEYWORDS = {
     "contentMediaType", "contentEncoding",
     # handled as riders on their pair
     "exclusiveMaximum", "exclusiveMinimum", "additionalItems",
+    "minContains", "maxContains",
     "patternProperties", "additionalProperties", "required",
     # if/then/else compile as one unit keyed "if"
     "then", "else",

@@ -554,14 +554,21 @@ def _validate(
                         return False
                     break
                 seen.add(k)
-        # contains (validators.go:136-141, 169-171)
+        # contains (validators.go:136-141, 169-171) + 2019-09 min/maxContains
         if "contains" in schema:
-            if not any(
-                _validate(schema["contains"], el, spec, draft, registry, fmt,
-                          [], False, path)
+            n_match = sum(
+                1
                 for el in v
-            ):
-                if not fail("contains", "no element matches"):
+                if _validate(schema["contains"], el, spec, draft, registry,
+                             fmt, [], False, path)
+            )
+            min_c = schema.get("minContains", 1)
+            max_c = schema.get("maxContains")
+            if n_match < min_c:
+                if not fail("contains", f"{n_match} matches < minContains {min_c}"):
+                    return False
+            if max_c is not None and n_match > max_c:
+                if not fail("maxContains", f"{n_match} matches > {max_c}"):
                     return False
 
     if isinstance(v, dict):
@@ -609,7 +616,7 @@ def _validate(
                                  registry, fmt, errors, all_, f"{path}.{k}"):
                     if not fail("propertyNames", f"name {k!r} invalid"):
                         return False
-        # dependencies (validators.go:391-433)
+        # dependencies (validators.go:391-433) + the 2019-09 split forms
         deps = schema.get("dependencies", {})
         for k, dep in deps.items():
             if k not in v:
@@ -623,6 +630,20 @@ def _validate(
                 if not _validate(dep, v, spec, draft, registry, fmt, errors,
                                  all_, path):
                     if not fail("dependencies", f"schema dep on {k!r} failed"):
+                        return False
+        for k, need_list in (schema.get("dependentRequired") or {}).items():
+            if k in v:
+                for need in need_list:
+                    if need not in v:
+                        if not fail("dependentRequired",
+                                    f"{k!r} requires {need!r}"):
+                            return False
+        for k, dep in (schema.get("dependentSchemas") or {}).items():
+            if k in v:
+                if not _validate(dep, v, spec, draft, registry, fmt, errors,
+                                 all_, path):
+                    if not fail("dependentSchemas",
+                                f"schema dep on {k!r} failed"):
                         return False
 
     # combinators (validators.go:435-484)

@@ -71,6 +71,13 @@ KNOWN_KEYWORDS = frozenset(
         "anyOf",
         "oneOf",
         "not",
+        # draft 2019-09 additions we support beyond the reference (the
+        # reference skips these, validate_test.go:37-56; we implement the
+        # self-contained ones for forward-compat)
+        "dependentRequired",
+        "dependentSchemas",
+        "minContains",
+        "maxContains",
     }
 )
 
@@ -79,7 +86,10 @@ KNOWN_KEYWORDS = frozenset(
 _SUBSCHEMA_KEYS = ("items", "additionalItems", "contains", "propertyNames",
                    "additionalProperties", "if", "then", "else", "not")
 _SUBSCHEMA_LIST_KEYS = ("allOf", "anyOf", "oneOf")
-_SUBSCHEMA_MAP_KEYS = ("properties", "patternProperties", "definitions", "$defs")
+_SUBSCHEMA_MAP_KEYS = (
+    "properties", "patternProperties", "definitions", "$defs",
+    "dependentSchemas",
+)
 
 JSON_TYPES = frozenset(
     {"string", "number", "integer", "object", "array", "boolean", "null"}
@@ -165,6 +175,17 @@ def normalize_spec(spec: Any) -> Any:
                     raise SpecError("property dependency must list strings")
             else:
                 normalize_spec(v)
+    dreq = spec.get("dependentRequired")
+    if dreq is not None:
+        if not isinstance(dreq, dict) or not all(
+            isinstance(v, list) and all(isinstance(x, str) for x in v)
+            for v in dreq.values()
+        ):
+            raise SpecError("dependentRequired must map keys to string arrays")
+    for kw in ("minContains", "maxContains"):
+        v = spec.get(kw)
+        if v is not None and (isinstance(v, bool) or not isinstance(v, int) or v < 0):
+            raise SpecError(f"{kw} must be a non-negative integer")
     return spec
 
 

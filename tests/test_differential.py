@@ -147,6 +147,10 @@ def _rand_schema(rng: random.Random, dtype: str) -> dict:
             s["uniqueItems"] = True
         if rng.random() < 0.3:
             s["contains"] = {"minimum": rng.randint(0, 20)}
+            if rng.random() < 0.5:
+                s["minContains"] = rng.randint(0, 3)
+            if rng.random() < 0.5:
+                s["maxContains"] = rng.randint(1, 5)
     # combinators on top
     if rng.random() < 0.25:
         s = {"anyOf": [s or True, _leaf(rng, dtype)]}

@@ -152,6 +152,34 @@ def test_optional_bignum():
     assert not mismatches, "\n".join(mismatches)
 
 
+def test_draft2019_keywords_beyond_reference():
+    """dependentRequired/dependentSchemas/min+maxContains — 2019-09
+    keywords the reference skips (validate_test.go:37-56) but this engine
+    supports; run their official suite files."""
+    files = [
+        "dependentRequired.json",
+        "dependentSchemas.json",
+        "maxContains.json",
+        "minContains.json",
+    ]
+    mismatches = []
+    for name in files:
+        path = os.path.join(SUITE_ROOT, "draft2019-09", name)
+        with open(path) as f:
+            groups = json.load(f)
+        for group in groups:
+            spec = SchemaSpec(group["schema"])
+            for t in group["tests"]:
+                got = validate_instance(
+                    group["schema"], t["data"], spec=spec
+                ).valid
+                if got != t["valid"]:
+                    mismatches.append(
+                        f"{name}: {group['description']} :: {t['description']}"
+                    )
+    assert not mismatches, "\n".join(mismatches)
+
+
 def test_spec_self_validation():
     """Entry point B analogue (validate.go:12-29): specs validate against
     the embedded meta-schema at compile time."""
