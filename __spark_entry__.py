@@ -295,6 +295,14 @@ def _q_ann_lsh_embeddings(spark: SparkSession, sf: str) -> DataFrame:
     return topk_cosine_lsh(e, qv, k=10)
 
 
+def _q_ann_ivf_embeddings(spark: SparkSession, sf: str) -> DataFrame:
+    from go_jsonschema_spark.operators.ann import topk_cosine_ivf
+
+    e = _t(spark, sf, "embeddings")
+    qv = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return topk_cosine_ivf(e, qv, k=10, n_centroids=16, n_probe=4)
+
+
 def _q_props_json_validation(spark: SparkSession, sf: str) -> DataFrame:
     """Dynamic-JSON path: validate events.props with the Arrow-batched
     interpreter UDF; return failing event ids + payload."""
@@ -416,6 +424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs_documents": _q_simhash_pairs_documents,
         "exact_dups_documents": _q_exact_dups_documents,
         "ann_lsh_embeddings": _q_ann_lsh_embeddings,
+        "ann_ivf_embeddings": _q_ann_ivf_embeddings,
         "props_json_validation": _q_props_json_validation,
         "sequences_validation": _q_sequences_validation,
         "column_stats_full": _q_column_stats_full,

@@ -17,7 +17,14 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["topk_cosine", "topk_cosine_lsh", "hyperplane_bucket"]
+__all__ = [
+    "topk_cosine",
+    "topk_cosine_lsh",
+    "hyperplane_bucket",
+    "kmeans_centroids",
+    "assign_centroid",
+    "topk_cosine_ivf",
+]
 
 
 def _dot_lit(vec: Column, q: list[float]) -> Column:
@@ -77,6 +84,94 @@ def hyperplane_bucket(
         ).otherwise(F.lit(0).cast("long"))
         bucket = bucket.bitwiseOR(F.shiftleft(bit, i))
     return bucket
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    sample: int = 2048,
+    iters: int = 10,
+    seed: int = 42,
+):
+    """Driver-side mini-KMeans on a deterministic sample → the IVF coarse
+    quantizer (numpy; the sample is tiny relative to the table — at 10^12
+    rows you train on 10^5-10^6 sampled vectors, never the full set)."""
+    import numpy as np
+
+    rows = (
+        df.select(id_col, vec_col).orderBy(id_col).limit(sample).collect()
+    )
+    X = np.asarray([list(map(float, r[vec_col])) for r in rows])
+    rng = np.random.default_rng(seed)
+    cent = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
+    for _ in range(iters):
+        d = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+        lab = d.argmin(1)
+        for c in range(len(cent)):
+            pts = X[lab == c]
+            if len(pts):
+                cent[c] = pts.mean(0)
+    return cent
+
+
+def assign_centroid(vec: Column, centroids) -> Column:
+    """Nearest-centroid id (0-based) as a native expression: argmin over
+    per-centroid squared distances ``||v||² - 2·v·c + ||c||²`` (the
+    ``||v||²`` term is common — dropped)."""
+    import numpy as np
+
+    scores = [
+        -2.0 * _dot_lit(vec, [float(x) for x in c])
+        + float(np.dot(c, c))
+        for c in centroids
+    ]
+    arr = F.array(*scores)
+    return F.array_position(arr, F.array_min(arr)) - 1
+
+
+def topk_cosine_ivf(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    centroids=None,
+) -> DataFrame:
+    """IVF ANN: coarse-quantize every vector to its nearest centroid
+    (narrow native pass), probe the ``n_probe`` centroids closest to the
+    query, exact-rank only vectors in probed cells.  On a real deployment
+    the assignment is precomputed and the table partitioned/bucketed by
+    cell → probing becomes partition pruning; here the assignment runs
+    inline so the plan shape is identical."""
+    import numpy as np
+
+    if centroids is None:
+        centroids = kmeans_centroids(
+            df, vec_col=vec_col, id_col=id_col,
+            n_centroids=n_centroids, seed=seed,
+        )
+    q = np.asarray(query, dtype=float)
+    d2 = ((centroids - q[None, :]) ** 2).sum(1)
+    probe = [int(i) for i in d2.argsort()[:n_probe]]
+
+    cell = assign_centroid(F.col(vec_col), centroids)
+    return (
+        df.select(F.col(id_col), F.col(vec_col), cell.alias("cell"))
+        .filter(F.col("cell").isin(probe))
+        .select(
+            F.col(id_col),
+            F.round(cosine_to(F.col(vec_col), query), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
 
 
 def topk_cosine_lsh(

@@ -100,6 +100,17 @@ def test_topk_cosine_exact_vs_lsh(spark, embs):
     assert len({r["vec_id"] for r in exact} & {r["vec_id"] for r in approx}) >= 2
 
 
+def test_topk_cosine_ivf(spark, embs):
+    q = embs.filter(F.col("vec_id") == 0).first()["embedding"]
+    q = [float(x) for x in q]
+    exact = ann.topk_cosine(embs, q, k=10).collect()
+    ivf = ann.topk_cosine_ivf(embs, q, k=10, n_centroids=8, n_probe=3).collect()
+    assert ivf[0]["vec_id"] == 0 and ivf[0]["cosine"] == 1.0
+    # recall@10 against exact — multi-probe should recover most neighbors
+    recall = len({r["vec_id"] for r in exact} & {r["vec_id"] for r in ivf}) / 10
+    assert recall >= 0.5, recall
+
+
 def test_text_functions(spark, docs):
     row = docs.select(
         TXT.token_count(F.col("text")).alias("ntok"),
