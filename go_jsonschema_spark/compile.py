@@ -396,6 +396,25 @@ def compile_predicate(
                     ),
                 )
             )
+        # dependencies (validators.go:391-433) + the 2019-09 split forms
+        dep_req: list[tuple[str, list[str]]] = []
+        dep_schema: list[tuple[str, Any]] = []
+        for kk, dep in (schema.get("dependencies") or {}).items():
+            (dep_req if isinstance(dep, list) else dep_schema).append((kk, dep))
+        dep_req += list((schema.get("dependentRequired") or {}).items())
+        dep_schema += list((schema.get("dependentSchemas") or {}).items())
+        for kk, needs in dep_req:
+            has = F.array_contains(F.map_keys(col), kk)
+            all_needed = _all(
+                [F.array_contains(F.map_keys(col), n) for n in needs]
+            )
+            preds.append(_null_safe(col, ~has | all_needed))
+        for kk, dep in dep_schema:
+            has = F.array_contains(F.map_keys(col), kk)
+            dp = compile_predicate(
+                dep, col, dtype, draft=draft, spec=spec, _ref_depth=_ref_depth
+            )
+            preds.append(_null_safe(col, ~has | dp))
         if "minProperties" in schema:
             preds.append(_null_safe(col, F.size(col) >= schema["minProperties"]))
         if "maxProperties" in schema:
