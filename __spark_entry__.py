@@ -181,7 +181,7 @@ def _q_topk_users_by_value(spark: SparkSession, sf: str) -> DataFrame:
     )
     w = Window.orderBy(F.col("total").desc(), F.col("user_id"))
     return (
-        sums.withColumn("rank", F.row_number().over(w))
+        sums.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 20)
     )
 
@@ -207,7 +207,7 @@ def _q_token_counts_documents(spark: SparkSession, sf: str) -> DataFrame:
     from go_jsonschema_spark.functions.text import token_count
 
     d = _t(spark, sf, "documents")
-    return d.select("doc_id", token_count(F.col("text")).alias("n_tok"))
+    return d.select("doc_id", token_count(F.col("text")).cast("long").alias("n_tok"))
 
 
 def _q_fingerprints_documents(spark: SparkSession, sf: str) -> DataFrame:
@@ -475,8 +475,8 @@ def oracle_sql() -> dict[str, str]:
         "verdicts_by_source": f"""
             SELECT source,
                    count(*) AS n_rows,
-                   sum(CASE WHEN {_DOC_PASS} THEN 1 ELSE 0 END) AS n_pass,
-                   sum(CASE WHEN {_DOC_PASS} THEN 0 ELSE 1 END) AS n_fail,
+                   CAST(sum(CASE WHEN {_DOC_PASS} THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+                   CAST(sum(CASE WHEN {_DOC_PASS} THEN 0 ELSE 1 END) AS BIGINT) AS n_fail,
                    (sum(CASE WHEN {_DOC_PASS} THEN 0 ELSE 1 END) = 0) AS passed
             FROM documents GROUP BY source
         """,
@@ -572,7 +572,7 @@ def oracle_sql() -> dict[str, str]:
                             THEN 1 ELSE 0 END AS new_s
                 FROM events
             )
-            SELECT user_id, sum(new_s) AS n_sessions FROM g GROUP BY user_id
+            SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions FROM g GROUP BY user_id
         """,
         "asof_purchase_last_error": """
             SELECT l.event_id, l.user_id, r.event_id AS error_event_id
