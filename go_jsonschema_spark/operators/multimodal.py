@@ -104,6 +104,70 @@ def extract_features(
     return media.mapInPandas(_extract, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = "media_id string, width int, height int, payload binary"
+FRAMES_SCHEMA = "media_id string, frame_idx int, frame binary"
+
+
+def resize_images(
+    media: DataFrame, *, width: int = 32, height: int = 32, fake: bool = True
+) -> DataFrame:
+    """Image resize over mapInPandas.  The pixel work is stubbed (fake
+    resize = deterministic byte truncation/padding to width*height) —
+    swapping in Pillow's ``Image.resize`` changes only the inner lambda;
+    batch shape, schema and partitioning are the real thing."""
+    if not fake:
+        raise NotImplementedError("Pillow not installed in this sandbox")
+
+    target = width * height
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf[pdf["kind"] == "image"]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": width,
+                    "height": height,
+                    "payload": pdf["payload"].map(
+                        lambda p: (bytes(p) * (target // max(len(p), 1) + 1))[
+                            :target
+                        ]
+                    ),
+                }
+            )
+
+    return media.mapInPandas(_resize, RESIZED_SCHEMA)
+
+
+def sample_frames(
+    media: DataFrame, *, every_ms: int = 250, fake: bool = True
+) -> DataFrame:
+    """Video frame sampling over mapInPandas: one output row per sampled
+    frame index (duration_ms / every_ms frames).  Frame extraction is
+    stubbed (fake frame = payload slice keyed by index); the real version
+    calls ffmpeg/pyav in the same batch loop."""
+    if not fake:
+        raise NotImplementedError("ffmpeg/pyav not installed in this sandbox")
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf[pdf["kind"] == "video"]
+            out = []
+            for _, row in pdf.iterrows():
+                dur = row["meta"]["duration_ms"] or 0
+                n = max(dur // every_ms, 1)
+                p = bytes(row["payload"] or b"")
+                for i in range(n):
+                    out.append(
+                        (row["media_id"], i, p[i % max(len(p), 1):][:16])
+                    )
+            yield pd.DataFrame(
+                out, columns=["media_id", "frame_idx", "frame"]
+            )
+
+    return media.mapInPandas(_frames, FRAMES_SCHEMA)
+
+
 def synth_media(spark, n: int = 64) -> DataFrame:
     """Deterministic synthetic media table (payload = seeded bytes)."""
     return spark.range(n).select(

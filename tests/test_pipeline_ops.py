@@ -145,3 +145,14 @@ def test_multimodal_features(spark):
     # real decoder is an explicit stub
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG")
+
+
+def test_multimodal_resize_and_frames(spark):
+    media = multimodal.synth_media(spark, 30)
+    resized = multimodal.resize_images(media, width=8, height=8).collect()
+    assert all(len(r["payload"]) == 64 for r in resized)
+    assert len(resized) == media.filter("kind = 'image'").count()
+    frames = multimodal.sample_frames(media, every_ms=250).collect()
+    vids = media.filter("kind = 'video'").count()
+    assert len(frames) == vids * 4  # 1000ms / 250ms
+    assert {r["frame_idx"] for r in frames} == {0, 1, 2, 3}
