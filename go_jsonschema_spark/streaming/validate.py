@@ -66,6 +66,42 @@ def stream_violations(suite: ConstraintSuite, stream: DataFrame) -> DataFrame:
     )
 
 
+def stateful_group_verdicts(
+    suite: ConstraintSuite, stream: DataFrame, *, group_col: str
+) -> DataFrame:
+    """Custom stateful streaming operator: RUNNING per-group verdict
+    counters across micro-batches via ``applyInPandasWithState`` —
+    arbitrary state the built-in windowed aggregation can't express
+    (cumulative totals over the whole stream lifetime, no window).
+
+    Output (update mode): one row per group per batch with the running
+    ``(n_rows, n_fail)`` totals."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    checked, _, _, _ = _checked(suite, stream)
+    slim = checked.select(group_col, F.col("__pass__").alias("ok"))
+
+    def update(key, pdfs, state: GroupState):
+        n_rows, n_fail = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n_rows += len(pdf)
+            n_fail += int((~pdf["ok"]).sum())
+        state.update((n_rows, n_fail))
+        yield pd.DataFrame(
+            {"group": [key[0]], "n_rows": [n_rows], "n_fail": [n_fail]}
+        )
+
+    return slim.groupBy(group_col).applyInPandasWithState(
+        update,
+        outputStructType="group string, n_rows long, n_fail long",
+        stateStructType="n_rows long, n_fail long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def dedup_stream(
     stream: DataFrame,
     key: str,

@@ -67,6 +67,41 @@ def test_resume_skips_completed_batches(spark, suite, tmp_path):
     assert all("n_rows" in m for m in rep2.partitions.values())
 
 
+def test_stateful_group_verdicts(spark, tmp_path):
+    """applyInPandasWithState custom operator: running per-type verdict
+    counters must converge to the batch counts."""
+    from go_jsonschema_spark.spec import TableSpec
+    from go_jsonschema_spark.streaming.validate import stateful_group_verdicts
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = str(tmp_path / "state_src")
+    events.write.mode("overwrite").parquet(src)
+    ts = TableSpec(columns={"value": {"type": "number", "maximum": 100}})
+    suite = ConstraintSuite(ts, key="event_id")
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    out = stateful_group_verdicts(suite, stream, group_col="event_type")
+    q = (
+        out.writeStream.format("memory").queryName("state_out")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    # last update per group = cumulative totals == batch ground truth
+    got = {
+        r["group"]: (r["n_rows"], r["n_fail"])
+        for r in spark.sql("SELECT * FROM state_out").collect()
+    }
+    want = {
+        r["event_type"]: (r["n"], r["f"])
+        for r in events.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("value") > 100).cast("long")).alias("f"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
 def test_streaming_dedup(spark, tmp_path):
     """Stateful streaming dedup keeps first record per key."""
     from go_jsonschema_spark.streaming.validate import dedup_stream
