@@ -190,6 +190,83 @@ def _rand_value(rng: random.Random, dtype: str):
     return [rng.randint(-2, 35) for _ in range(rng.randint(0, 6))]
 
 
+def _rand_map_schema(rng: random.Random) -> dict:
+    s: dict = {"type": "object"}
+    keys = ["a", "b", "c", "d"]
+    if rng.random() < 0.6:
+        s["required"] = rng.sample(keys, rng.randint(1, 2))
+    if rng.random() < 0.6:
+        s["properties"] = {
+            k: {"minimum": rng.randint(-5, 5)}
+            for k in rng.sample(keys, rng.randint(1, 2))
+        }
+    if rng.random() < 0.4:
+        s["minProperties"] = rng.randint(0, 3)
+    if rng.random() < 0.4:
+        s["maxProperties"] = rng.randint(1, 4)
+    if rng.random() < 0.4:
+        s["propertyNames"] = {"pattern": rng.choice(["^[ab]", "^[a-c]$"])}
+    if rng.random() < 0.4:
+        s["dependentRequired"] = {"a": [rng.choice(["b", "c"])]}
+    if rng.random() < 0.3:
+        s["patternProperties"] = {"^[cd]$": {"maximum": rng.randint(-2, 8)}}
+    if rng.random() < 0.3:
+        s["additionalProperties"] = rng.choice(
+            [False, {"minimum": rng.randint(-5, 5)}]
+        )
+    return s
+
+
+def _rand_map_value(rng: random.Random):
+    if rng.random() < 0.05:
+        return None
+    return {
+        k: rng.randint(-8, 8)
+        for k in ["a", "b", "c", "d"]
+        if rng.random() < 0.55
+    }
+
+
+def test_compile_matches_interp_maps(spark):
+    """Object-typed (MapType) compile path vs interpreter — 200 randomized
+    cases covering required/properties/patternProperties/
+    additionalProperties/propertyNames/min-maxProperties/dependentRequired."""
+    from pyspark.sql import functions as F, types as T
+
+    from go_jsonschema_spark.compile import compile_predicate
+
+    rng = random.Random(424242)
+    schemas = [_rand_map_schema(rng) for _ in range(40)]
+    rows, want = [], {}
+    for si, schema in enumerate(schemas):
+        for vi in range(5):
+            v = _rand_map_value(rng)
+            cid = f"{si}.{vi}"
+            rows.append((si, cid, v))
+            want[cid] = validate_instance(schema, v).valid
+    dt = T.MapType(T.StringType(), T.LongType())
+    df = spark.createDataFrame(
+        rows,
+        T.StructType([
+            T.StructField("si", T.IntegerType()),
+            T.StructField("cid", T.StringType()),
+            T.StructField("value", dt),
+        ]),
+    )
+    pred = None
+    for si in range(len(schemas) - 1, -1, -1):
+        p = compile_predicate(schemas[si], F.col("value"), dt)
+        pred = p if pred is None else F.when(F.col("si") == si, p).otherwise(pred)
+    got = {r["cid"]: r["ok"] for r in df.select("cid", pred.alias("ok")).collect()}
+    mismatches = [
+        f"schema={json.dumps(schemas[int(c.split('.')[0])])} "
+        f"value={rows[[r[1] for r in rows].index(c)][2]!r} "
+        f"got={got[c]} want={want[c]}"
+        for c in want if got[c] != want[c]
+    ]
+    assert not mismatches, "\n".join(mismatches[:10])
+
+
 @pytest.mark.parametrize("dtype,spark_type", [
     ("long", "bigint"), ("double", "double"),
     ("string", "string"), ("array", "array<bigint>"),

@@ -141,6 +141,24 @@ def test_accepted_rows_token_equality(spark, seq, result):
     assert expected.count() > 0
 
 
+def test_uniqueness_extreme_skew(spark):
+    """One key on 30% of rows: the salted two-phase aggregation must still
+    produce exact counts (the salt spreads the hot key's partial counts
+    over 64 reducers; phase 2 re-sums)."""
+    from pyspark.sql import functions as F
+
+    from go_jsonschema_spark.operators.uniqueness import duplicate_keys
+
+    n = 50_000
+    df = spark.range(n).select(
+        F.when(F.pmod("id", F.lit(10)) < 3, F.lit("HOT"))
+        .otherwise(F.format_string("k%09d", F.col("id")))
+        .alias("k")
+    )
+    dups = {r["key"]: r["n_dup"] for r in duplicate_keys(df, "k").collect()}
+    assert dups == {"HOT": n * 3 // 10}
+
+
 def test_drift_detected(spark):
     from go_jsonschema_spark.operators.drift import drift_check
 
