@@ -222,6 +222,12 @@ def compile_predicate(
     # --- array checks (validators.go:92-192) ------------------------------
     if isinstance(dtype, T.ArrayType):
         et = dtype.elementType
+        # 2020-12 prefixItems + rest-items == draft-7 tuple items +
+        # additionalItems; normalize to the draft-7 shape for compilation
+        if "prefixItems" in schema:
+            schema = dict(schema)
+            schema["additionalItems"] = schema.get("items", True)
+            schema["items"] = schema.pop("prefixItems")
         items = schema.get("items")
         if items is not None:
             if isinstance(items, list):

@@ -514,7 +514,23 @@ def _validate(
                     return False
 
     if isinstance(v, list):
-        items = schema.get("items")
+        # 2020-12: prefixItems is the tuple form; items then validates the
+        # rest (equivalent to draft-7 tuple items + additionalItems)
+        prefix = schema.get("prefixItems")
+        if prefix is not None:
+            for i, (s, el) in enumerate(zip(prefix, v)):
+                if not _validate(s, el, spec, draft, registry, fmt, errors,
+                                 all_, f"{path}[{i}]"):
+                    if not fail("prefixItems", f"element {i} invalid"):
+                        return False
+            rest = schema.get("items")
+            if rest is not None and len(v) > len(prefix):
+                for i in range(len(prefix), len(v)):
+                    if not _validate(rest, v[i], spec, draft, registry, fmt,
+                                     errors, all_, f"{path}[{i}]"):
+                        if not fail("items", f"element {i} invalid"):
+                            return False
+        items = None if prefix is not None else schema.get("items")
         if items is not None:
             if isinstance(items, list):
                 # tuple validation (validators.go:151-153)

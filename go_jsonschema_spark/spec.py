@@ -78,6 +78,7 @@ KNOWN_KEYWORDS = frozenset(
         "dependentSchemas",
         "minContains",
         "maxContains",
+        "prefixItems",  # 2020-12 tuple form (items then = rest schema)
     }
 )
 
@@ -153,6 +154,11 @@ def normalize_spec(spec: Any) -> Any:
                     normalize_spec(s)
             else:
                 normalize_spec(sub)
+    if "prefixItems" in spec:
+        if not isinstance(spec["prefixItems"], list) or not spec["prefixItems"]:
+            raise SpecError("prefixItems must be a non-empty array of schemas")
+        for s in spec["prefixItems"]:
+            normalize_spec(s)
     for kw in _SUBSCHEMA_LIST_KEYS:
         if kw in spec:
             if not isinstance(spec[kw], list) or not spec[kw]:

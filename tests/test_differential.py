@@ -136,7 +136,14 @@ def _rand_schema(rng: random.Random, dtype: str) -> dict:
             s["enum"] = [rng.choice(["a", "ab", "abc", "b", ""]) for _ in range(2)]
     elif dtype == "array":
         s["type"] = "array"
-        if rng.random() < 0.6:
+        if rng.random() < 0.25:
+            s["prefixItems"] = [
+                {"minimum": rng.randint(-5, 5)}
+                for _ in range(rng.randint(1, 3))
+            ]
+            if rng.random() < 0.5:
+                s["items"] = {"maximum": rng.randint(0, 30)}  # rest schema
+        elif rng.random() < 0.6:
             s["items"] = {"type": "integer", "minimum": 0,
                           "maximum": rng.randint(5, 30)}
         if rng.random() < 0.5:
@@ -262,6 +269,73 @@ def test_compile_matches_interp_maps(spark):
         f"schema={json.dumps(schemas[int(c.split('.')[0])])} "
         f"value={rows[[r[1] for r in rows].index(c)][2]!r} "
         f"got={got[c]} want={want[c]}"
+        for c in want if got[c] != want[c]
+    ]
+    assert not mismatches, "\n".join(mismatches[:10])
+
+
+def test_compile_matches_interp_structs(spark):
+    """StructType compile path: required + per-field properties + counted
+    min/maxProperties vs the interpreter (missing struct field == SQL NULL
+    == absent JSON key)."""
+    from pyspark.sql import functions as F, types as T
+
+    from go_jsonschema_spark.compile import compile_predicate
+
+    rng = random.Random(777)
+    dt = T.StructType([
+        T.StructField("x", T.LongType(), True),
+        T.StructField("y", T.StringType(), True),
+    ])
+
+    def rand_schema():
+        s: dict = {"type": "object"}
+        if rng.random() < 0.7:
+            s["required"] = rng.sample(["x", "y"], rng.randint(1, 2))
+        if rng.random() < 0.7:
+            s["properties"] = {}
+            if rng.random() < 0.8:
+                s["properties"]["x"] = {"minimum": rng.randint(-3, 3)}
+            if rng.random() < 0.5:
+                s["properties"]["y"] = {"minLength": rng.randint(0, 3)}
+        if rng.random() < 0.4:
+            s["minProperties"] = rng.randint(0, 2)
+        if rng.random() < 0.4:
+            s["maxProperties"] = rng.randint(1, 2)
+        return s
+
+    def rand_value():
+        v = {}
+        if rng.random() < 0.7:
+            v["x"] = rng.randint(-5, 5)
+        if rng.random() < 0.7:
+            v["y"] = rng.choice(["", "a", "abcd"])
+        return v
+
+    schemas = [rand_schema() for _ in range(30)]
+    rows, want = [], {}
+    for si, schema in enumerate(schemas):
+        for vi in range(5):
+            v = rand_value()
+            cid = f"{si}.{vi}"
+            rows.append((si, cid, (v.get("x"), v.get("y"))))
+            want[cid] = validate_instance(schema, v).valid
+    df = spark.createDataFrame(
+        rows,
+        T.StructType([
+            T.StructField("si", T.IntegerType()),
+            T.StructField("cid", T.StringType()),
+            T.StructField("value", dt),
+        ]),
+    )
+    pred = None
+    for si in range(len(schemas) - 1, -1, -1):
+        p = compile_predicate(schemas[si], F.col("value"), dt)
+        pred = p if pred is None else F.when(F.col("si") == si, p).otherwise(pred)
+    got = {r["cid"]: r["ok"] for r in df.select("cid", pred.alias("ok")).collect()}
+    mismatches = [
+        f"schema={json.dumps(schemas[int(c.split('.')[0])])} "
+        f"got={got[c]} want={want[c]} cid={c}"
         for c in want if got[c] != want[c]
     ]
     assert not mismatches, "\n".join(mismatches[:10])

@@ -157,14 +157,16 @@ def test_draft2019_keywords_beyond_reference():
     keywords the reference skips (validate_test.go:37-56) but this engine
     supports; run their official suite files."""
     files = [
-        "dependentRequired.json",
-        "dependentSchemas.json",
-        "maxContains.json",
-        "minContains.json",
+        ("draft2019-09", "dependentRequired.json"),
+        ("draft2019-09", "dependentSchemas.json"),
+        ("draft2019-09", "maxContains.json"),
+        ("draft2019-09", "minContains.json"),
+        ("draft2020-12", "prefixItems.json"),
+        ("draft2020-12", "items.json"),
     ]
     mismatches = []
-    for name in files:
-        path = os.path.join(SUITE_ROOT, "draft2019-09", name)
+    for ddir, name in files:
+        path = os.path.join(SUITE_ROOT, ddir, name)
         with open(path) as f:
             groups = json.load(f)
         for group in groups:
