@@ -35,6 +35,7 @@ _BOUND_PAIRS = {
     "maximum": ("maximum", "exclusiveMaximum"),
     "minimum": ("minimum", "exclusiveMinimum"),
     "items": ("items", "additionalItems"),
+    "prefixItems": ("prefixItems", "items"),  # 2020-12: items = rest schema
     "contains": ("contains", "minContains", "maxContains"),
     "properties": ("properties", "patternProperties", "additionalProperties",
                    "required"),
@@ -119,6 +120,8 @@ class ConstraintSuite:
             for kw in schema:
                 if kw in _SKIP_KEYWORDS:
                     continue
+                if kw == "items" and "prefixItems" in schema:
+                    continue  # rider on prefixItems (2020-12 rest schema)
                 group = _BOUND_PAIRS.get(kw, (kw,))
                 sub = {k: schema[k] for k in group if k in schema}
                 if kw == "if":
