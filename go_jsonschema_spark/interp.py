@@ -357,14 +357,22 @@ def _meta_specs() -> list[SchemaSpec]:
     return _META_SPECS
 
 
-def _owning_spec(spec: SchemaSpec, node: Any) -> SchemaSpec:
+def _owning_spec(
+    spec: SchemaSpec, node: Any, registry: dict[str, Any] | None = None
+) -> SchemaSpec:
     """Pick the SchemaSpec whose tree contains ``node`` — after a jump into
-    an embedded meta-schema, pointer refs must resolve inside it."""
+    an embedded meta-schema or a registered remote document, pointer refs
+    must resolve inside THAT document's base context."""
     if node is spec.root or id(node) in spec.base_of:
         return spec
     for ms in _meta_specs():
         if id(node) in ms.base_of:
             return ms
+    for v in (registry or {}).values():
+        if isinstance(v, SchemaSpec) and id(v) != id(spec) and (
+            node is v.root or id(node) in v.base_of
+        ):
+            return v
     return spec
 
 def validate_instance(
@@ -421,7 +429,7 @@ def _validate(
     if isinstance(ref, str):
         if _ref_depth > 100:
             return _err(errors, path, "$ref", "ref recursion limit")
-        owner = _owning_spec(spec, schema)
+        owner = _owning_spec(spec, schema, registry)
         target = owner.resolve_ref(ref, at=schema, extra=registry)
         return _validate(target, v, owner if owner is not spec else spec,
                          draft, registry, fmt, errors, all_,

@@ -237,55 +237,82 @@ class SchemaSpec:
 
     root: Any  # dict or bool
     registry: dict[str, Any] = field(default_factory=dict)
+    base_uri: str = ""  # retrieval URI (remote-doc registration)
 
     def __post_init__(self) -> None:
+        from urllib.parse import urljoin
+
         normalize_spec(self.root)
         self.base_of: dict[int, tuple[Any, str]] = {}
-        root_uri = ""
+        root_uri = self.base_uri
         if isinstance(self.root, dict):
             sid = self.root.get("$id") or self.root.get("id")
             if isinstance(sid, str) and not sid.startswith("#"):
-                root_uri = _norm_uri(sid)
+                root_uri = _norm_uri(
+                    urljoin(root_uri, sid) if root_uri else sid
+                )
         self._index(self.root, self.root, root_uri)
         if root_uri:
             self.registry[root_uri] = self.root
 
     # -- $id indexing (parser.go:44-85 analogue) -------------------------
-    def _index(self, node: Any, base_node: Any, base_uri: str) -> None:
+    def _index(
+        self, node: Any, base_node: Any, base_uri: str,
+        schema_pos: bool = True,
+    ) -> None:
+        """Record base context for EVERY nested node (schemas can live
+        under unknown container keys — the reference reaches them via
+        raw-byte path fallback, schema_refs.go:248-256), but register
+        ``$id`` only at known-schema positions: an id inside ``enum``/
+        ``const``/unknown keywords is data, not an identifier (the suite's
+        id.json / unknownKeyword.json cases)."""
         from urllib.parse import urljoin
 
         if isinstance(node, list):
             for s in node:
-                self._index(s, base_node, base_uri)
+                self._index(s, base_node, base_uri, schema_pos)
             return
         if not isinstance(node, dict):
             return
-        sid = node.get("$id") or node.get("id")
-        if isinstance(sid, str) and sid:
-            if sid.startswith("#") and len(sid) > 1:
-                # plain-name fragment: location-independent anchor
-                anchor = _norm_uri(urljoin(base_uri, sid) if base_uri else sid)
-                self.registry[anchor] = node
-            else:
-                base_uri = _norm_uri(urljoin(base_uri, sid) if base_uri else sid)
-                base_node = node
-                self.registry[base_uri] = node
+        if schema_pos:
+            sid = node.get("$id") or node.get("id")
+            if isinstance(sid, str) and sid:
+                if sid.startswith("#") and len(sid) > 1:
+                    # plain-name fragment: location-independent anchor
+                    anchor = _norm_uri(
+                        urljoin(base_uri, sid) if base_uri else sid
+                    )
+                    self.registry[anchor] = node
+                else:
+                    base_uri = _norm_uri(
+                        urljoin(base_uri, sid) if base_uri else sid
+                    )
+                    base_node = node
+                    self.registry[base_uri] = node
         self.base_of[id(node)] = (base_node, base_uri)
-        for kw in _SUBSCHEMA_KEYS:
-            if kw in node:
-                self._index(node[kw], base_node, base_uri)
-        for kw in _SUBSCHEMA_LIST_KEYS:
-            for s in node.get(kw, []) or []:
-                self._index(s, base_node, base_uri)
-        for kw in _SUBSCHEMA_MAP_KEYS:
-            if isinstance(node.get(kw), dict):
-                for s in node[kw].values():
-                    self._index(s, base_node, base_uri)
-        deps = node.get("dependencies")
-        if isinstance(deps, dict):
-            for v in deps.values():
-                if not isinstance(v, list):
-                    self._index(v, base_node, base_uri)
+        if not schema_pos:
+            for v in node.values():
+                self._index(v, base_node, base_uri, False)
+            return
+        direct = set(_SUBSCHEMA_KEYS) | set(_SUBSCHEMA_LIST_KEYS) | {
+            "prefixItems", "items"
+        }
+        maps = set(_SUBSCHEMA_MAP_KEYS)  # dicts whose VALUES are schemas
+        for k, v in node.items():
+            if k in direct:
+                self._index(v, base_node, base_uri, True)
+            elif k in maps and isinstance(v, dict):
+                self.base_of[id(v)] = (base_node, base_uri)
+                for s in v.values():
+                    self._index(s, base_node, base_uri, True)
+            elif k == "dependencies" and isinstance(v, dict):
+                self.base_of[id(v)] = (base_node, base_uri)
+                for d in v.values():
+                    self._index(d, base_node, base_uri,
+                                not isinstance(d, list))
+            else:
+                # enum/const/default/examples/unknown keywords: data
+                self._index(v, base_node, base_uri, False)
 
     def _context(self, at: Any) -> tuple[Any, str]:
         if at is not None and id(at) in self.base_of:
@@ -336,17 +363,23 @@ class SchemaSpec:
             uri = _norm_uri(uri)
             for table in (self.registry, extra or {}):
                 if uri in table:
-                    return table[uri]
+                    hit = table[uri]
+                    # registered remote documents are full SchemaSpecs
+                    # (AddSchema analogue, schema_refs.go:118-129)
+                    return hit
             from go_jsonschema_spark.metaschema import META_SCHEMAS
 
             return META_SCHEMAS.get(uri)
+
+        def _unwrap(x: Any) -> Any:
+            return x.root if isinstance(x, SchemaSpec) else x
 
         if ref.startswith("#"):
             # plain-name anchor in the current base document
             full = _norm_uri((base_uri or "") + ref)
             hit = _lookup(full) or _lookup(ref)
             if hit is not None:
-                return hit
+                return _unwrap(hit)
             raise SpecError(f"unresolvable $ref {ref!r}")
 
         doc, _, frag = ref.partition("#")
@@ -363,12 +396,20 @@ class SchemaSpec:
                     break
         if target is None:
             raise SpecError(f"unresolvable $ref {ref!r}")
+        owner = target if isinstance(target, SchemaSpec) else None
+        target = _unwrap(target)
         if frag:
             if frag.startswith("/"):
-                return self._walk_pointer(target, frag[1:], ref) if len(frag) > 1 else target
+                return (
+                    self._walk_pointer(target, frag[1:], ref)
+                    if len(frag) > 1
+                    else target
+                )
+            if owner is not None and (full_doc + "#" + frag) in owner.registry:
+                return owner.registry[full_doc + "#" + frag]
             anchored = _lookup(full_doc + "#" + frag)
             if anchored is not None:
-                return anchored
+                return _unwrap(anchored)
             raise SpecError(f"unresolvable $ref {ref!r}")
         return target
 

@@ -182,6 +182,41 @@ def test_draft2019_keywords_beyond_reference():
     assert not mismatches, "\n".join(mismatches)
 
 
+def test_refremote_via_registry():
+    """refRemote.json WITHOUT any HTTP: the remote documents are
+    pre-registered as SchemaSpecs keyed by their URLs (the AddSchema
+    analogue — executors never fetch).  The reference needs a live :1234
+    file server for these (validate_test.go:84-98); the registry passes
+    all 49 cases offline."""
+    remotes_root = os.path.join(SUITE_ROOT, "remotes")
+    registry = {}
+    for path in glob.glob(os.path.join(remotes_root, "**", "*.json"),
+                          recursive=True):
+        rel = os.path.relpath(path, remotes_root)
+        url = f"http://localhost:1234/{rel}"
+        with open(path) as f:
+            registry[url] = SchemaSpec(json.load(f), base_uri=url)
+
+    mismatches = []
+    n = 0
+    for ddir, draft in DRAFTS:
+        with open(os.path.join(SUITE_ROOT, ddir, "refRemote.json")) as f:
+            groups = json.load(f)
+        for group in groups:
+            spec = SchemaSpec(group["schema"])
+            for t in group["tests"]:
+                n += 1
+                got = validate_instance(
+                    group["schema"], t["data"], draft=draft, spec=spec,
+                    registry=registry,
+                ).valid
+                if got != t["valid"]:
+                    mismatches.append(
+                        f"{ddir}: {group['description']} :: {t['description']}"
+                    )
+    assert n == 49 and not mismatches, "\n".join(mismatches)
+
+
 def test_spec_self_validation():
     """Entry point B analogue (validate.go:12-29): specs validate against
     the embedded meta-schema at compile time."""
