@@ -76,7 +76,11 @@ class SuiteResult:
 
 
 def _observed_col(col: Column, dtype: T.DataType) -> Column:
-    if isinstance(dtype, (T.ArrayType, T.MapType, T.StructType)):
+    if isinstance(dtype, T.ArrayType):
+        # cap BEFORE serializing — to_json of a full token array would
+        # materialize kilobytes per violation row just to truncate them
+        return F.substring(F.to_json(F.slice(col, 1, 32)), 1, 256)
+    if isinstance(dtype, (T.MapType, T.StructType)):
         return F.substring(F.to_json(col), 1, 256)
     return F.substring(col.cast("string"), 1, 256)
 

@@ -520,6 +520,29 @@ def _validate(
             if check is not None and not check(v):
                 if not fail("format", f"{v!r} is not a {schema['format']}"):
                     return False
+        # content* — validated here (the reference skips content.json);
+        # draft-7 semantics: assertions on encoded string content
+        if fmt and ("contentEncoding" in schema or "contentMediaType" in schema):
+            decoded: Any = v
+            ok_content = True
+            if schema.get("contentEncoding") == "base64":
+                import base64
+                import binascii
+
+                try:
+                    decoded = base64.b64decode(v, validate=True)
+                except (binascii.Error, ValueError):
+                    ok_content = False
+            if ok_content and schema.get("contentMediaType") == "application/json":
+                import json as _json
+
+                try:
+                    _json.loads(decoded)
+                except (ValueError, TypeError, UnicodeDecodeError):
+                    ok_content = False
+            if not ok_content:
+                if not fail("content", "content assertion failed"):
+                    return False
 
     if isinstance(v, list):
         # 2020-12: prefixItems is the tuple form; items then validates the

@@ -134,6 +134,22 @@ def test_optional_format_suite(draft_dir: str, draft: int):
     )
 
 
+def test_optional_content():
+    """optional/content.json — contentEncoding/contentMediaType assertions
+    (the reference skips this file; we validate them)."""
+    path = os.path.join(SUITE_ROOT, "draft7", "optional", "content.json")
+    mismatches = []
+    with open(path) as f:
+        groups = json.load(f)
+    for group in groups:
+        spec = SchemaSpec(group["schema"])
+        for test in group["tests"]:
+            got = validate_instance(group["schema"], test["data"], spec=spec).valid
+            if got != test["valid"]:
+                mismatches.append(f"{group['description']} :: {test['description']}")
+    assert not mismatches, "\n".join(mismatches)
+
+
 def test_optional_bignum():
     """optional/bignum.json — arbitrary-precision parity
     (validators.go:486-560 big.Float semantics via Fraction)."""
