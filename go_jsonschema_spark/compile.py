@@ -507,19 +507,30 @@ def json_column_predicate(
     """Pandas UDF: validate a column of JSON *strings* against ``schema``.
 
     The slow-path escape hatch for truly dynamic payloads (e.g. an
-    ``events.props`` JSON column): the parity interpreter runs once per
-    Arrow batch over ~10k parsed values — never a per-row pyspark UDF.
-    Unparseable JSON is invalid, matching the reference's empty/garbage
-    handling (validators.go:55-62)."""
+    ``events.props`` JSON column): the spec is CLOSURE-COMPILED once per
+    Python worker (interp_compile.py — the setupValidators analogue,
+    ~2× the re-walking interpreter) and runs once per Arrow batch over
+    ~10k parsed values — never a per-row pyspark UDF.  Unparseable JSON is
+    invalid, matching the reference's empty/garbage handling
+    (validators.go:55-62)."""
     import json as _json
 
-    from go_jsonschema_spark.interp import validate_instance
+    from go_jsonschema_spark.interp_compile import compile_validator
     from go_jsonschema_spark.spec import SchemaSpec
 
     spec = SchemaSpec(schema)
+    cell: list = []  # compile lazily inside the worker, once
 
     @F.pandas_udf(T.BooleanType())
     def _judge(s: pd.Series) -> pd.Series:
+        if not cell:
+            cell.append(
+                compile_validator(
+                    schema, spec=spec, draft=draft,
+                    assert_formats=assert_formats,
+                )
+            )
+        validate = cell[0]
         out = []
         for raw in s:
             if raw is None:
@@ -530,12 +541,7 @@ def json_column_predicate(
             except (ValueError, TypeError):
                 out.append(False)
                 continue
-            out.append(
-                validate_instance(
-                    schema, v, draft=draft, spec=spec,
-                    assert_formats=assert_formats,
-                ).valid
-            )
+            out.append(validate(v))
         return pd.Series(out)
 
     return _judge
