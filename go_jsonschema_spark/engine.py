@@ -5,8 +5,10 @@ The Spark lifecycle replacing the reference's per-document loop
 
     spec ──(driver: normalize → resolve refs → compile)──► ConstraintPlan
     DataFrame scan ──► ONE select() computing every row predicate
-      ──► violations = explode(filter(array(struct(...)), failed))
-      ──► verdicts   = per-partition groupBy(every(pass), counts)
+      ──► failing rows carry their violation entries (array, un-exploded)
+      ──► violations = explode(entries); verdicts = per-partition row
+          counts (single-column scan) ⋈ aggregates over the SMALL
+          violation set — the predicate forest is never evaluated twice
     table checks (unique / foreign_key / stats / drift) run as separate
     aggregate stages over narrow projections of the same table.
 

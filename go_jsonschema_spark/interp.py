@@ -332,6 +332,9 @@ def compile_ecma_regex(pattern: str) -> re.Pattern | None:
         p = re.sub(
             r"\\c([a-zA-Z])", lambda m: f"\\x{ord(m.group(1).upper()) - 64:02x}", pattern
         )
+        # ECMA named groups (?<name>...) → Python (?P<name>...); leave
+        # lookbehind (?<= / (?<! untouched
+        p = re.sub(r"\(\?<([A-Za-z_][A-Za-z0-9_]*)>", r"(?P<\1>", p)
         rx = re.compile(p)
     except re.error:
         rx = None
