@@ -207,6 +207,47 @@ class ConstraintSuite:
             out = out.unionByName(p)
         return out
 
+    def metrics(
+        self,
+        df: DataFrame,
+        *,
+        baselines: dict[str, DataFrame] | None = None,
+    ) -> dict[str, Any]:
+        """Execute the metric-kind table checks declared in the spec:
+        ``stats`` → one-agg-pass profile DataFrame; ``drift`` → DriftReport
+        vs the baseline histogram passed in ``baselines[check id]``;
+        ``row_count`` → long.  Returned dict is keyed by check id (stats
+        uses the id ``stats``)."""
+        from go_jsonschema_spark.operators.drift import drift_check
+        from go_jsonschema_spark.operators.stats import column_stats
+
+        baselines = baselines or {}
+        out: dict[str, Any] = {}
+        for tc in self.spec.table_checks:
+            kind = tc["kind"]
+            if kind == "stats":
+                out[tc.get("id", "stats")] = column_stats(
+                    df, tc.get("columns"),
+                    quantiles=tc.get("quantiles"),
+                )
+            elif kind == "drift":
+                if tc["id"] not in baselines:
+                    raise KeyError(
+                        f"drift check {tc['id']!r} needs a baseline "
+                        f"histogram via metrics(..., baselines={{...}})"
+                    )
+                out[tc["id"]] = drift_check(
+                    df,
+                    tc["column"],
+                    baselines[tc["id"]],
+                    bucket_width=tc["bucket_width"],
+                    ks_threshold=tc.get("ks_threshold", 0.1),
+                    psi_threshold=tc.get("psi_threshold", 0.2),
+                )
+            elif kind == "row_count":
+                out[tc["id"]] = df.count()
+        return out
+
     def row_only(self) -> "ConstraintSuite":
         """A copy of this suite with the dataset-level checks stripped —
         what the checkpoint layer runs per partition batch."""

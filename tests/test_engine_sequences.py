@@ -174,6 +174,40 @@ def test_drift_detected(spark):
     assert not rep_all.passed
 
 
+def test_suite_metrics(spark, seq):
+    """The stats/drift table checks declared in the spec execute via
+    suite.metrics()."""
+    from go_jsonschema_spark.engine import ConstraintSuite
+
+    suite = ConstraintSuite(synth.sequences_table_spec(), key="doc_id")
+    baseline = synth.ntok_baseline(spark, N)
+    m = suite.metrics(seq, baselines={"drift:n_tok": baseline})
+    stats = {r["column"]: r for r in m["stats"].collect()}
+    assert stats["n_tok"]["n"] == N
+    rep = m["drift:n_tok"]
+    assert not rep.passed  # drifted slice planted
+    assert rep.psi > 0
+
+
+def test_grouped_drift(spark, seq):
+    """Per-group drift: the drifted slice lives in part==N_PARTS-1; every
+    other part should pass vs the clean baseline histogram."""
+    from go_jsonschema_spark.operators.group_checks import grouped_drift
+
+    base = {
+        int(r["bucket"]): int(r["count"])
+        for r in synth.ntok_baseline(spark, N).collect()
+    }
+    rows = {r["group"]: r for r in grouped_drift(
+        seq, "part", "n_tok", base, bucket_width=32, psi_threshold=0.25
+    ).collect()}
+    assert set(rows) == {str(p) for p in range(synth.N_PARTS)}
+    drifted = str(synth.N_PARTS - 1)
+    assert not rows[drifted]["passed"]
+    others_passed = [r["passed"] for g, r in rows.items() if g != drifted]
+    assert sum(others_passed) >= len(others_passed) - 1  # allow 1 borderline
+
+
 def test_stats_single_pass(spark, seq):
     from go_jsonschema_spark.operators.stats import column_stats
 
