@@ -179,11 +179,12 @@ def _q_topk_users_by_value(spark: SparkSession, sf: str) -> DataFrame:
     sums = e.groupBy("user_id").agg(
         F.round(F.sum("value"), 2).alias("total")
     )
+    # orderBy+limit compiles to TakeOrderedAndProject (per-partition heaps,
+    # no single-partition Exchange of the full per-user aggregate); the rank
+    # window then runs over the 20 surviving rows only
+    top = sums.orderBy(F.col("total").desc(), F.col("user_id")).limit(20)
     w = Window.orderBy(F.col("total").desc(), F.col("user_id"))
-    return (
-        sums.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 20)
-    )
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
 
 
 def _q_sessionize_events(spark: SparkSession, sf: str) -> DataFrame:
@@ -266,10 +267,14 @@ def _q_lang_id_documents(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q_minhash_pairs_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH candidates + exact-Jaccard verify.  bands=16 (r=4) puts the
+    S-curve far below the 0.9 output threshold — P(collide) for a
+    0.9-similar pair is 1-(1-0.9^4)^16 ≈ 1-4e-8, so the output equals the
+    brute-force pair set and DuckDB can oracle it."""
     from go_jsonschema_spark.operators.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(
-        _t(spark, sf, "documents"), threshold=0.9, k=64, bands=8
+        _t(spark, sf, "documents"), threshold=0.9, k=64, bands=16
     )
 
 
@@ -285,6 +290,17 @@ def _q_exact_dups_documents(spark: SparkSession, sf: str) -> DataFrame:
     return exact_duplicates(_t(spark, sf, "documents")).select(
         "doc_id", "keeper_id", "group_size"
     )
+
+
+def _q_ann_topk_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact brute-force cosine top-k (TakeOrderedAndProject) — the ANN
+    correctness baseline, oracle-matched against DuckDB's own brute force."""
+    from go_jsonschema_spark.operators.ann import topk_cosine
+
+    e = _t(spark, sf, "embeddings")
+    qv = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    t = topk_cosine(e, qv, k=10)
+    return t.select("vec_id", F.round("cosine", 4).alias("cos"))
 
 
 def _q_ann_lsh_embeddings(spark: SparkSession, sf: str) -> DataFrame:
@@ -305,20 +321,23 @@ def _q_ann_ivf_embeddings(spark: SparkSession, sf: str) -> DataFrame:
 
 def _q_props_json_validation(spark: SparkSession, sf: str) -> DataFrame:
     """Dynamic-JSON path: validate events.props with the Arrow-batched
-    interpreter UDF; return failing event ids + payload."""
-    from go_jsonschema_spark.compile import json_column_errors
+    closure-compiled validator UDF; return failing event ids + payload.
+    (Engine-specific error strings stay out of the output so DuckDB's JSON
+    functions can express the oracle; json_column_errors is covered by
+    tests/test_compile_typed.py.)"""
+    from go_jsonschema_spark.compile import json_column_predicate
 
     schema = {
         "type": "object",
         "required": ["k"],
         "properties": {"k": {"type": "integer", "minimum": 0, "maximum": 49}},
     }
-    errs = json_column_errors(schema)
+    ok = json_column_predicate(schema)
     e = _t(spark, sf, "events")
     return (
-        e.select("event_id", "props", errs(F.col("props")).alias("errors"))
-        .filter(F.size("errors") > 0)
-        .select("event_id", "props", F.element_at("errors", 1).alias("error"))
+        e.select("event_id", "props", ok(F.col("props")).alias("__ok__"))
+        .filter(~F.col("__ok__"))
+        .select("event_id", "props")
     )
 
 
@@ -383,10 +402,18 @@ def _q_column_stats_full(spark: SparkSession, sf: str) -> DataFrame:
     (DuckDB's approximations differ)."""
     from go_jsonschema_spark.operators.stats import column_stats
 
-    return column_stats(
+    s = column_stats(
         _t(spark, sf, "lineitem"),
         ["l_quantity", "l_extendedprice", "l_orderkey"],
         quantiles=[0.5, 0.95, 0.99],
+    )
+    # scalar quantile columns (not array<double>) so the driver's
+    # canonicalizer can hash the rows
+    return s.select(
+        "column", "n", "n_null", "n_distinct_approx", "min", "max", "mean",
+        F.element_at("quantiles", 1).alias("q50"),
+        F.element_at("quantiles", 2).alias("q95"),
+        F.element_at("quantiles", 3).alias("q99"),
     )
 
 
@@ -394,7 +421,13 @@ def _q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     from go_jsonschema_spark.operators import multimodal
 
     media = multimodal.synth_media(spark, 128)
-    return multimodal.extract_features(media, fake=True)
+    feats = multimodal.extract_features(media, fake=True)
+    # JSON-serialize the feature vector — array columns break the driver's
+    # row canonicalizer
+    return feats.select(
+        "media_id", "kind", "n_bytes", "checksum",
+        F.to_json("feature").alias("feature_json"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -423,6 +456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs_documents": _q_minhash_pairs_documents,
         "simhash_pairs_documents": _q_simhash_pairs_documents,
         "exact_dups_documents": _q_exact_dups_documents,
+        "ann_topk_exact": _q_ann_topk_exact,
         "ann_lsh_embeddings": _q_ann_lsh_embeddings,
         "ann_ivf_embeddings": _q_ann_ivf_embeddings,
         "props_json_validation": _q_props_json_validation,
@@ -438,6 +472,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _LANGS_SQL = ", ".join(f"'{x}'" for x in DOC_LANGS)
 _ETYPES_SQL = ", ".join(f"'{x}'" for x in EVENT_TYPES)
+
+
+def _lang_id_oracle() -> str:
+    """DuckDB replica of functions.text.lang_id: per-language stopword-hit
+    counts over the distinct word set, argmax with ties broken by the
+    LANG_STOPWORDS declaration order, 'und' when nothing scores."""
+    from go_jsonschema_spark.functions.text import LANG_STOPWORDS
+
+    langs = list(LANG_STOPWORDS)
+    score_cols = ",\n                   ".join(
+        "len(list_intersect(ws, ["
+        + ", ".join(f"'{s}'" for s in LANG_STOPWORDS[lg])
+        + f"])) AS s_{lg}"
+        for lg in langs
+    )
+    best = "greatest(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+    cases = "\n                        ".join(
+        f"WHEN s_{lg} = best THEN '{lg}'" for lg in langs
+    )
+    return f"""
+        WITH w AS (
+            SELECT doc_id,
+                   list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS ws
+            FROM documents
+        ), s AS (
+            SELECT doc_id,
+                   {score_cols}
+            FROM w
+        ), b AS (SELECT *, {best} AS best FROM s)
+        SELECT doc_id,
+               CASE WHEN best = 0 THEN 'und'
+                        {cases}
+                    ELSE 'und' END AS pred_lang
+        FROM b
+    """
+
+
+_LANG_ID_ORACLE = _lang_id_oracle()
 
 _DOC_PASS = (
     f"doc_id >= 0 AND lang IN ({_LANGS_SQL}) AND source ~ '^src[0-9]+$' "
@@ -646,5 +718,67 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(embedding::DOUBLE[], qv), 4) AS cos
             FROM embeddings, q
             WHERE round(list_cosine_similarity(embedding::DOUBLE[], qv), 4) >= 0.75
+        """,
+        "exact_dups_documents": r"""
+            WITH fp AS (
+                SELECT doc_id,
+                       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+                FROM documents
+            ), g AS (
+                SELECT doc_id,
+                       min(doc_id) OVER (PARTITION BY fp) AS keeper_id,
+                       count(*) OVER (PARTITION BY fp) AS group_size
+                FROM fp
+            )
+            SELECT doc_id, keeper_id, group_size
+            FROM g WHERE group_size > 1 AND doc_id != keeper_id
+        """,
+        "lang_id_documents": _LANG_ID_ORACLE,
+        "minhash_pairs_documents": r"""
+            WITH w AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+                FROM documents WHERE text IS NOT NULL
+            ), sh AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, greatest(len(ws) - 2, 1) + 1),
+                           i -> array_to_string(ws[i:i+2], ' '))) AS s
+                FROM w
+            ), p AS (
+                SELECT l.doc_id AS a, r.doc_id AS b,
+                       CASE WHEN len(list_distinct(list_concat(l.s, r.s))) = 0
+                            THEN 1.0
+                            ELSE len(list_intersect(l.s, r.s)) * 1.0
+                                 / len(list_distinct(list_concat(l.s, r.s)))
+                       END AS jac
+                FROM sh l JOIN sh r ON l.doc_id < r.doc_id
+            )
+            SELECT a, b, round(jac, 6) AS jaccard
+            FROM p WHERE round(jac, 6) >= 0.9
+        """,
+        "props_json_validation": """
+            SELECT event_id, props FROM events
+            WHERE NOT coalesce(
+                json_valid(props)
+                AND json_type(props::JSON) = 'OBJECT'
+                AND (
+                    json_type(props::JSON, '$.k') IN ('BIGINT', 'UBIGINT')
+                    OR (json_type(props::JSON, '$.k') = 'DOUBLE'
+                        AND CAST(props::JSON->>'k' AS DOUBLE)
+                            = floor(CAST(props::JSON->>'k' AS DOUBLE)))
+                )
+                AND CAST(props::JSON->>'k' AS DOUBLE) BETWEEN 0 AND 49,
+                FALSE)
+        """,
+        "ann_topk_exact": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+                       WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(list_cosine_similarity(embedding::DOUBLE[], qv), 4) AS cos
+            FROM embeddings, q
+            ORDER BY round(list_cosine_similarity(embedding::DOUBLE[], qv), 6)
+                     DESC, vec_id
+            LIMIT 10
         """,
     }

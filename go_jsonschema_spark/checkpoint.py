@@ -20,6 +20,7 @@ outputs commit atomically, and a killed run re-does at most one batch.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import time
@@ -129,11 +130,24 @@ class ResumableValidation:
         n_run = n_skip = 0
         part_metrics: dict = {}
         row_suite = self.suite.row_only()
-        for batch in batches:
-            key = f"b{batch[0]}_{batch[-1]}"
-            if key in done:
+        for i, batch in enumerate(batches):
+            # the key embeds a hash of the batch's FULL membership: if the
+            # partition set changed between the killed run and the resume
+            # (new partition values landing inside a batch's range), the key
+            # no longer matches and the batch re-runs instead of being
+            # skipped with unvalidated partitions.  Hashing also keeps
+            # arbitrary partition values ('/', spaces, unicode) out of the
+            # manifest filenames and parquet paths.
+            member_hash = hashlib.sha1(
+                json.dumps([str(p) for p in batch]).encode()
+            ).hexdigest()[:12]
+            key = f"b{i:05d}_{member_hash}"
+            prev = done.get(key)
+            if prev is not None and [str(p) for p in prev["partitions"]] == [
+                str(p) for p in batch
+            ]:
                 n_skip += 1
-                part_metrics.update(done[key]["metrics"])
+                part_metrics.update(prev["metrics"])
                 continue
             # partition pruning: the filter reaches the scan, so completed
             # partitions are never re-read.  ROW-level checks only — the

@@ -212,8 +212,16 @@ def compile_predicate(
         if "minLength" in schema:
             preds.append(_null_safe(col, F.length(col) >= schema["minLength"]))
         if "pattern" in schema:
-            # Java regex via rlike; ECMA dialect gap documented in SURVEY §4.3
-            preds.append(_null_safe(col, col.rlike(schema["pattern"])))
+            # rlike (Java dialect) by default; patterns Java rejects are
+            # routed through the ECMA batch UDF (functions/regex.py — the
+            # helpers.go:69-86 translation, detected by JVM test-compile)
+            from go_jsonschema_spark.functions.regex import (
+                ecma_pattern_predicate,
+            )
+
+            preds.append(
+                _null_safe(col, ecma_pattern_predicate(col, schema["pattern"]))
+            )
         if "format" in schema:
             from go_jsonschema_spark.functions.formats import format_predicate
 

@@ -41,19 +41,41 @@ _BOUND_PAIRS = {
     "contains": ("contains", "minContains", "maxContains"),
     "properties": ("properties", "patternProperties", "additionalProperties",
                    "required"),
+    # standalone-rider anchors: when the usual anchor keyword is absent the
+    # rider becomes its own group (otherwise {"required": [...]} or a bare
+    # numeric exclusiveMaximum would silently compile to zero predicates)
+    "required": ("required",),
+    "patternProperties": ("patternProperties", "additionalProperties"),
+    "additionalProperties": ("additionalProperties",),
+    "exclusiveMaximum": ("exclusiveMaximum",),
+    "exclusiveMinimum": ("exclusiveMinimum",),
 }
-_SKIP_KEYWORDS = {
+_ANNOTATIONS = {
     # annotations — parsed, preserved, never validated (parser.go:90-99 and
     # the reference's non-validating keywords)
     "$id", "id", "$schema", "$comment", "title", "description", "default",
     "readOnly", "writeOnly", "examples", "definitions", "$defs",
     "contentMediaType", "contentEncoding",
-    # handled as riders on their pair
-    "exclusiveMaximum", "exclusiveMinimum", "additionalItems",
-    "minContains", "maxContains",
-    "patternProperties", "additionalProperties", "required",
-    # if/then/else compile as one unit keyed "if"
-    "then", "else",
+}
+# rider keyword -> anchors that absorb it; a rider only skips compilation
+# when at least one anchor is present in the same schema.  Riders whose
+# semantics are *defined as ignored* without their anchor (additionalItems
+# without tuple items, min/maxContains without contains, then/else without
+# if) list no standalone fallback and are skipped unconditionally via
+# _IGNORED_WITHOUT_ANCHOR.
+_RIDER_ANCHORS = {
+    "exclusiveMaximum": ("maximum",),
+    "exclusiveMinimum": ("minimum",),
+    "required": ("properties",),
+    "patternProperties": ("properties",),
+    "additionalProperties": ("properties", "patternProperties"),
+}
+_IGNORED_WITHOUT_ANCHOR = {
+    "additionalItems": ("items",),
+    "minContains": ("contains",),
+    "maxContains": ("contains",),
+    "then": ("if",),
+    "else": ("if",),
 }
 
 
@@ -124,7 +146,21 @@ class ConstraintSuite:
             # per-keyword decomposition → violation granularity matches the
             # reference's per-validator errors (setupValidators analogue)
             for kw in schema:
-                if kw in _SKIP_KEYWORDS:
+                if kw in _ANNOTATIONS:
+                    continue
+                anchors = _RIDER_ANCHORS.get(kw)
+                if anchors and any(a in schema for a in anchors):
+                    continue  # compiled as part of the anchor's group
+                ignored = _IGNORED_WITHOUT_ANCHOR.get(kw)
+                if ignored:
+                    # with its anchor: rides along; without: spec-defined
+                    # no-op either way
+                    continue
+                # draft-4 boolean exclusive flags without their bound are
+                # spec-defined no-ops; numeric (draft>=6) standalone forms
+                # must compile on their own
+                if kw in ("exclusiveMaximum", "exclusiveMinimum") and \
+                        isinstance(schema[kw], bool):
                     continue
                 if kw == "items" and "prefixItems" in schema:
                     continue  # rider on prefixItems (2020-12 rest schema)
@@ -173,7 +209,9 @@ class ConstraintSuite:
                 parts.append(
                     uniqueness_violations(
                         df,
-                        tc["columns"][0] if "columns" in tc else tc["column"],
+                        # composite keys pass the full list → struct key;
+                        # a single-element list degrades to the plain column
+                        tc["columns"] if "columns" in tc else tc["column"],
                         constraint_id=tc["id"],
                         salt_buckets=tc.get("salt_buckets", 64),
                     )

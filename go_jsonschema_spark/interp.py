@@ -678,7 +678,7 @@ def _validate(
                             return False
             else:
                 if not _validate(dep, v, spec, draft, registry, fmt, errors,
-                                 all_, path):
+                                 all_, path, _ref_depth):
                     if not fail("dependencies", f"schema dep on {k!r} failed"):
                         return False
         for k, need_list in (schema.get("dependentRequired") or {}).items():
@@ -691,7 +691,7 @@ def _validate(
         for k, dep in (schema.get("dependentSchemas") or {}).items():
             if k in v:
                 if not _validate(dep, v, spec, draft, registry, fmt, errors,
-                                 all_, path):
+                                 all_, path, _ref_depth):
                     if not fail("dependentSchemas",
                                 f"schema dep on {k!r} failed"):
                         return False
@@ -699,12 +699,14 @@ def _validate(
     # combinators (validators.go:435-484)
     if "allOf" in schema:
         for i, s in enumerate(schema["allOf"]):
-            if not _validate(s, v, spec, draft, registry, fmt, errors, all_, path):
+            if not _validate(s, v, spec, draft, registry, fmt, errors, all_,
+                             path, _ref_depth):
                 if not fail("allOf", f"subschema {i} failed"):
                     return False
     if "anyOf" in schema:
         if not any(
-            _validate(s, v, spec, draft, registry, fmt, [], False, path)
+            _validate(s, v, spec, draft, registry, fmt, [], False, path,
+                      _ref_depth)
             for s in schema["anyOf"]
         ):
             if not fail("anyOf", "no subschema matched"):
@@ -713,22 +715,25 @@ def _validate(
         n = sum(
             1
             for s in schema["oneOf"]
-            if _validate(s, v, spec, draft, registry, fmt, [], False, path)
+            if _validate(s, v, spec, draft, registry, fmt, [], False, path,
+                         _ref_depth)
         )
         if n != 1:
             if not fail("oneOf", f"{n} subschemas matched, want exactly 1"):
                 return False
     if "not" in schema:
-        if _validate(schema["not"], v, spec, draft, registry, fmt, [], False, path):
+        if _validate(schema["not"], v, spec, draft, registry, fmt, [], False,
+                     path, _ref_depth):
             if not fail("not", "subschema matched"):
                 return False
     # if/then/else (validators.go:630-648)
     if "if" in schema:
-        cond = _validate(schema["if"], v, spec, draft, registry, fmt, [], False, path)
+        cond = _validate(schema["if"], v, spec, draft, registry, fmt, [], False,
+                         path, _ref_depth)
         branch = schema.get("then" if cond else "else")
         if branch is not None:
             if not _validate(branch, v, spec, draft, registry, fmt, errors,
-                             all_, path):
+                             all_, path, _ref_depth):
                 if not fail("then" if cond else "else", "branch failed"):
                     return False
 

@@ -98,10 +98,17 @@ def _compile(
 
     sub = lambda s: _compile(s, spec, draft, registry, fmt, memo)  # noqa: E731
 
-    # $ref short-circuits siblings (parser.go:323-326); resolve lazily ONCE
+    # $ref short-circuits siblings (parser.go:323-326); resolve lazily ONCE.
+    # A shared per-compilation depth counter bounds RUNTIME recursion: a
+    # cycle that does not shrink the value ({"$ref": "#"} or
+    # {"allOf": [{"$ref": "#"}]}) would otherwise recurse until the Python
+    # UDF worker dies with RecursionError; instead it fails the value like
+    # the interpreter's _ref_depth > 100 guard (circularThreshold analogue,
+    # /root/reference/schema.go:24-26).
     ref = schema.get("$ref")
     if isinstance(ref, str):
         cell: list[Validator] = []
+        depth = memo.setdefault("__ref_depth__", [0])  # type: ignore[arg-type]
 
         def ref_v(v: Any) -> bool:
             if not cell:
@@ -112,7 +119,13 @@ def _compile(
                     _compile(target, towner if towner is not spec else spec,
                              draft, registry, fmt, memo)
                 )
-            return cell[0](v)
+            if depth[0] > 100:
+                return False
+            depth[0] += 1
+            try:
+                return cell[0](v)
+            finally:
+                depth[0] -= 1
 
         fns.append(ref_v)
         return run

@@ -13,7 +13,7 @@ Arrow boundary.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, Window, functions as F, types as T
 
 __all__ = ["asof_join"]
 
@@ -31,11 +31,18 @@ def asof_join(
     right row with the same ``key`` and ``right.ts <= left.ts`` (NULLs when
     none exists).  Column names of attached payload get ``suffix``."""
     lcols = left.columns
+    # ALL payload columns travel as ONE struct so they always come from the
+    # same, truly most-recent right row: with per-column last(ignorenulls),
+    # a right row whose payload value is legitimately NULL would be skipped
+    # in favor of a stale earlier value, and different payload columns could
+    # come from different right rows — deviating from merge_asof semantics.
+    payload_struct_t = T.StructType(
+        [T.StructField(p, right.schema[p].dataType) for p in payload]
+    )
     tagged_l = left.select(
         *lcols,
         F.lit(1).alias("__side__"),
-        *[F.lit(None).cast(right.schema[p].dataType).alias(f"__p_{p}__")
-          for p in payload],
+        F.lit(None).cast(payload_struct_t).alias("__p__"),
     )
     tagged_r = right.select(
         *[
@@ -45,7 +52,7 @@ def asof_join(
             for c in lcols
         ],
         F.lit(0).alias("__side__"),
-        *[F.col(p).alias(f"__p_{p}__") for p in payload],
+        F.struct(*[F.col(p) for p in payload]).alias("__p__"),
     )
     both = tagged_l.unionByName(tagged_r)
     # right rows sort before left rows at equal ts (side 0 < 1) → a right
@@ -58,9 +65,15 @@ def asof_join(
     carried = both.select(
         *lcols,
         "__side__",
-        *[
-            F.last(f"__p_{p}__", ignorenulls=True).over(w).alias(f"{p}{suffix}")
-            for p in payload
-        ],
+        F.last("__p__", ignorenulls=True).over(w).alias("__pl__"),
     )
-    return carried.filter(F.col("__side__") == 1).drop("__side__")
+    return (
+        carried.filter(F.col("__side__") == 1)
+        .select(
+            *lcols,
+            *[
+                F.col("__pl__").getField(p).alias(f"{p}{suffix}")
+                for p in payload
+            ],
+        )
+    )

@@ -41,11 +41,40 @@ def _spread(df: DataFrame) -> DataFrame:
     (one parquet file → one partition) would otherwise serialize the whole
     LSH pipeline onto a single task.  No-op for big inputs — at 100 TB the
     scan already has thousands of partitions and an extra shuffle here
-    would be pure waste."""
+    would be pure waste.  Sizing uses ``inputFiles()`` (a metadata lookup)
+    rather than ``df.rdd.getNumPartitions()``, which would force an RDD
+    conversion + plan compile per call."""
     sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+    try:
+        n_in = len(df.inputFiles())
+    except Exception:  # pragma: no cover - exotic sources
+        n_in = 0
+    # n_in == 0 → non-file source (in-memory/synthetic, i.e. small)
+    if n_in < sc.defaultParallelism:
         return df.repartition(sc.defaultParallelism)
     return df
+
+
+def _cap_buckets(
+    keyed: DataFrame, key_cols: list[str], max_bucket: int | None
+) -> DataFrame:
+    """Drop degenerate LSH buckets (> ``max_bucket`` members).
+
+    A pathological corpus (millions of empty or identical documents) makes
+    one bucket quadratic in the candidate self-join; the standard fix is to
+    cap bucket size — members of a capped bucket are exactly the rows an
+    upstream *exact* dedup pass already collapses, so recall loss is
+    confined to corpora that skipped exact dedup.  The window count
+    pre-shuffles on the join key, so the following self-join reuses the
+    exchange instead of adding one."""
+    if max_bucket is None:
+        return keyed
+    w = Window.partitionBy(*key_cols)
+    return (
+        keyed.withColumn("__bn__", F.count(F.lit(1)).over(w))
+        .filter(F.col("__bn__") <= max_bucket)
+        .drop("__bn__")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -111,6 +140,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     shingle_n: int = 3,
     threshold: float = 0.8,
+    max_bucket: int | None = 1024,
 ) -> DataFrame:
     """Near-duplicate pairs ``(a, b, jaccard)`` with jaccard ≥ threshold.
 
@@ -127,7 +157,8 @@ def minhash_lsh_pairs(
     which keeps candidate volume (the real cost at scale — measured 76 s
     vs 8 s at sf0.1 with r=4 + array-carrying joins) near the true-pair
     count.  For recall-critical production set bands=16 (r=4) and accept
-    the larger candidate join."""
+    the larger candidate join.  ``max_bucket`` caps degenerate band
+    buckets (see :func:`_cap_buckets`); run exact dedup first."""
     r = k // bands
     base = _spread(df).select(
         F.col(id_col).alias("id"),
@@ -152,6 +183,7 @@ def minhash_lsh_pairs(
             )
         ).alias("e"),
     ).select("id", "e.band", "e.bh")
+    banded = _cap_buckets(banded, ["band", "bh"], max_bucket)
 
     cand = (
         banded.alias("l")
@@ -160,7 +192,10 @@ def minhash_lsh_pairs(
         .select(F.col("l.id").alias("a"), F.col("rt.id").alias("b"))
         .dropDuplicates(["a", "b"])
     )
-    sh_tbl = sig.select("id", "sh")
+    # re-attach by id from the SHINGLE table (base), not the signature
+    # plan — re-running the k minhash permutations twice more just to read
+    # back `sh` would triple the signature cost
+    sh_tbl = base.select("id", "sh")
     withsh = (
         cand.join(sh_tbl.select(F.col("id").alias("a"), F.col("sh").alias("sh_a")), "a")
         .join(sh_tbl.select(F.col("id").alias("b"), F.col("sh").alias("sh_b")), "b")
@@ -215,6 +250,7 @@ def simhash_dup_pairs(
     *,
     max_hamming: int = 3,
     shingle_n: int = 2,
+    max_bucket: int | None = 1024,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the 64-bit signature into 4 16-bit
     blocks (pigeonhole: hamming ≤ 3 ⟹ at least one block identical),
@@ -222,7 +258,10 @@ def simhash_dup_pairs(
 
     Returns ``(a, b, hamming)``.  Stage layout mirrors minhash_lsh_pairs:
     hash once (narrow) → signature (narrow) → explode 4 block keys →
-    ONE shuffle for the self-join → exact verify."""
+    ONE shuffle for the self-join → exact verify.  The self-join takes the
+    SAME DataFrame on both sides (aliases, not re-derived selects) so
+    Catalyst plans one Exchange + ReusedExchange — the 63-expression
+    signature is computed once, not once per side."""
     hashed = _spread(df).select(
         F.col(id_col).alias("id"),
         F.transform(
@@ -247,14 +286,18 @@ def simhash_dup_pairs(
             )
         ).alias("e"),
     ).select("id", "sig", "e.blk", "e.bv")
-    left = blocks.select("blk", "bv", F.col("id").alias("a"), F.col("sig").alias("sig_a"))
-    right = blocks.select("blk", "bv", F.col("id").alias("b"), F.col("sig").alias("sig_b"))
-    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    blocks = _cap_buckets(blocks, ["blk", "bv"], max_bucket)
+    ham = F.bit_count(F.col("l.sig").bitwiseXOR(F.col("rt.sig")))
     return (
-        left.join(right, on=["blk", "bv"])
-        .filter(F.col("a") < F.col("b"))
+        blocks.alias("l")
+        .join(blocks.alias("rt"), on=["blk", "bv"])
+        .filter(F.col("l.id") < F.col("rt.id"))
+        .select(
+            F.col("l.id").alias("a"),
+            F.col("rt.id").alias("b"),
+            ham.alias("hamming"),
+        )
         .dropDuplicates(["a", "b"])
-        .select("a", "b", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
 
@@ -284,6 +327,7 @@ def embedding_cosine_pairs(
     n_planes: int = 12,
     seed: int = 42,
     dim: int | None = None,
+    max_bucket: int | None = 4096,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine ≥ threshold.
 
@@ -310,14 +354,18 @@ def embedding_cosine_pairs(
         bucket = bucket.bitwiseOR(F.shiftleft(bit, i))
 
     b = _spread(df).select(F.col(id_col).alias("id"), vec.alias("v"), bucket.alias("bkt"))
-    left = b.select("bkt", F.col("id").alias("a"), F.col("v").alias("va"))
-    right = b.select("bkt", F.col("id").alias("b"), F.col("v").alias("vb"))
-    cos = _dot(F.col("va"), F.col("vb")) / (
-        _norm(F.col("va")) * _norm(F.col("vb"))
+    b = _cap_buckets(b, ["bkt"], max_bucket)
+    cos = _dot(F.col("l.v"), F.col("rt.v")) / (
+        _norm(F.col("l.v")) * _norm(F.col("rt.v"))
     )
     return (
-        left.join(right, on="bkt")
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b", F.round(cos, 6).alias("cosine"))
+        b.alias("l")
+        .join(b.alias("rt"), on="bkt")
+        .filter(F.col("l.id") < F.col("rt.id"))
+        .select(
+            F.col("l.id").alias("a"),
+            F.col("rt.id").alias("b"),
+            F.round(cos, 6).alias("cosine"),
+        )
         .filter(F.col("cosine") >= threshold)
     )

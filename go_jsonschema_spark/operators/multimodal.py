@@ -82,6 +82,8 @@ def extract_features(
     stay fully typed."""
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import zlib
+
         decoder = _decode_fake if fake else (lambda p: decode_image(p))
         for pdf in batches:
             out = pd.DataFrame(
@@ -91,8 +93,11 @@ def extract_features(
                     "n_bytes": pdf["payload"].map(
                         lambda p: 0 if p is None else len(p)
                     ),
+                    # crc32: deterministic across workers/runs, unlike
+                    # Python's per-process-salted hash() — and the same
+                    # polynomial as Spark's native F.crc32
                     "checksum": pdf["payload"].map(
-                        lambda p: 0 if p is None else hash(bytes(p)) & 0x7FFFFFFF
+                        lambda p: 0 if p is None else zlib.crc32(bytes(p))
                     ),
                     "feature": pdf["payload"].map(
                         lambda p: decoder(None if p is None else bytes(p))
@@ -150,19 +155,33 @@ def sample_frames(
         raise NotImplementedError("ffmpeg/pyav not installed in this sandbox")
 
     def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             pdf = pdf[pdf["kind"] == "video"]
-            out = []
-            for _, row in pdf.iterrows():
-                dur = row["meta"]["duration_ms"] or 0
-                n = max(dur // every_ms, 1)
-                p = bytes(row["payload"] or b"")
-                for i in range(n):
-                    out.append(
-                        (row["media_id"], i, p[i % max(len(p), 1):][:16])
-                    )
+            if pdf.empty:
+                yield pd.DataFrame(
+                    {"media_id": pd.Series(dtype=object),
+                     "frame_idx": pd.Series(dtype="int32"),
+                     "frame": pd.Series(dtype=object)}
+                )
+                continue
+            # vectorized explode: one np.repeat over the batch instead of
+            # per-row iterrows; the per-frame slice stays a cheap list
+            # comprehension over (payload, idx) pairs (the real decoder
+            # would batch-decode here)
+            durs = pdf["meta"].map(lambda m: (m["duration_ms"] or 0))
+            n_frames = np.maximum(durs.to_numpy() // every_ms, 1)
+            ids = np.repeat(pdf["media_id"].to_numpy(), n_frames)
+            payloads = np.repeat(pdf["payload"].to_numpy(), n_frames)
+            idx = np.concatenate([np.arange(n) for n in n_frames])
+            frames = [
+                bytes(p or b"")[i % max(len(p or b""), 1):][:16]
+                for p, i in zip(payloads, idx)
+            ]
             yield pd.DataFrame(
-                out, columns=["media_id", "frame_idx", "frame"]
+                {"media_id": ids, "frame_idx": idx.astype("int32"),
+                 "frame": frames}
             )
 
     return media.mapInPandas(_frames, FRAMES_SCHEMA)

@@ -22,10 +22,24 @@ from pyspark.sql import DataFrame, functions as F
 __all__ = ["duplicate_keys", "uniqueness_violations", "approx_unique_ratio"]
 
 
+def _key_col(key: str | list[str]):
+    """Single column or composite (struct) key expression + a display name.
+
+    Composite keys build one struct column so the shuffle key is the full
+    tuple — grouping on ``columns[0]`` alone would both miss true composite
+    duplicates and falsely flag rows unique on the tuple."""
+    if isinstance(key, str):
+        return F.col(key), key
+    if len(key) == 1:
+        return F.col(key[0]), key[0]
+    return F.struct(*[F.col(k) for k in key]), "(" + ",".join(key) + ")"
+
+
 def duplicate_keys(
-    df: DataFrame, key: str, *, salt_buckets: int = 64
+    df: DataFrame, key: str | list[str], *, salt_buckets: int = 64
 ) -> DataFrame:
     """Keys occurring more than once, with their counts: ``(key, n_dup)``.
+    ``key`` may be one column name or a list (composite key → struct).
 
     Two-phase salted aggregation: phase 1 groups on ``(key, salt)`` where
     the salt is a cheap per-row counter hash (NOT a hash of row content —
@@ -33,8 +47,9 @@ def duplicate_keys(
     identical duplicate rows would collapse onto one salt, defeating the
     spread), so a hot key fans out over ``salt_buckets`` reduce tasks;
     phase 2 sums the per-salt partial counts per key."""
+    kcol, _ = _key_col(key)
     salted = df.select(
-        F.col(key).alias("key"),
+        kcol.alias("key"),
         F.pmod(
             F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets)
         ).alias("__salt__"),
@@ -50,15 +65,22 @@ def duplicate_keys(
 
 
 def uniqueness_violations(
-    df: DataFrame, key: str, *, constraint_id: str | None = None,
+    df: DataFrame, key: str | list[str], *, constraint_id: str | None = None,
     salt_buckets: int = 64,
 ) -> DataFrame:
     """Violation rows ``(doc_id, constraint_id, observed)`` for duplicate
-    keys — ``observed`` is the duplicate count as a string."""
-    cid = constraint_id or f"unique:{key}"
+    keys — ``observed`` is the duplicate count as a string.  Composite keys
+    serialize as JSON so the violation row stays one string column."""
+    kcol, kname = _key_col(key)
+    cid = constraint_id or f"unique:{kname}"
     dups = duplicate_keys(df, key, salt_buckets=salt_buckets)
+    doc_id = (
+        F.to_json(F.col("key"))
+        if isinstance(key, list) and len(key) > 1
+        else F.col("key").cast("string")
+    )
     return dups.select(
-        F.col("key").cast("string").alias("doc_id"),
+        doc_id.alias("doc_id"),
         F.lit(cid).alias("constraint_id"),
         F.concat(F.lit("count="), F.col("n_dup").cast("string")).alias("observed"),
     )

@@ -2,7 +2,8 @@
 ``queries()`` entry at sf0.01 and compare against ``oracle_sql()`` via
 DuckDB — row count, column names, and order-insensitive value equality.
 
-Usage: python tools/check_oracles.py [sf_dir]
+Usage: python tools/check_oracles.py [sf_dir] [query_name ...]
+(with query names given, only those queries are checked)
 """
 
 from __future__ import annotations
@@ -34,7 +35,7 @@ def norm_cell(v):
     return v
 
 
-def main(sf_dir: str) -> int:
+def main(sf_dir: str, only: list[str] | None = None) -> int:
     import duckdb
     from pyspark.sql import SparkSession
 
@@ -57,6 +58,8 @@ def main(sf_dir: str) -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if only:
+        qs = {k: v for k, v in qs.items() if k in only}
     n_ok = n_bad = 0
     for name, fn in qs.items():
         t0 = time.time()
@@ -115,4 +118,9 @@ def main(sf_dir: str) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"))
+    sys.exit(
+        main(
+            sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01",
+            sys.argv[2:] or None,
+        )
+    )
