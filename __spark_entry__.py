@@ -341,6 +341,29 @@ def _q_props_json_validation(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_props_json_native(spark: SparkSession, sf: str) -> DataFrame:
+    """Same validation as props_json_validation but fully JVM-side:
+    from_json + the typed Catalyst compiler + variant type witnesses
+    (functions/json_native.py) — zero Python in the row path.  Checked
+    against the same DuckDB oracle as the UDF path."""
+    from go_jsonschema_spark.functions.json_native import (
+        json_column_predicate_native,
+    )
+
+    schema = {
+        "type": "object",
+        "required": ["k"],
+        "properties": {"k": {"type": "integer", "minimum": 0, "maximum": 49}},
+    }
+    ok = json_column_predicate_native(schema)
+    e = _t(spark, sf, "events")
+    return (
+        e.select("event_id", "props", ok(F.col("props")).alias("__ok__"))
+        .filter(~F.col("__ok__"))
+        .select("event_id", "props")
+    )
+
+
 def _q_sequences_validation(spark: SparkSession, sf: str) -> DataFrame:
     """North-star flagship on the synthetic tokenized-sequences table
     (the BASELINE.json input shape): full suite, violation counts per
@@ -460,6 +483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_embeddings": _q_ann_lsh_embeddings,
         "ann_ivf_embeddings": _q_ann_ivf_embeddings,
         "props_json_validation": _q_props_json_validation,
+        "props_json_native": _q_props_json_native,
         "sequences_validation": _q_sequences_validation,
         "column_stats_full": _q_column_stats_full,
         "multimodal_features": _q_multimodal_features,
@@ -475,10 +499,12 @@ _ETYPES_SQL = ", ".join(f"'{x}'" for x in EVENT_TYPES)
 
 
 def _lang_id_oracle() -> str:
-    """DuckDB replica of functions.text.lang_id: per-language stopword-hit
-    counts over the distinct word set, argmax with ties broken by the
-    LANG_STOPWORDS declaration order, 'und' when nothing scores."""
-    from go_jsonschema_spark.functions.text import LANG_STOPWORDS
+    """DuckDB replica of functions.text.lang_id, built from the SAME
+    constants: script vote first (first range with >1/3 of non-space
+    chars, LANG_SCRIPTS order), then per-language stopword-hit argmax over
+    the distinct word set (ties broken by LANG_STOPWORDS declaration
+    order), 'und' when nothing scores."""
+    from go_jsonschema_spark.functions.text import LANG_SCRIPTS, LANG_STOPWORDS
 
     langs = list(LANG_STOPWORDS)
     score_cols = ",\n                   ".join(
@@ -487,22 +513,33 @@ def _lang_id_oracle() -> str:
         + f"])) AS s_{lg}"
         for lg in langs
     )
+    script_cols = ",\n                   ".join(
+        f"length(regexp_replace(text, '[^{rng}]', '', 'g')) AS c_{lg}"
+        for lg, rng in LANG_SCRIPTS
+    )
     best = "greatest(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+    script_cases = "\n                        ".join(
+        f"WHEN nch > 0 AND c_{lg} * 3 > nch THEN '{lg}'"
+        for lg, _ in LANG_SCRIPTS
+    )
     cases = "\n                        ".join(
         f"WHEN s_{lg} = best THEN '{lg}'" for lg in langs
     )
     return f"""
         WITH w AS (
-            SELECT doc_id,
-                   list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS ws
+            SELECT doc_id, text,
+                   list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS ws,
+                   length(regexp_replace(text, '\\s', '', 'g')) AS nch
             FROM documents
         ), s AS (
-            SELECT doc_id,
+            SELECT doc_id, nch,
+                   {script_cols},
                    {score_cols}
             FROM w
         ), b AS (SELECT *, {best} AS best FROM s)
         SELECT doc_id,
-               CASE WHEN best = 0 THEN 'und'
+               CASE {script_cases}
+                    WHEN best = 0 THEN 'und'
                         {cases}
                     ELSE 'und' END AS pred_lang
         FROM b
@@ -510,6 +547,21 @@ def _lang_id_oracle() -> str:
 
 
 _LANG_ID_ORACLE = _lang_id_oracle()
+
+_PROPS_JSON_ORACLE = """
+    SELECT event_id, props FROM events
+    WHERE NOT coalesce(
+        json_valid(props)
+        AND json_type(props::JSON) = 'OBJECT'
+        AND (
+            json_type(props::JSON, '$.k') IN ('BIGINT', 'UBIGINT')
+            OR (json_type(props::JSON, '$.k') = 'DOUBLE'
+                AND CAST(props::JSON->>'k' AS DOUBLE)
+                    = floor(CAST(props::JSON->>'k' AS DOUBLE)))
+        )
+        AND CAST(props::JSON->>'k' AS DOUBLE) BETWEEN 0 AND 49,
+        FALSE)
+"""
 
 _DOC_PASS = (
     f"doc_id >= 0 AND lang IN ({_LANGS_SQL}) AND source ~ '^src[0-9]+$' "
@@ -757,20 +809,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT a, b, round(jac, 6) AS jaccard
             FROM p WHERE round(jac, 6) >= 0.9
         """,
-        "props_json_validation": """
-            SELECT event_id, props FROM events
-            WHERE NOT coalesce(
-                json_valid(props)
-                AND json_type(props::JSON) = 'OBJECT'
-                AND (
-                    json_type(props::JSON, '$.k') IN ('BIGINT', 'UBIGINT')
-                    OR (json_type(props::JSON, '$.k') = 'DOUBLE'
-                        AND CAST(props::JSON->>'k' AS DOUBLE)
-                            = floor(CAST(props::JSON->>'k' AS DOUBLE)))
-                )
-                AND CAST(props::JSON->>'k' AS DOUBLE) BETWEEN 0 AND 49,
-                FALSE)
-        """,
+        "props_json_validation": _PROPS_JSON_ORACLE,
         "ann_topk_exact": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
                        WHERE vec_id = 0)
@@ -781,4 +820,6 @@ def oracle_sql() -> dict[str, str]:
                      DESC, vec_id
             LIMIT 10
         """,
+        # native and UDF JSON-validation paths agree with the SAME oracle
+        "props_json_native": _PROPS_JSON_ORACLE,
     }

@@ -32,8 +32,25 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
-SEQ_ROWS = {"sf0.001": 20_000, "sf0.01": 100_000, "sf0.1": 1_000_000}
+# sf0.1 uses the same 4M-row table as the scaling evidence: at 1M rows the
+# ~2.5 s fixed per-run cost (job scheduling, Python<->JVM round trips, AQE
+# re-plans) is ~half the wall time and the throughput number measures
+# overhead, not the engine (measured: 1M → 215k rows/s, 4M → 540k rows/s,
+# same code, same quiet window)
+SEQ_ROWS = {"sf0.001": 20_000, "sf0.01": 100_000, "sf0.1": 4_000_000}
 BENCH_DATA = os.path.join(REPO, ".benchdata")
+
+
+def _noise_probe() -> float:
+    """Single-threaded CPU probe: ~1.3 s on this host when quiet, 1.9 s+
+    under noisy-neighbor CPU steal.  Recorded in the bench JSON so a
+    reader can tell a slow engine from a slow window (the round-1
+    42k-vs-574k seq/s discrepancy was exactly this)."""
+    t0 = time.time()
+    x = 0
+    for i in range(20_000_000):
+        x += i
+    return round(time.time() - t0, 3)
 
 
 def _session(cores: int):
@@ -114,8 +131,10 @@ def run_headline(spark, sf_dir: str) -> dict[str, float]:
         "minhash_pairs_documents",
         "simhash_pairs_documents",
         "exact_dups_documents",
+        "ann_topk_exact",
         "ann_lsh_embeddings",
         "props_json_validation",
+        "props_json_native",
         "multimodal_features",
     ]
     qs = entry.queries()
@@ -129,17 +148,21 @@ def run_headline(spark, sf_dir: str) -> dict[str, float]:
 
 
 def _one_run(cores: int, seq_path: str) -> dict:
+    probe = _noise_probe()
     spark = _session(cores)
     spark.sparkContext.setLogLevel("ERROR")
     # warm the JVM/codegen/page cache, then take the best of 3 steady-state
     # runs (local-mode timings are noisy: GC, disk, AQE re-plans)
     validate_sequences(spark, seq_path)
     best = None
+    runs = []
     for _ in range(3):
         n, dt = validate_sequences(spark, seq_path)
+        runs.append(round(dt, 3))
         best = dt if best is None or dt < best else best
     spark.stop()
     return {"cores": cores, "rows": n, "sec": round(best, 3),
+            "runs": runs, "probe_sec": probe,
             "rows_per_sec": round(n / best, 1)}
 
 
@@ -171,7 +194,16 @@ def main() -> int:
 
     if args.scaling:
         results = {}
+        cache_dir = os.path.join(REPO, "BENCH")
+        os.makedirs(cache_dir, exist_ok=True)
         for c in (2, 8, 32):
+            # per-core results are cached so a long run can be split across
+            # invocations (each level is its own fresh JVM either way)
+            cache = os.path.join(cache_dir, f".scaling_c{c}.json")
+            if os.path.exists(cache):
+                with open(cache) as f:
+                    results[c] = json.load(f)
+                continue
             p = subprocess.run(
                 [sys.executable, os.path.abspath(__file__),
                  f"--subprocess-cores={c}"],
@@ -180,6 +212,8 @@ def main() -> int:
             )
             line = p.stdout.strip().splitlines()[-1]
             results[c] = json.loads(line)
+            with open(cache, "w") as f:
+                json.dump(results[c], f)
         r2, r8, r32 = results[2], results[8], results[32]
         eff_2_8 = (r8["rows_per_sec"] / r2["rows_per_sec"]) / 4.0
         eff_8_32 = (r32["rows_per_sec"] / r8["rows_per_sec"]) / 4.0
@@ -192,11 +226,15 @@ salted two-phase uniqueness, broadcast-anti-join referential check) at
 three parallelism levels, one fresh JVM each, warm-up run + best of 3
 steady-state runs measured:
 
-| parallelism | wall sec | validated sequences/sec |
-|---|---|---|
-| local[2]  | {r2['sec']} | {r2['rows_per_sec']:,} |
-| local[8]  | {r8['sec']} | {r8['rows_per_sec']:,} |
-| local[32] | {r32['sec']} | {r32['rows_per_sec']:,} |
+| parallelism | wall sec (best of {len(r8['runs'])}) | all runs | noise probe | validated sequences/sec |
+|---|---|---|---|---|
+| local[2]  | {r2['sec']} | {r2['runs']} | {r2['probe_sec']} | {r2['rows_per_sec']:,} |
+| local[8]  | {r8['sec']} | {r8['runs']} | {r8['probe_sec']} | {r8['rows_per_sec']:,} |
+| local[32] | {r32['sec']} | {r32['runs']} | {r32['probe_sec']} | {r32['rows_per_sec']:,} |
+
+(noise probe = single-threaded 20M-iteration Python loop, ≈1.3 s when the
+host is quiet, 1.9 s+ under noisy-neighbor CPU steal — readings above
+~1.6 s mean the wall times are lower bounds on engine speed)
 
 N→4N scaling efficiency (the north-rule criterion, ≥ 0.8):
 
@@ -214,6 +252,22 @@ engine-side evidence that the design scales is shuffle discipline: the
 only shuffles in the pass are O(#violations) and O(#keys) aggregations
 (map-side combined, salted against hot keys) and a broadcast join; the
 O(rows·tokens) predicate work is embarrassingly parallel per partition.
+
+## Reconciling driver-bench vs builder-bench throughput
+
+Both numbers now come from the SAME code path AND the same
+{r8['rows']:,}-row parquet: `validate_sequences` (generation outside the
+timed region), warm-up run first, best-of-3.  The round-1 reading of 42k
+seq/s (driver) against 574k seq/s (builder) had two causes, both fixed:
+(a) the default mode used a 1M-row table whose ~2.5 s fixed per-run cost
+(scheduling, Python<->JVM round trips) is half the wall time — 1M rows
+measures overhead, not the engine (measured same-window: 1M → 215k
+rows/s, 4M → 540k rows/s); (b) the default mode ran the sequences pass
+AFTER the 20-query headline suite in the same JVM, where pandas-UDF
+worker-pool and GC pressure produced 11 s → 101 s swings under a QUIET
+host probe — it now runs first.  The per-run timings and probe readings
+embedded in both outputs (`seq_runs` / `noise_probe_sec` in the JSON, the
+table above) make window quality visible in every future measurement.
 """
         os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
         with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
@@ -225,19 +279,28 @@ O(rows·tokens) predicate work is embarrassingly parallel per partition.
         }))
         return 0
 
+    probe_before = _noise_probe()
     spark = _session(cores)
     spark.sparkContext.setLogLevel("ERROR")
     seq_path = _seq_parquet(spark, n_rows)
 
     t0 = time.time()
-    queries = run_headline(spark, sf_dir)
+    # the north-rule number FIRST, on a fresh JVM: validation pass over
+    # PRE-WRITTEN parquet (generation fully separated from validation),
+    # warm-up + best-of-3, all raw timings reported.  Running it after the
+    # headline suite instead contaminates the measurement (pandas-UDF
+    # worker pools + GC pressure from 20 prior queries — observed 11 s →
+    # 101 s swings with a QUIET host probe).
     validate_sequences(spark, seq_path)  # warm-up: codegen + page cache
-    # best of 2 — this sandbox host shows large run-to-run CPU-steal noise
-    n_seq, seq_sec = validate_sequences(spark, seq_path)
-    n2, s2 = validate_sequences(spark, seq_path)
-    seq_sec = min(seq_sec, s2)
+    seq_runs = []
+    for _ in range(3):
+        n_seq, s = validate_sequences(spark, seq_path)
+        seq_runs.append(round(s, 3))
+    seq_sec = min(seq_runs)
+    queries = run_headline(spark, sf_dir)
     total = time.time() - t0
     queries["sequences_validation"] = round(seq_sec, 3)
+    probe_after = _noise_probe()
 
     out = {
         "metric": "headline suite wall time (constraint validation + analytics + dedup)",
@@ -247,8 +310,12 @@ O(rows·tokens) predicate work is embarrassingly parallel per partition.
         "sf": float(sf_name.replace("sf", "") or 0.1),
         "seq_rows": n_seq,
         "seq_validate_sec": round(seq_sec, 3),
+        "seq_runs": seq_runs,
         "seq_per_sec": round(n_seq / seq_sec, 1),
         "cores": cores,
+        # host-noise context: quiet ≈ 1.3 s, noisy 1.9 s+ (single-thread
+        # python loop); scale seq_per_sec judgments accordingly
+        "noise_probe_sec": [probe_before, probe_after],
     }
     spark.stop()
     print(json.dumps(out))

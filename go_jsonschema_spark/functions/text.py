@@ -21,15 +21,45 @@ __all__ = [
     "fingerprint",
 ]
 
-# Minimal per-language stopword marker sets (public common words); used by
-# the n-gram/stopword language heuristic.
+# Per-language stopword marker sets (public common-word lists); used by
+# the stopword-argmax stage of the language heuristic.
 LANG_STOPWORDS: dict[str, list[str]] = {
-    "en": ["the", "and", "of", "to", "is", "in", "that", "it", "for", "with"],
-    "es": ["el", "la", "de", "que", "y", "en", "los", "del", "las", "por"],
-    "de": ["der", "die", "und", "das", "ist", "von", "mit", "den", "nicht", "ein"],
-    "fr": ["le", "la", "les", "de", "et", "est", "des", "un", "une", "dans"],
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it", "for", "with",
+           "was", "on", "are", "as", "be", "this", "have", "from", "not", "by"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "del", "las", "por",
+           "un", "una", "con", "no", "se", "su", "para", "es", "al", "como"],
+    "de": ["der", "die", "und", "das", "ist", "von", "mit", "den", "nicht",
+           "ein", "eine", "zu", "im", "für", "auf", "des", "sich", "dem",
+           "auch", "als"],
+    "fr": ["le", "la", "les", "de", "et", "est", "des", "un", "une", "dans",
+           "que", "pour", "qui", "du", "pas", "au", "sur", "par", "plus",
+           "avec"],
+    "it": ["il", "di", "che", "la", "per", "un", "del", "con", "non", "una",
+           "le", "si", "della", "nel", "da", "come", "sono", "dei", "anche",
+           "più"],
+    "pt": ["de", "que", "em", "um", "para", "com", "não", "uma", "os", "do",
+           "da", "no", "na", "se", "por", "mais", "dos", "como", "mas", "foi"],
+    "nl": ["de", "het", "een", "van", "en", "in", "is", "dat", "op", "te",
+           "zijn", "met", "voor", "niet", "aan", "er", "om", "ook", "als",
+           "maar"],
     "zh": ["的", "是", "了", "在", "和", "有", "我", "不", "这", "人"],
 }
+
+# Unicode-script vote: a text whose characters are dominantly in one of
+# these ranges is identified by script alone (first match in order wins —
+# kana before han so Japanese text with kanji reads 'ja' not 'zh').
+# Checked before the stopword stage; fully expressible in both Spark and
+# DuckDB regex (the ranges are embedded as literal characters).
+LANG_SCRIPTS: list[tuple[str, str]] = [
+    ("ja", "\u3040-\u30ff"),  # hiragana + katakana
+    ("ko", "\uac00-\ud7af"),  # hangul syllables
+    ("zh", "\u4e00-\u9fff"),  # CJK unified ideographs
+    ("ru", "\u0400-\u04ff"),  # cyrillic
+    ("ar", "\u0600-\u06ff"),  # arabic
+    ("el", "\u0370-\u03ff"),  # greek
+    ("he", "\u0590-\u05ff"),  # hebrew
+    ("hi", "\u0900-\u097f"),  # devanagari
+]
 
 
 def words(text: Column) -> Column:
@@ -103,12 +133,20 @@ def quality_score(text: Column) -> Column:
 
 
 def lang_id(text: Column, langs: list[str] | None = None) -> Column:
-    """Language-ID heuristic: argmax over per-language stopword hit counts.
+    """Two-stage language ID, fully native (one pass, no UDF):
 
-    Native expression (array_intersect over the word set per language, a
-    when-chain argmax) — a deliberately simple, deterministic stand-in for a
-    real LID model, with the Spark plumbing (one pass, no UDF) being the
-    point.  Returns 'und' when no language scores."""
+    1. **script vote** — if more than a third of the non-space characters
+       fall in one Unicode script range (LANG_SCRIPTS, first match wins,
+       kana checked before han), the script decides: ja/ko/zh/ru/ar/el/
+       he/hi need no stopwords.
+    2. **stopword argmax** — otherwise per-language hit counts of the
+       distinct word set against LANG_STOPWORDS (20-word profiles for the
+       Latin-script languages), ties broken by declaration order, 'und'
+       when nothing scores.
+
+    Deterministic and replicated verbatim by the DuckDB oracle
+    (__spark_entry__._lang_id_oracle builds the SQL from the same
+    constants)."""
     langs = langs or list(LANG_STOPWORDS)
     w = F.array_distinct(words(text))
     scores = {
@@ -123,6 +161,13 @@ def lang_id(text: Column, langs: list[str] | None = None) -> Column:
     out = F.lit("und")
     for lg in reversed(langs):
         out = F.when((scores[lg] > 0) & (scores[lg] == best), F.lit(lg)).otherwise(out)
+    # script vote wraps the stopword result (outermost when = first range)
+    n_chars = F.length(F.regexp_replace(text, r"\s", ""))
+    for lg, rng in reversed(LANG_SCRIPTS):
+        n_script = F.length(F.regexp_replace(text, f"[^{rng}]", ""))
+        out = F.when(
+            (n_chars > 0) & (n_script * 3 > n_chars), F.lit(lg)
+        ).otherwise(out)
     return out
 
 

@@ -288,6 +288,37 @@ def _valid_regex(s: str) -> bool:
         return False
 
 
+def _valid_idn_hostname(s: str) -> bool:
+    """Internationalized hostname per RFC 5890 — the ``idna`` package
+    (UTS-46, strict) mirrors the reference's x/net/idna options
+    (/root/reference/validators.go:742-752: MapForLookup + Transitional +
+    StrictDomainName + VerifyDNSLength).  Falls back to the cheap
+    heuristic when ``idna`` is not installed (the reference's own harness
+    skips idn-hostname.json edge cases, validate_test.go:240-242)."""
+    try:
+        import idna
+    except ImportError:  # pragma: no cover - idna present in CI image
+        return bool(s) and "〮" not in s
+    import warnings
+
+    try:
+        with warnings.catch_warnings():
+            # idna deprecates transitional processing (removed from UTS#46);
+            # the reference pins Transitional(true), so keep it while the
+            # argument exists
+            warnings.simplefilter("ignore", DeprecationWarning)
+            idna.encode(s, uts46=True, std3_rules=True, transitional=True)
+        return True
+    except (idna.IDNAError, UnicodeError):
+        return False
+    except TypeError:  # pragma: no cover - future idna w/o transitional
+        try:
+            idna.encode(s, uts46=True, std3_rules=True)
+            return True
+        except (idna.IDNAError, UnicodeError):
+            return False
+
+
 _FORMAT_CHECKS = {
     "date-time": _valid_datetime,
     "date": _valid_date,
@@ -296,7 +327,7 @@ _FORMAT_CHECKS = {
     "email": _valid_email,
     "idn-email": _valid_email,
     "hostname": lambda s: bool(_HOSTNAME_RE.match(s)),
-    "idn-hostname": lambda s: bool(s) and "〮" not in s,
+    "idn-hostname": _valid_idn_hostname,
     "ipv4": _valid_ipv4,
     "ipv6": _valid_ipv6,
     "uuid": lambda s: bool(_UUID_RE.match(s)),

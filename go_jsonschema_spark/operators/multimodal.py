@@ -62,13 +62,29 @@ def _decode_fake(payload: bytes, n_feat: int = 8) -> list[float]:
     return [round(c / total, 6) for c in buckets]
 
 
-def decode_image(payload: bytes) -> list[float]:
-    """Real decoder hook — not available in this container."""
-    raise NotImplementedError(
-        "image decoding requires Pillow/opencv, not installed in this "
-        "sandbox; use extract_features(..., fake=True) which exercises the "
-        "identical Spark plumbing"
-    )
+def decode_image(payload: bytes, n_feat: int = 8) -> list[float]:
+    """Real decoder: Pillow when importable — decode, grayscale, 8×8
+    downsample, ``n_feat``-bucket intensity histogram (normalized).  On a
+    cluster image this is the live path; in this sandbox (no Pillow) it
+    raises and ``fake=True`` exercises the identical Spark plumbing."""
+    try:
+        from PIL import Image
+    except ImportError as e:  # pragma: no cover - PIL absent in sandbox
+        raise NotImplementedError(
+            "image decoding requires Pillow, not installed in this "
+            "sandbox; use extract_features(..., fake=True) which exercises "
+            "the identical Spark plumbing"
+        ) from e
+    import io
+
+    if payload is None:
+        return [0.0] * n_feat
+    img = Image.open(io.BytesIO(payload)).convert("L").resize((8, 8))
+    px = list(img.getdata())
+    buckets = [0] * n_feat
+    for p in px:
+        buckets[int(p) * n_feat // 256] += 1
+    return [round(c / len(px), 6) for c in buckets]
 
 
 def extract_features(
@@ -116,14 +132,32 @@ FRAMES_SCHEMA = "media_id string, frame_idx int, frame binary"
 def resize_images(
     media: DataFrame, *, width: int = 32, height: int = 32, fake: bool = True
 ) -> DataFrame:
-    """Image resize over mapInPandas.  The pixel work is stubbed (fake
-    resize = deterministic byte truncation/padding to width*height) —
-    swapping in Pillow's ``Image.resize`` changes only the inner lambda;
-    batch shape, schema and partitioning are the real thing."""
+    """Image resize over mapInPandas.  ``fake=True`` stubs the pixel work
+    (deterministic byte truncation/padding to width*height); ``fake=False``
+    uses Pillow's ``Image.resize`` — only the inner lambda changes; batch
+    shape, schema and partitioning are identical on both paths."""
     if not fake:
-        raise NotImplementedError("Pillow not installed in this sandbox")
+        try:
+            from PIL import Image  # noqa: F401
+        except ImportError as e:  # pragma: no cover - PIL absent in sandbox
+            raise NotImplementedError(
+                "Pillow not installed in this sandbox; use fake=True"
+            ) from e
 
     target = width * height
+
+    def _fake_resize(p: bytes) -> bytes:
+        return (bytes(p) * (target // max(len(p), 1) + 1))[:target]
+
+    def _pil_resize(p: bytes) -> bytes:
+        import io
+
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(bytes(p))).convert("L")
+        return img.resize((width, height)).tobytes()
+
+    one = _fake_resize if fake else _pil_resize
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -133,11 +167,7 @@ def resize_images(
                     "media_id": pdf["media_id"],
                     "width": width,
                     "height": height,
-                    "payload": pdf["payload"].map(
-                        lambda p: (bytes(p) * (target // max(len(p), 1) + 1))[
-                            :target
-                        ]
-                    ),
+                    "payload": pdf["payload"].map(one),
                 }
             )
 

@@ -102,6 +102,55 @@ def stateful_group_verdicts(
     )
 
 
+def stateful_group_verdicts_tws(
+    suite: ConstraintSuite, stream: DataFrame, *, group_col: str
+) -> DataFrame:
+    """Running per-group verdict counters via ``transformWithStateInPandas``
+    — the Spark 4 stateful-processor API (successor of
+    applyInPandasWithState: multiple named state variables, timers, state
+    TTL; requires the RocksDB state store provider:
+    ``spark.sql.streaming.stateStore.providerClass =
+    ...RocksDBStateStoreProvider`` AND the ``protobuf`` Python package —
+    absent in this sandbox, so the gated test skips and
+    :func:`stateful_group_verdicts` is the working fallback).  Output
+    mirrors :func:`stateful_group_verdicts`."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor, StatefulProcessorHandle,
+    )
+
+    checked, _, _, _ = _checked(suite, stream)
+    slim = checked.select(group_col, F.col("__pass__").alias("ok"))
+
+    class Counters(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._counts = handle.getValueState(
+                "counts", "n_rows long, n_fail long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n_rows, n_fail = (
+                self._counts.get() if self._counts.exists() else (0, 0)
+            )
+            for pdf in rows:
+                n_rows += len(pdf)
+                n_fail += int((~pdf["ok"]).sum())
+            self._counts.update((n_rows, n_fail))
+            yield pd.DataFrame(
+                {"group": [key[0]], "n_rows": [n_rows], "n_fail": [n_fail]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return slim.groupBy(group_col).transformWithStateInPandas(
+        statefulProcessor=Counters(),
+        outputStructType="group string, n_rows long, n_fail long",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def dedup_stream(
     stream: DataFrame,
     key: str,

@@ -246,6 +246,37 @@ def test_checkpoint_partition_values_with_slashes(spark, tmp_path):
 # ---------------------------------------------------------------------------
 
 # ---------------------------------------------------------------------------
+# two-stage language ID (script vote + stopword argmax)
+# ---------------------------------------------------------------------------
+
+def test_lang_id_script_and_stopwords(spark):
+    from go_jsonschema_spark.functions.text import lang_id
+
+    rows = [
+        (1, "the cat sat on the mat and it was good for the day"),
+        (2, "el perro de la casa que no se ve por la noche"),
+        (3, "der hund ist von dem haus und das ist nicht gut"),
+        (4, "le chat est dans les maisons et pour le jour"),
+        (5, "这是一个中文句子用来测试语言识别"),
+        (6, "これはにほんごのぶんしょうです"),
+        (7, "이것은 한국어 문장입니다"),
+        (8, "это русское предложение для проверки"),
+        (9, "xyzzy qwerty plugh"),
+        (10, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc_id"]: r["lg"]
+        for r in df.select("doc_id", lang_id(F.col("text")).alias("lg")).collect()
+    }
+    assert got[1] == "en" and got[2] == "es" and got[3] == "de"
+    assert got[4] == "fr"
+    assert got[5] == "zh" and got[6] == "ja" and got[7] == "ko"
+    assert got[8] == "ru"
+    assert got[9] == "und" and got[10] == "und"
+
+
+# ---------------------------------------------------------------------------
 # degenerate LSH buckets are capped (no quadratic blowup)
 # ---------------------------------------------------------------------------
 
