@@ -284,6 +284,23 @@ def _q_simhash_pairs_documents(spark: SparkSession, sf: str) -> DataFrame:
     return simhash_dup_pairs(_t(spark, sf, "documents"), max_hamming=2)
 
 
+def _q_near_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Connected components over the (exact-verified) minhash pair list:
+    (doc_id, cluster) with cluster = min doc_id of the component — the
+    keeper-selection step of a near-dup dedup pipeline.  Oracle: DuckDB
+    recursive-CTE transitive closure over the brute-force pair set."""
+    from go_jsonschema_spark.operators.dedup import (
+        duplicate_clusters, minhash_lsh_pairs,
+    )
+
+    pairs = minhash_lsh_pairs(
+        _t(spark, sf, "documents"), threshold=0.9, k=64, bands=16
+    )
+    return duplicate_clusters(pairs).select(
+        F.col("id").alias("doc_id"), "cluster"
+    )
+
+
 def _q_exact_dups_documents(spark: SparkSession, sf: str) -> DataFrame:
     from go_jsonschema_spark.operators.dedup import exact_duplicates
 
@@ -479,6 +496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs_documents": _q_minhash_pairs_documents,
         "simhash_pairs_documents": _q_simhash_pairs_documents,
         "exact_dups_documents": _q_exact_dups_documents,
+        "near_dup_clusters": _q_near_dup_clusters,
         "ann_topk_exact": _q_ann_topk_exact,
         "ann_lsh_embeddings": _q_ann_lsh_embeddings,
         "ann_ivf_embeddings": _q_ann_ivf_embeddings,
@@ -808,6 +826,35 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT a, b, round(jac, 6) AS jaccard
             FROM p WHERE round(jac, 6) >= 0.9
+        """,
+        "near_dup_clusters": r"""
+            WITH RECURSIVE w AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+                FROM documents WHERE text IS NOT NULL
+            ), sh AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, greatest(len(ws) - 2, 1) + 1),
+                           i -> array_to_string(ws[i:i+2], ' '))) AS s
+                FROM w
+            ), p AS (
+                SELECT l.doc_id AS a, r.doc_id AS b
+                FROM sh l JOIN sh r ON l.doc_id < r.doc_id
+                WHERE round(CASE WHEN len(list_distinct(list_concat(l.s, r.s))) = 0
+                            THEN 1.0
+                            ELSE len(list_intersect(l.s, r.s)) * 1.0
+                                 / len(list_distinct(list_concat(l.s, r.s)))
+                       END, 6) >= 0.9
+            ), e AS (
+                SELECT a AS x, b AS y FROM p UNION SELECT b, a FROM p
+            ), reach AS (
+                SELECT x, y FROM e
+                UNION
+                SELECT r.x, e2.y FROM reach r JOIN e e2 ON r.y = e2.x
+            )
+            SELECT x AS doc_id, least(x, min(y)) AS cluster
+            FROM reach GROUP BY x
         """,
         "props_json_validation": _PROPS_JSON_ORACLE,
         "ann_topk_exact": """

@@ -32,6 +32,7 @@ __all__ = [
     "simhash",
     "simhash_dup_pairs",
     "jaccard",
+    "duplicate_clusters",
     "embedding_cosine_pairs",
 ]
 
@@ -300,6 +301,76 @@ def simhash_dup_pairs(
         .dropDuplicates(["a", "b"])
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# duplicate clusters (connected components over near-dup pairs)
+# ---------------------------------------------------------------------------
+
+def duplicate_clusters(
+    pairs: DataFrame, *, a_col: str = "a", b_col: str = "b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-dup pair list → ``(id, cluster)``
+    with ``cluster`` = min id in the component (the canonical keeper).
+
+    Min-label propagation with pointer jumping: each round a vertex takes
+    the minimum label among itself and its neighbors, then compresses one
+    level (``lbl ← label[lbl]``) — the doubling step that turns
+    diameter-bound convergence into O(log n) rounds (same family as
+    large-star/small-star, Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14).
+
+    Scale notes: each round is two shuffle joins (edge list + compression)
+    and a ``localCheckpoint`` to cut the growing lineage (without it the
+    plan doubles per round and the DRIVER becomes the bottleneck);
+    convergence is detected with a count of the CHANGED set only."""
+    edges = (
+        pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("x"), F.col(a_col).alias("y"))
+        )
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("x").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("lbl"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges.y == labels.id)
+            .groupBy("x")
+            .agg(F.min("lbl").alias("nl"))
+        )
+        cand = labels.join(neigh, labels.id == neigh.x, "left").select(
+            "id",
+            F.least(
+                F.col("lbl"), F.coalesce(F.col("nl"), F.col("lbl"))
+            ).alias("clbl"),
+            F.col("lbl").alias("olbl"),
+        )
+        # pointer jumping: follow the candidate label one more level
+        # (label-of-label) so chains halve every round
+        ptr = cand.select(
+            F.col("id").alias("pid"), F.col("clbl").alias("plbl")
+        )
+        new_labels = (
+            cand.join(ptr, cand.clbl == ptr.pid, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("clbl"), F.coalesce(F.col("plbl"), F.col("clbl"))
+                ).alias("nlbl"),
+                "olbl",
+            )
+        ).localCheckpoint()
+        changed = new_labels.filter(F.col("nlbl") != F.col("olbl")).count()
+        labels = new_labels.select("id", F.col("nlbl").alias("lbl"))
+        if changed == 0:
+            break
+    return labels.select("id", F.col("lbl").alias("cluster"))
 
 
 # ---------------------------------------------------------------------------

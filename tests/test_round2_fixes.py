@@ -303,6 +303,31 @@ def test_lsh_degenerate_bucket_capped(spark):
     assert exact_duplicates(df).count() == 9_999
 
 
+def test_duplicate_clusters_connected_components(spark):
+    from go_jsonschema_spark.operators.dedup import duplicate_clusters
+
+    # components: {1,2,3,4} (chain), {7,9}, {10,11,12} (triangle)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (7, 9), (10, 11), (11, 12), (10, 12)],
+        "a long, b long",
+    )
+    got = {
+        r["id"]: r["cluster"] for r in duplicate_clusters(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 9: 7, 10: 10, 11: 10, 12: 10}
+
+
+def test_duplicate_clusters_long_chain_converges(spark):
+    from go_jsonschema_spark.operators.dedup import duplicate_clusters
+
+    n = 40  # diameter 40 chain: min-label needs propagation, not one hop
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "a long, b long"
+    )
+    got = {r["id"]: r["cluster"] for r in duplicate_clusters(pairs).collect()}
+    assert set(got.values()) == {0} and len(got) == n + 1
+
+
 def test_lsh_cap_keeps_normal_pairs(spark):
     from go_jsonschema_spark.operators.dedup import minhash_lsh_pairs
 
