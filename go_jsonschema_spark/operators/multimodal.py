@@ -218,8 +218,11 @@ def sample_frames(
 
 
 def synth_media(spark, n: int = 64) -> DataFrame:
-    """Deterministic synthetic media table (payload = seeded bytes)."""
-    return spark.range(n).select(
+    """Deterministic synthetic media table (payload = seeded bytes).
+    Partition count is sized to the row count — spinning up one Python
+    worker per core for a 128-row table costs more than the work."""
+    n_part = max(1, min(spark.sparkContext.defaultParallelism, n // 64))
+    return spark.range(0, n, numPartitions=n_part).select(
         F.format_string("m%06d", F.col("id")).alias("media_id"),
         F.element_at(
             F.array(F.lit("image"), F.lit("audio"), F.lit("video")),

@@ -5,9 +5,15 @@ Cluster usage (the north-rule deployment shape)::
 
     spark-submit --py-files dist/go_jsonschema_spark.zip \\
         jobs/validate_job.py \\
-        --input <parquet-or-iceberg-path> --spec <tablespec.json> \\
+        --input <parquet-path | iceberg-table> --input-format iceberg \\
+        --spec <tablespec.json> \\
         --out <violations-root> --checkpoint <ckpt-dir> \\
+        --iceberg-table ck.db.checkpoints \\
         --run-id run42 --partition-col part
+
+(``--iceberg-table`` switches checkpoint state from the directory store
+to the Iceberg MERGE store — north-rule "checkpointed Iceberg metadata
+tables"; needs the runtime jar + catalog conf, see checkpoint.py.)
 
 Sandbox smoke::
 
@@ -39,6 +45,15 @@ def main() -> int:
     ap.add_argument("--run-id", required=True)
     ap.add_argument("--partition-col", default="part")
     ap.add_argument("--batch-size", type=int, default=4)
+    ap.add_argument("--iceberg-table", default=None,
+                    help="checkpoint into this Iceberg table (e.g. "
+                    "ck.db.checkpoints) instead of the --checkpoint "
+                    "directory; needs the iceberg-spark-runtime jar + a "
+                    "spark.sql.catalog.<name> conf")
+    ap.add_argument("--input-format", default="parquet",
+                    choices=["parquet", "iceberg"],
+                    help="read --input as a parquet path or an Iceberg "
+                    "table identifier")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -58,6 +73,8 @@ def main() -> int:
 
     if args.synthetic:
         df = synth.sequences(spark, args.synthetic)
+    elif args.input_format == "iceberg":
+        df = spark.read.table(args.input)
     else:
         df = spark.read.parquet(args.input)
 
@@ -67,9 +84,15 @@ def main() -> int:
     else:
         ts = synth.sequences_table_spec()
 
+    if args.iceberg_table:
+        from go_jsonschema_spark.checkpoint import IcebergCheckpointStore
+
+        store = IcebergCheckpointStore(spark, args.iceberg_table)
+    else:
+        store = CheckpointStore(args.checkpoint)
     suite = ConstraintSuite(ts, key="doc_id")
     rv = ResumableValidation(
-        suite, CheckpointStore(args.checkpoint),
+        suite, store,
         partition_col=args.partition_col, batch_size=args.batch_size,
     )
     dims = {"sources_dim": synth.sources_dim(spark)}

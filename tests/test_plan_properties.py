@@ -79,3 +79,28 @@ def test_predicates_stay_in_codegen(spark, seq_parquet):
     # lambda functions) but must never fall to a Python eval node
     assert "* " in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dedup_selfjoins_reuse_exchange_and_prune(spark):
+    """The banded self-joins must plan ONE exchange + ReusedExchange (the
+    signature pipeline is not computed once per side), and the scan must
+    prune to (id, text).  Static reuse is only visible with AQE off — at
+    runtime AQE performs the same reuse via its stage cache."""
+    from go_jsonschema_spark.operators.dedup import (
+        minhash_lsh_pairs, simhash_dup_pairs,
+    )
+
+    # other tests may have cached this path — a cache hit swaps the scan
+    # for InMemoryTableScan and hides the ReadSchema pruning we assert on
+    spark.catalog.clearCache()
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for op in (simhash_dup_pairs, minhash_lsh_pairs):
+            plan = _plan(op(docs))
+            assert "ReusedExchange" in plan, op.__name__
+            assert "struct<doc_id:bigint,text:string>" in plan.replace(
+                "doc_id:long", "doc_id:bigint"
+            ), op.__name__
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
