@@ -289,6 +289,17 @@ class SchemaSpec:
                     )
                     base_node = node
                     self.registry[base_uri] = node
+            # 2019-09+ $anchor: the split-out plain-name form of draft-7's
+            # `$id: "#name"` — registered AFTER $id so it anchors in the
+            # (possibly new) base established by a sibling $id
+            anc = node.get("$anchor")
+            if isinstance(anc, str) and anc:
+                self.registry[
+                    _norm_uri(
+                        urljoin(base_uri, "#" + anc) if base_uri
+                        else "#" + anc
+                    )
+                ] = node
         self.base_of[id(node)] = (base_node, base_uri)
         if not schema_pos:
             for v in node.values():
