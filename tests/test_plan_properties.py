@@ -104,3 +104,43 @@ def test_dedup_selfjoins_reuse_exchange_and_prune(spark):
             ), op.__name__
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key → sort-merge join with ZERO
+    Exchange (the co-location contract repeated validations rely on)."""
+    from pyspark.sql import functions as F
+
+    from go_jsonschema_spark.sources.bucketing import (
+        is_bucketed_on, write_bucketed,
+    )
+
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bdb LOCATION '{tmp_path}/wh'")
+    try:
+        orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+        write_bucketed(orders, "bdb.orders_b", key="o_custkey", buckets=8)
+        write_bucketed(cust, "bdb.cust_b", key="c_custkey", buckets=8)
+        assert is_bucketed_on(spark, "bdb.orders_b", "o_custkey")
+
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = spark.table("bdb.orders_b").join(
+                spark.table("bdb.cust_b"),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            plan = _plan(j)
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan  # co-located: no shuffle at all
+            # and the result is right
+            n = j.count()
+            want = orders.join(
+                cust, orders.o_custkey == cust.c_custkey
+            ).count()
+            assert n == want
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS bdb CASCADE")
