@@ -94,6 +94,75 @@ def test_native_matches_interp_and_udf(spark, schema):
         assert bool(r["u"]) == want, f"udf: {raw!r} -> {r['u']}, interp {want}"
 
 
+def test_native_matches_interp_randomized(spark):
+    """Seeded randomized differential: 500 structurally-varied payloads
+    through the native path in ONE Spark job, verdicts pinned to the
+    interpreter."""
+    import random
+
+    rng = random.Random(42)
+
+    def rand_value(depth=0):
+        kinds = ["int", "float", "str", "bool", "null", "missing"]
+        if depth < 1:
+            kinds += ["obj", "arr"]
+        k = rng.choice(kinds)
+        if k == "int":
+            return rng.randint(-5, 55)
+        if k == "float":
+            return rng.choice([0.0, 1.5, 12.0, 49.0, 50.5, -0.5, 1e9])
+        if k == "str":
+            return rng.choice(["", "ab", "xyz", "12", "ABC", "ééé"])
+        if k == "bool":
+            return rng.choice([True, False])
+        if k == "null":
+            return None
+        if k == "obj":
+            return {"n": rand_value(depth + 1)}
+        if k == "arr":
+            return [rand_value(depth + 1) for _ in range(rng.randint(0, 3))]
+        return "__missing__"
+
+    payloads = []
+    for _ in range(500):
+        doc = {}
+        # biased per-field choice: mostly-valid values with random
+        # corruptions, so both verdicts appear in the corpus
+        name = rng.choice(["ab", "xyz", "valid", "A", "a", 5, True, None,
+                           "", "ééé", "__missing__"])
+        meta = rng.choice(
+            [{"n": 1.5}, {"n": 2, "tags": [1, 2.5]}, {"n": 0.1},
+             {"n": 0}, {"n": -1}, {"n": "x"}, {"n": None}, {},
+             {"n": 2, "tags": rand_value()}, None, 3, "__missing__"]
+        )
+        opt = rng.choice([9, 12, 10, 9.0, None, "9", "__missing__",
+                          rand_value()])
+        nick = rng.choice(["xy", "wxyz", 7, None, "__missing__"])
+        for key, v in (("name", name), ("meta", meta), ("opt", opt),
+                       ("nick", nick), ("extra", rand_value())):
+            if v != "__missing__":
+                doc[key] = v
+        payloads.append(json.dumps(doc))
+    payloads += ["garbage", "", "[1]", "3", None]
+
+    df = spark.createDataFrame([(p,) for p in payloads], "j string")
+    native = json_column_predicate_native(NESTED_SCHEMA)
+    rows = df.select("j", native(F.col("j")).alias("n")).collect()
+    n_valid = 0
+    for r in rows:
+        raw = r["j"]
+        if raw is None:
+            want = False
+        else:
+            try:
+                want = validate_instance(NESTED_SCHEMA, json.loads(raw)).valid
+            except (ValueError, TypeError):
+                want = False
+        n_valid += int(want)
+        assert r["n"] == want, f"{raw!r}: native {r['n']} interp {want}"
+    assert n_valid > 0  # corpus exercises both verdicts
+
+
 def test_native_plan_has_no_python(spark):
     import contextlib
     import io
