@@ -66,6 +66,34 @@ def stream_violations(suite: ConstraintSuite, stream: DataFrame) -> DataFrame:
     )
 
 
+def stream_fk_violations(
+    stream: DataFrame,
+    column: str,
+    dim: DataFrame,
+    dim_column: str | None = None,
+    *,
+    key: str = "doc_id",
+    constraint_id: str | None = None,
+) -> DataFrame:
+    """Streaming referential check: stream rows whose ``column`` has no
+    match in the STATIC dimension — a stateless broadcast left-anti join,
+    so it runs per micro-batch with no state store at all (the dimension
+    is broadcast once per batch; Structured Streaming supports
+    stream-static joins natively)."""
+    dc = dim_column or dim.columns[0]
+    cid = constraint_id or f"fk:{column}"
+    missing = stream.join(
+        F.broadcast(dim.select(F.col(dc).alias("__dim__")).distinct()),
+        F.col(column) == F.col("__dim__"),
+        "left_anti",
+    )
+    return missing.select(
+        F.col(key).cast("string").alias("doc_id"),
+        F.lit(cid).alias("constraint_id"),
+        F.col(column).cast("string").alias("observed"),
+    )
+
+
 def stateful_group_verdicts(
     suite: ConstraintSuite, stream: DataFrame, *, group_col: str
 ) -> DataFrame:

@@ -233,3 +233,30 @@ def test_stateful_group_verdicts_tws(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_stream_fk_violations(spark, tmp_path):
+    """Stream-static broadcast anti-join: streaming rows missing from the
+    static dimension surface as violations, matching the batch check."""
+    from go_jsonschema_spark.streaming.validate import stream_fk_violations
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = str(tmp_path / "fk_src")
+    events.write.mode("overwrite").parquet(src)
+    dim = spark.createDataFrame(
+        [("click",), ("view",), ("purchase",), ("signup",)], "t string"
+    )
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    out = stream_fk_violations(
+        stream, "event_type", dim, "t", key="event_id"
+    )
+    q = (
+        out.writeStream.format("memory").queryName("fk_stream_out")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT count(*) n FROM fk_stream_out").first()["n"]
+    want = events.filter(
+        ~F.col("event_type").isin("click", "view", "purchase", "signup")
+    ).count()
+    assert got == want and want > 0
