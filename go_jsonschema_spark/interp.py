@@ -458,6 +458,14 @@ def _validate(
     if not isinstance(schema, dict):
         raise SpecError(f"invalid schema node at {path}")
 
+    # 2019-09 unevaluated* keywords need annotation collection across the
+    # in-place applicators of this node → dedicated evaluator (the
+    # reference skips these files entirely)
+    if "unevaluatedProperties" in schema or "unevaluatedItems" in schema:
+        ok_u, _ = _validate_ann(schema, v, spec, draft, registry, fmt,
+                                errors, path, _ref_depth)
+        return ok_u
+
     # $ref short-circuits sibling keywords in draft<=7 (parser.go:323-326)
     ref = schema.get("$ref")
     if isinstance(ref, str):
@@ -769,3 +777,280 @@ def _validate(
                     return False
 
     return ok
+
+
+# ---------------------------------------------------------------------------
+# 2019-09 unevaluatedProperties / unevaluatedItems — annotation-collecting
+# evaluation (a verified superset of the reference, which skips these suite
+# files entirely; validate_test.go:37-80)
+# ---------------------------------------------------------------------------
+
+# keywords whose checks don't produce property/item annotations — delegated
+# to the plain validator on a pruned schema
+_ANN_LEAF_KEYWORDS = (
+    "type", "enum", "const", "multipleOf", "maximum", "exclusiveMaximum",
+    "minimum", "exclusiveMinimum", "maxLength", "minLength", "pattern",
+    "format", "contentEncoding", "contentMediaType", "maxItems", "minItems",
+    "uniqueItems", "maxProperties", "minProperties", "required",
+    "dependentRequired", "propertyNames",
+)
+
+
+class _Ann:
+    """Annotations at ONE instance location: evaluated property names,
+    evaluated item prefix length, all-items flag, extra item indexes."""
+
+    __slots__ = ("props", "prefix", "all_items", "idxs")
+
+    def __init__(self) -> None:
+        self.props: set[str] = set()
+        self.prefix = 0
+        self.all_items = False
+        self.idxs: set[int] = set()
+
+    def merge(self, other: "_Ann") -> None:
+        self.props |= other.props
+        self.prefix = max(self.prefix, other.prefix)
+        self.all_items = self.all_items or other.all_items
+        self.idxs |= other.idxs
+
+
+def schema_has_unevaluated(schema: Any) -> bool:
+    """True when the schema subtree mentions unevaluatedProperties/Items
+    (used by the closure compiler + typed compiler to route to this
+    path)."""
+    stack = [schema]
+    seen: set[int] = set()
+    while stack:
+        node = stack.pop()
+        if id(node) in seen:
+            continue
+        seen.add(id(node))
+        if isinstance(node, dict):
+            if "unevaluatedProperties" in node or "unevaluatedItems" in node:
+                return True
+            stack.extend(node.values())
+        elif isinstance(node, list):
+            stack.extend(node)
+    return False
+
+
+def _validate_ann(
+    schema: Any,
+    v: Any,
+    spec: SchemaSpec,
+    draft: int,
+    registry: dict[str, Any],
+    fmt: bool,
+    errors: list[str],
+    path: str,
+    _ref_depth: int = 0,
+) -> tuple[bool, _Ann]:
+    """Validate with annotation collection (2019-09 semantics: ``$ref``
+    does NOT short-circuit siblings, in-place applicators contribute the
+    annotations their SUCCESSFUL subschemas produced)."""
+    ann = _Ann()
+    if schema is True:
+        return True, ann
+    if schema is False:
+        return (
+            bool(_err(errors, path, "false-schema", "schema rejects everything")),
+            ann,
+        )
+    if not isinstance(schema, dict):
+        raise SpecError(f"invalid schema node at {path}")
+
+    ok = True
+
+    def sub_plain(s: Any, val: Any, p: str) -> bool:
+        return _validate(s, val, spec, draft, registry, fmt, [], False, p)
+
+    def sub_ann(s: Any, depth: int = 0) -> tuple[bool, _Ann]:
+        return _validate_ann(s, v, spec, draft, registry, fmt, [], path,
+                             _ref_depth + depth)
+
+    # leaf keywords via the plain validator on a pruned node
+    pruned = {k: schema[k] for k in _ANN_LEAF_KEYWORDS if k in schema}
+    deps = schema.get("dependencies")
+    if isinstance(deps, dict):
+        list_deps = {k: d for k, d in deps.items() if isinstance(d, list)}
+        if list_deps:
+            pruned["dependencies"] = list_deps
+    if pruned and not _validate(pruned, v, spec, draft, registry, fmt,
+                                errors, False, path):
+        ok = False
+
+    # $ref — 2019-09: an in-place applicator evaluated WITH its siblings
+    ref = schema.get("$ref")
+    if isinstance(ref, str):
+        if _ref_depth > 100:
+            ok = bool(_err(errors, path, "$ref", "ref recursion limit"))
+        else:
+            owner = _owning_spec(spec, schema, registry)
+            target = owner.resolve_ref(ref, at=schema, extra=registry)
+            r_ok, r_ann = _validate_ann(
+                target, v, owner if owner is not spec else spec, draft,
+                registry, fmt, errors, path, _ref_depth + 1,
+            )
+            ok = ok and r_ok
+            if r_ok:
+                ann.merge(r_ann)
+
+    # object applicators (child locations → plain validation; annotation =
+    # which keys were successfully applied)
+    if isinstance(v, dict):
+        props = schema.get("properties", {})
+        pprops = schema.get("patternProperties", {})
+        add = schema.get("additionalProperties")
+        for k, val in v.items():
+            matched = False
+            k_ok = True
+            if k in props:
+                matched = True
+                k_ok = sub_plain(props[k], val, f"{path}.{k}") and k_ok
+            for pat, ps in pprops.items():
+                rx = compile_ecma_regex(pat)
+                if rx is not None and rx.search(k):
+                    matched = True
+                    k_ok = sub_plain(ps, val, f"{path}.{k}") and k_ok
+            if matched:
+                if k_ok:
+                    ann.props.add(k)
+                else:
+                    ok = bool(_err(errors, path, "properties",
+                                   f"property {k!r} invalid"))
+            elif add is not None:
+                if sub_plain(add, val, f"{path}.{k}"):
+                    ann.props.add(k)
+                else:
+                    ok = bool(_err(errors, path, "additionalProperties",
+                                   f"property {k!r} invalid"))
+        for k, dep in (schema.get("dependentSchemas") or {}).items():
+            if k in v:
+                d_ok, d_ann = _validate_ann(dep, v, spec, draft, registry,
+                                            fmt, errors, path, _ref_depth)
+                ok = ok and d_ok
+                if d_ok:
+                    ann.merge(d_ann)
+        if isinstance(deps, dict):
+            for k, dep in deps.items():
+                if k in v and not isinstance(dep, list):
+                    d_ok, d_ann = _validate_ann(dep, v, spec, draft,
+                                                registry, fmt, errors, path,
+                                                _ref_depth)
+                    ok = ok and d_ok
+                    if d_ok:
+                        ann.merge(d_ann)
+
+    # array applicators
+    if isinstance(v, list):
+        prefix = schema.get("prefixItems")
+        items = schema.get("items")
+        rest = None
+        tuple_schemas = None
+        if prefix is not None:
+            tuple_schemas = prefix
+            rest = items
+        elif isinstance(items, list):
+            tuple_schemas = items
+            rest = schema.get("additionalItems")
+        elif items is not None:
+            rest = items
+        if tuple_schemas is not None:
+            n_pref = min(len(tuple_schemas), len(v))
+            for i in range(n_pref):
+                if sub_plain(tuple_schemas[i], v[i], f"{path}[{i}]"):
+                    continue
+                ok = bool(_err(errors, path, "prefixItems",
+                               f"element {i} invalid"))
+            ann.prefix = max(ann.prefix, n_pref)
+        n_pref = len(tuple_schemas) if tuple_schemas is not None else 0
+        if rest is not None:
+            for i in range(n_pref, len(v)):
+                if not sub_plain(rest, v[i], f"{path}[{i}]"):
+                    ok = bool(_err(errors, path, "items",
+                                   f"element {i} invalid"))
+            if len(v) > n_pref:
+                ann.all_items = True
+        if "contains" in schema:
+            hit = {
+                i for i, el in enumerate(v)
+                if sub_plain(schema["contains"], el, f"{path}[{i}]")
+            }
+            min_c = schema.get("minContains", 1)
+            max_c = schema.get("maxContains")
+            if len(hit) < min_c:
+                ok = bool(_err(errors, path, "contains",
+                               f"{len(hit)} matches < minContains {min_c}"))
+            if max_c is not None and len(hit) > max_c:
+                ok = bool(_err(errors, path, "maxContains",
+                               f"{len(hit)} matches > {max_c}"))
+            ann.idxs |= hit
+
+    # in-place combinators — successful subschemas contribute annotations
+    if "allOf" in schema:
+        for s in schema["allOf"]:
+            s_ok, s_ann = sub_ann(s)
+            ok = ok and s_ok
+            if s_ok:
+                ann.merge(s_ann)
+        if not ok:
+            _err([], path, "allOf", "")
+    if "anyOf" in schema:
+        hit_any = False
+        for s in schema["anyOf"]:
+            s_ok, s_ann = sub_ann(s)
+            if s_ok:
+                hit_any = True
+                ann.merge(s_ann)
+        if not hit_any:
+            ok = bool(_err(errors, path, "anyOf", "no subschema matched"))
+    if "oneOf" in schema:
+        n_hit = 0
+        for s in schema["oneOf"]:
+            s_ok, s_ann = sub_ann(s)
+            if s_ok:
+                n_hit += 1
+                ann.merge(s_ann)
+        if n_hit != 1:
+            ok = bool(_err(errors, path, "oneOf",
+                           f"{n_hit} subschemas matched, want exactly 1"))
+    if "not" in schema:
+        s_ok, _sa = sub_ann(schema["not"])
+        if s_ok:
+            ok = bool(_err(errors, path, "not", "subschema matched"))
+    if "if" in schema:
+        c_ok, c_ann = sub_ann(schema["if"])
+        if c_ok:
+            ann.merge(c_ann)
+        branch = schema.get("then" if c_ok else "else")
+        if branch is not None:
+            b_ok, b_ann = sub_ann(branch)
+            ok = ok and b_ok
+            if b_ok:
+                ann.merge(b_ann)
+
+    # unevaluated* — LAST, over everything the node's own keywords and
+    # in-place applicators evaluated
+    if isinstance(v, dict) and "unevaluatedProperties" in schema:
+        us = schema["unevaluatedProperties"]
+        for k, val in v.items():
+            if k in ann.props:
+                continue
+            if sub_plain(us, val, f"{path}.{k}"):
+                ann.props.add(k)
+            else:
+                ok = bool(_err(errors, path, "unevaluatedProperties",
+                               f"property {k!r} unevaluated/invalid"))
+    if isinstance(v, list) and "unevaluatedItems" in schema:
+        us = schema["unevaluatedItems"]
+        if not ann.all_items:
+            for i in range(ann.prefix, len(v)):
+                if i in ann.idxs:
+                    continue
+                if not sub_plain(us, v[i], f"{path}[{i}]"):
+                    ok = bool(_err(errors, path, "unevaluatedItems",
+                                   f"element {i} unevaluated/invalid"))
+            ann.all_items = True
+
+    return ok, ann

@@ -48,6 +48,23 @@ def compile_validator(
     """Compile ``schema`` into a ``value -> bool`` closure chain."""
     if spec is None:
         spec = SchemaSpec(schema if isinstance(schema, (dict, bool)) else {})
+    from go_jsonschema_spark.interp import (
+        schema_has_unevaluated, validate_instance,
+    )
+
+    if schema_has_unevaluated(schema):
+        # unevaluated* needs annotation collection across in-place
+        # applicators — route to the interpreter's annotated evaluator
+        # instead of the closure chain (same verdicts, parity-tested)
+        reg = registry or {}
+
+        def _ann_validator(v: Any) -> bool:
+            return validate_instance(
+                schema, v, draft=draft, spec=spec, registry=reg,
+                assert_formats=assert_formats,
+            ).valid
+
+        return _ann_validator
     memo: dict[int, Validator] = {}
     return _compile(schema, spec, draft, registry or {}, assert_formats, memo)
 

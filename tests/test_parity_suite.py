@@ -178,9 +178,13 @@ def test_draft2019_keywords_beyond_reference():
         ("draft2019-09", "maxContains.json"),
         ("draft2019-09", "minContains.json"),
         ("draft2019-09", "anchor.json"),
+        ("draft2019-09", "unevaluatedProperties.json"),
+        ("draft2019-09", "unevaluatedItems.json"),
         ("draft2020-12", "prefixItems.json"),
         ("draft2020-12", "items.json"),
         ("draft2020-12", "anchor.json"),
+        ("draft2020-12", "unevaluatedProperties.json"),
+        ("draft2020-12", "unevaluatedItems.json"),
     ]
     mismatches = []
     for ddir, name in files:
