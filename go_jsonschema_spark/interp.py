@@ -466,9 +466,35 @@ def _validate(
                                 errors, path, _ref_depth)
         return ok_u
 
-    # $ref short-circuits sibling keywords in draft<=7 (parser.go:323-326)
+    # 2019-09 $recursiveRef/$recursiveAnchor: "#" resolves to the current
+    # base, then — if that base carries `$recursiveAnchor: true` — hops to
+    # the OUTERMOST dynamically-entered resource that also carries it.
+    # The dynamic scope stack lives in the (call-shared) registry under a
+    # reserved key, pushed at resource boundaries below.
+    rref = schema.get("$recursiveRef")
+    if isinstance(rref, str):
+        if _ref_depth > 100:
+            return _err(errors, path, "$recursiveRef", "ref recursion limit")
+        cur_base = spec.base_of.get(id(schema), (spec.root, ""))[0]
+        target = cur_base
+        if isinstance(cur_base, dict) and cur_base.get(
+            "$recursiveAnchor"
+        ) is True:
+            for bn, anc in registry.get("__dyn_scope__", []):
+                if anc:
+                    target = bn
+                    break
+        towner = _owning_spec(spec, target, registry)
+        return _validate(target, v, towner if towner is not spec else spec,
+                         draft, registry, fmt, errors, all_,
+                         path, _ref_depth + 1)
+
+    # $ref short-circuits sibling keywords in draft<=7 (parser.go:323-326);
+    # from 2019-09 it is an in-place applicator evaluated WITH its
+    # siblings — and the referring node's resource enters the dynamic
+    # scope first (the $recursiveRef cases depend on that order)
     ref = schema.get("$ref")
-    if isinstance(ref, str):
+    if isinstance(ref, str) and draft < 2019:
         if _ref_depth > 100:
             return _err(errors, path, "$ref", "ref recursion limit")
         owner = _owning_spec(spec, schema, registry)
@@ -476,6 +502,52 @@ def _validate(
         return _validate(target, v, owner if owner is not spec else spec,
                          draft, registry, fmt, errors, all_,
                          path, _ref_depth + 1)
+
+    # resource-boundary tracking for $recursiveRef: push this node's base
+    # when the walk enters a different schema resource
+    __dyn = registry.setdefault("__dyn_scope__", [])
+    __base = spec.base_of.get(id(schema), (None, ""))[0]
+    __entered = False
+    if __base is not None and (not __dyn or __dyn[-1][0] is not __base):
+        __dyn.append(
+            (
+                __base,
+                isinstance(__base, dict)
+                and __base.get("$recursiveAnchor") is True,
+            )
+        )
+        __entered = True
+    try:
+        ok = True
+        if isinstance(ref, str):  # 2019-09 sibling-evaluated $ref
+            if _ref_depth > 100:
+                return _err(errors, path, "$ref", "ref recursion limit")
+            owner = _owning_spec(spec, schema, registry)
+            target = owner.resolve_ref(ref, at=schema, extra=registry)
+            ok = _validate(target, v, owner if owner is not spec else spec,
+                           draft, registry, fmt, errors, all_,
+                           path, _ref_depth + 1)
+            if not ok and not all_:
+                return False
+        return _validate_body(schema, v, spec, draft, registry, fmt, errors,
+                              all_, path, _ref_depth) and ok
+    finally:
+        if __entered:
+            __dyn.pop()
+
+
+def _validate_body(
+    schema: Any,
+    v: Any,
+    spec: SchemaSpec,
+    draft: int,
+    registry: dict[str, Any],
+    fmt: bool,
+    errors: list[str],
+    all_: bool,
+    path: str,
+    _ref_depth: int = 0,
+) -> bool:
 
     ok = True
 
@@ -816,9 +888,11 @@ class _Ann:
 
 
 def schema_has_unevaluated(schema: Any) -> bool:
-    """True when the schema subtree mentions unevaluatedProperties/Items
-    (used by the closure compiler + typed compiler to route to this
-    path)."""
+    """True when the schema subtree mentions an annotation- or
+    dynamic-scope-dependent keyword (unevaluatedProperties/Items,
+    $recursiveRef) — used by the closure compiler to route such schemas
+    to this interpreter instead of the closure chain."""
+    needy = ("unevaluatedProperties", "unevaluatedItems", "$recursiveRef")
     stack = [schema]
     seen: set[int] = set()
     while stack:
@@ -827,7 +901,7 @@ def schema_has_unevaluated(schema: Any) -> bool:
             continue
         seen.add(id(node))
         if isinstance(node, dict):
-            if "unevaluatedProperties" in node or "unevaluatedItems" in node:
+            if any(k in node for k in needy):
                 return True
             stack.extend(node.values())
         elif isinstance(node, list):

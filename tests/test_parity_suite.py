@@ -180,6 +180,7 @@ def test_draft2019_keywords_beyond_reference():
         ("draft2019-09", "anchor.json"),
         ("draft2019-09", "unevaluatedProperties.json"),
         ("draft2019-09", "unevaluatedItems.json"),
+        ("draft2019-09", "recursiveRef.json"),
         ("draft2020-12", "prefixItems.json"),
         ("draft2020-12", "items.json"),
         ("draft2020-12", "anchor.json"),
@@ -195,7 +196,7 @@ def test_draft2019_keywords_beyond_reference():
             spec = SchemaSpec(group["schema"])
             for t in group["tests"]:
                 got = validate_instance(
-                    group["schema"], t["data"], spec=spec
+                    group["schema"], t["data"], spec=spec, draft=2019
                 ).valid
                 if got != t["valid"]:
                     mismatches.append(
