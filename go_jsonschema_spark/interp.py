@@ -480,9 +480,9 @@ def _validate(
         if isinstance(cur_base, dict) and cur_base.get(
             "$recursiveAnchor"
         ) is True:
-            for bn, anc in registry.get("__dyn_scope__", []):
-                if anc:
-                    target = bn
+            for entry in registry.get("__dyn_scope__", []):
+                if entry[1]:
+                    target = entry[0]
                     break
         towner = _owning_spec(spec, target, registry)
         return _validate(target, v, towner if towner is not spec else spec,
@@ -503,8 +503,8 @@ def _validate(
                          draft, registry, fmt, errors, all_,
                          path, _ref_depth + 1)
 
-    # resource-boundary tracking for $recursiveRef: push this node's base
-    # when the walk enters a different schema resource
+    # resource-boundary tracking for $recursiveRef/$dynamicRef: push this
+    # node's base when the walk enters a different schema resource
     __dyn = registry.setdefault("__dyn_scope__", [])
     __base = spec.base_of.get(id(schema), (None, ""))[0]
     __entered = False
@@ -514,6 +514,7 @@ def _validate(
                 __base,
                 isinstance(__base, dict)
                 and __base.get("$recursiveAnchor") is True,
+                spec.dyn_anchors.get(id(__base), {}),
             )
         )
         __entered = True
@@ -527,6 +528,33 @@ def _validate(
             ok = _validate(target, v, owner if owner is not spec else spec,
                            draft, registry, fmt, errors, all_,
                            path, _ref_depth + 1)
+            if not ok and not all_:
+                return False
+        dref = schema.get("$dynamicRef")
+        if isinstance(dref, str):
+            # 2020-12: resolve statically first; if the landing spot is a
+            # matching $dynamicAnchor (bookending), hop to the OUTERMOST
+            # dynamic-scope resource defining that anchor name
+            if _ref_depth > 100:
+                return _err(errors, path, "$dynamicRef", "ref recursion limit")
+            owner = _owning_spec(spec, schema, registry)
+            target = owner.resolve_ref(dref, at=schema, extra=registry)
+            name = dref.split("#", 1)[1] if "#" in dref else ""
+            if (
+                name
+                and isinstance(target, dict)
+                and target.get("$dynamicAnchor") == name
+            ):
+                for entry in __dyn:
+                    if name in entry[2]:
+                        target = entry[2][name]
+                        break
+            towner = _owning_spec(spec, target, registry)
+            d_ok = _validate(target, v,
+                             towner if towner is not spec else spec,
+                             draft, registry, fmt, errors, all_,
+                             path, _ref_depth + 1)
+            ok = ok and d_ok
             if not ok and not all_:
                 return False
         return _validate_body(schema, v, spec, draft, registry, fmt, errors,
@@ -892,7 +920,8 @@ def schema_has_unevaluated(schema: Any) -> bool:
     dynamic-scope-dependent keyword (unevaluatedProperties/Items,
     $recursiveRef) — used by the closure compiler to route such schemas
     to this interpreter instead of the closure chain."""
-    needy = ("unevaluatedProperties", "unevaluatedItems", "$recursiveRef")
+    needy = ("unevaluatedProperties", "unevaluatedItems", "$recursiveRef",
+             "$dynamicRef")
     stack = [schema]
     seen: set[int] = set()
     while stack:

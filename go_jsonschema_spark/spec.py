@@ -244,6 +244,7 @@ class SchemaSpec:
 
         normalize_spec(self.root)
         self.base_of: dict[int, tuple[Any, str]] = {}
+        self.dyn_anchors: dict[int, dict[str, Any]] = {}
         root_uri = self.base_uri
         if isinstance(self.root, dict):
             sid = self.root.get("$id") or self.root.get("id")
@@ -292,14 +293,21 @@ class SchemaSpec:
             # 2019-09+ $anchor: the split-out plain-name form of draft-7's
             # `$id: "#name"` — registered AFTER $id so it anchors in the
             # (possibly new) base established by a sibling $id
-            anc = node.get("$anchor")
-            if isinstance(anc, str) and anc:
-                self.registry[
-                    _norm_uri(
-                        urljoin(base_uri, "#" + anc) if base_uri
-                        else "#" + anc
-                    )
-                ] = node
+            for anchor_kw in ("$anchor", "$dynamicAnchor"):
+                anc = node.get(anchor_kw)
+                if isinstance(anc, str) and anc:
+                    self.registry[
+                        _norm_uri(
+                            urljoin(base_uri, "#" + anc) if base_uri
+                            else "#" + anc
+                        )
+                    ] = node
+                    if anchor_kw == "$dynamicAnchor":
+                        # per-resource name → node map for the dynamic-scope
+                        # lookup ($dynamicRef bookending, 2020-12)
+                        self.dyn_anchors.setdefault(
+                            id(base_node), {}
+                        ).setdefault(anc, node)
         self.base_of[id(node)] = (base_node, base_uri)
         if not schema_pos:
             for v in node.values():

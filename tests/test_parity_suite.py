@@ -186,6 +186,7 @@ def test_draft2019_keywords_beyond_reference():
         ("draft2020-12", "anchor.json"),
         ("draft2020-12", "unevaluatedProperties.json"),
         ("draft2020-12", "unevaluatedItems.json"),
+        ("draft2020-12", "dynamicRef.json"),
     ]
     mismatches = []
     for ddir, name in files:
