@@ -385,9 +385,12 @@ def _meta_specs() -> list[SchemaSpec]:
     meta-schemas (schemas.go:25-50 analogue)."""
     global _META_SPECS
     if _META_SPECS is None:
-        from go_jsonschema_spark.metaschema import DRAFT04, DRAFT06, DRAFT07
+        from go_jsonschema_spark.metaschema import (
+            DRAFT04, DRAFT06, DRAFT07, DRAFT2020,
+        )
 
-        _META_SPECS = [SchemaSpec(DRAFT07), SchemaSpec(DRAFT06), SchemaSpec(DRAFT04)]
+        _META_SPECS = [SchemaSpec(DRAFT07), SchemaSpec(DRAFT06),
+                       SchemaSpec(DRAFT04), SchemaSpec(DRAFT2020)]
     return _META_SPECS
 
 

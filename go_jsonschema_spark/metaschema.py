@@ -313,6 +313,116 @@ DRAFT04: dict = {
     "default": {},
 }
 
+# Flattened functional equivalent of the official 2019-09 / 2020-12
+# meta-schemas (assembled from the public specification documents; the
+# official releases split across meta/core, meta/applicator, ... which the
+# reference does not vendor).  Plain "$ref": "#" recursion replaces the
+# $dynamicRef bookending — equivalent for static validation of schema
+# documents.  `items` accepts both the 2019 array form and the 2020
+# single-schema form (permissive union, noted deviation).
+_NNI: dict = {"type": "integer", "minimum": 0}
+DRAFT2020: dict = {
+    "$id": "https://json-schema.org/draft/2020-12/schema",
+    "title": "flattened 2019-09/2020-12 meta-schema (functional equivalent)",
+    "type": ["object", "boolean"],
+    "properties": {
+        "$id": {"type": "string", "format": "uri-reference",
+                "pattern": "^[^#]*#?$"},
+        "$schema": {"type": "string", "format": "uri"},
+        "$ref": {"type": "string", "format": "uri-reference"},
+        "$anchor": {"type": "string",
+                    "pattern": "^[A-Za-z_][-A-Za-z0-9._]*$"},
+        "$dynamicRef": {"type": "string", "format": "uri-reference"},
+        "$dynamicAnchor": {"type": "string",
+                           "pattern": "^[A-Za-z_][-A-Za-z0-9._]*$"},
+        "$recursiveRef": {"type": "string", "format": "uri-reference"},
+        "$recursiveAnchor": {"type": "boolean"},
+        "$vocabulary": {"type": "object",
+                        "additionalProperties": {"type": "boolean"}},
+        "$comment": {"type": "string"},
+        "$defs": {"type": "object", "additionalProperties": {"$ref": "#"}},
+        "definitions": {"type": "object",
+                        "additionalProperties": {"$ref": "#"}},
+        "prefixItems": {"$ref": "#/$defs/schemaArray"},
+        "items": {"anyOf": [{"$ref": "#"}, {"$ref": "#/$defs/schemaArray"}]},
+        "additionalItems": {"$ref": "#"},
+        "unevaluatedItems": {"$ref": "#"},
+        "contains": {"$ref": "#"},
+        "additionalProperties": {"$ref": "#"},
+        "unevaluatedProperties": {"$ref": "#"},
+        "properties": {"type": "object",
+                       "additionalProperties": {"$ref": "#"}, "default": {}},
+        "patternProperties": {"type": "object",
+                              "additionalProperties": {"$ref": "#"},
+                              "propertyNames": {"format": "regex"},
+                              "default": {}},
+        "dependentSchemas": {"type": "object",
+                             "additionalProperties": {"$ref": "#"}},
+        "dependentRequired": {
+            "type": "object",
+            "additionalProperties": {"$ref": "#/$defs/stringArray"},
+        },
+        "dependencies": {
+            "type": "object",
+            "additionalProperties": {
+                "anyOf": [{"$ref": "#"}, {"$ref": "#/$defs/stringArray"}]
+            },
+        },
+        "propertyNames": {"$ref": "#"},
+        "if": {"$ref": "#"},
+        "then": {"$ref": "#"},
+        "else": {"$ref": "#"},
+        "allOf": {"$ref": "#/$defs/schemaArray"},
+        "anyOf": {"$ref": "#/$defs/schemaArray"},
+        "oneOf": {"$ref": "#/$defs/schemaArray"},
+        "not": {"$ref": "#"},
+        "multipleOf": {"type": "number", "exclusiveMinimum": 0},
+        "maximum": {"type": "number"},
+        "exclusiveMaximum": {"type": "number"},
+        "minimum": {"type": "number"},
+        "exclusiveMinimum": {"type": "number"},
+        "maxLength": _NNI,
+        "minLength": {"type": "integer", "minimum": 0, "default": 0},
+        "pattern": {"type": "string", "format": "regex"},
+        "maxItems": _NNI,
+        "minItems": {"type": "integer", "minimum": 0, "default": 0},
+        "uniqueItems": {"type": "boolean", "default": False},
+        "maxContains": _NNI,
+        "minContains": {"type": "integer", "minimum": 0, "default": 1},
+        "maxProperties": _NNI,
+        "minProperties": {"type": "integer", "minimum": 0, "default": 0},
+        "required": {"$ref": "#/$defs/stringArray"},
+        "const": True,
+        "enum": {"type": "array"},
+        "type": {
+            "anyOf": [
+                {"$ref": "#/$defs/simpleTypes"},
+                {"type": "array", "items": {"$ref": "#/$defs/simpleTypes"},
+                 "minItems": 1, "uniqueItems": True},
+            ]
+        },
+        "title": {"type": "string"},
+        "description": {"type": "string"},
+        "default": True,
+        "deprecated": {"type": "boolean"},
+        "readOnly": {"type": "boolean"},
+        "writeOnly": {"type": "boolean"},
+        "examples": {"type": "array"},
+        "format": {"type": "string"},
+        "contentMediaType": {"type": "string"},
+        "contentEncoding": {"type": "string"},
+        "contentSchema": {"$ref": "#"},
+    },
+    "$defs": {
+        "schemaArray": {"type": "array", "minItems": 1,
+                        "items": {"$ref": "#"}},
+        "stringArray": {"type": "array", "items": {"type": "string"},
+                        "uniqueItems": True, "default": []},
+        "simpleTypes": {"enum": ["array", "boolean", "integer", "null",
+                                 "number", "object", "string"]},
+    },
+}
+
 # URIs under which the meta-schemas are addressable (with and without the
 # trailing empty fragment, like the reference's shortcut table
 # schema_refs.go:269-279)
@@ -323,3 +433,8 @@ for _scheme in ("http", "https"):
             META_SCHEMAS[
                 f"{_scheme}://json-schema.org/draft-{_draft}/schema{_frag}"
             ] = _doc
+    for _rel in ("2019-09", "2020-12"):
+        for _frag in ("", "#"):
+            META_SCHEMAS[
+                f"{_scheme}://json-schema.org/draft/{_rel}/schema{_frag}"
+            ] = DRAFT2020

@@ -206,6 +206,39 @@ def test_draft2019_keywords_beyond_reference():
     assert not mismatches, "\n".join(mismatches)
 
 
+def test_full_draft2019_and_2020_mandatory_sweep():
+    """WHOLE-DRAFT sweep for 2019-09 and 2020-12 (every mandatory file,
+    refRemote covered separately via the registry): 1009 + 1001 cases at
+    100%.  The reference skips both drafts entirely
+    (validate_test.go:37-80).  Formats are annotation-only in these drafts
+    per spec → assert_formats=False."""
+    tot = 0
+    mismatches = []
+    for ddir in ("draft2019-09", "draft2020-12"):
+        for path in sorted(glob.glob(os.path.join(SUITE_ROOT, ddir, "*.json"))):
+            name = os.path.basename(path)
+            if name == "refRemote.json":
+                continue
+            with open(path) as f:
+                groups = json.load(f)
+            for group in groups:
+                spec = SchemaSpec(group["schema"])
+                for t in group["tests"]:
+                    tot += 1
+                    got = validate_instance(
+                        group["schema"], t["data"], draft=2019, spec=spec,
+                        assert_formats=False,
+                    ).valid
+                    if got != t["valid"]:
+                        mismatches.append(
+                            f"{ddir}/{name}: {group['description']} :: "
+                            f"{t['description']}"
+                        )
+    assert tot == 2010 and not mismatches, (
+        f"{tot} cases, mismatches:\n" + "\n".join(mismatches[:20])
+    )
+
+
 def test_refremote_via_registry():
     """refRemote.json WITHOUT any HTTP: the remote documents are
     pre-registered as SchemaSpecs keyed by their URLs (the AddSchema
@@ -223,7 +256,8 @@ def test_refremote_via_registry():
 
     mismatches = []
     n = 0
-    for ddir, draft in DRAFTS:
+    dirs = list(DRAFTS) + [("draft2019-09", 2019), ("draft2020-12", 2019)]
+    for ddir, draft in dirs:
         with open(os.path.join(SUITE_ROOT, ddir, "refRemote.json")) as f:
             groups = json.load(f)
         for group in groups:
@@ -232,13 +266,13 @@ def test_refremote_via_registry():
                 n += 1
                 got = validate_instance(
                     group["schema"], t["data"], draft=draft, spec=spec,
-                    registry=registry,
+                    registry=registry, assert_formats=draft < 2019,
                 ).valid
                 if got != t["valid"]:
                     mismatches.append(
                         f"{ddir}: {group['description']} :: {t['description']}"
                     )
-    assert n == 49 and not mismatches, "\n".join(mismatches)
+    assert n == 83 and not mismatches, "\n".join(mismatches)
 
 
 def test_spec_self_validation():
