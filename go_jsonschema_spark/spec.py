@@ -446,9 +446,12 @@ def validate_spec_against_metaschema(spec: Any, draft: int = 7) -> list[str]:
     (/root/reference/validate.go:12-29): compile-time self-validation, no
     Spark involved.  Returns a list of errors (empty = valid)."""
     from go_jsonschema_spark.interp import validate_instance
-    from go_jsonschema_spark.metaschema import DRAFT04, DRAFT06, DRAFT07
+    from go_jsonschema_spark.metaschema import (
+        DRAFT04, DRAFT06, DRAFT07, DRAFT2020,
+    )
 
-    meta = {4: DRAFT04, 6: DRAFT06, 7: DRAFT07}[draft]
+    meta = {4: DRAFT04, 6: DRAFT06, 7: DRAFT07,
+            2019: DRAFT2020, 2020: DRAFT2020}[draft]
     out = validate_instance(meta, spec, draft=draft, collect_all=True)
     return out.errors
 
