@@ -24,6 +24,7 @@ import hashlib
 import json
 import os
 import time
+import uuid
 from dataclasses import dataclass
 from typing import Any
 
@@ -161,14 +162,20 @@ class IcebergCheckpointStore:
             "run_id string, batch_key string, partitions array<string>, "
             "metrics string, output string, ts double",
         )
-        src.createOrReplaceTempView("__ck_src__")
-        # MERGE = one atomic Iceberg snapshot commit (idempotent re-mark)
-        self.spark.sql(
-            f"MERGE INTO {self.table} t USING __ck_src__ s"
-            " ON t.run_id = s.run_id AND t.batch_key = s.batch_key"
-            " WHEN MATCHED THEN UPDATE SET *"
-            " WHEN NOT MATCHED THEN INSERT *"
-        )
+        # per-call unique view name: a fixed name would race between
+        # concurrent runs sharing one SparkSession
+        view = f"__ck_src_{uuid.uuid4().hex}__"
+        src.createOrReplaceTempView(view)
+        try:
+            # MERGE = one atomic Iceberg snapshot commit (idempotent re-mark)
+            self.spark.sql(
+                f"MERGE INTO {self.table} t USING {view} s"
+                " ON t.run_id = s.run_id AND t.batch_key = s.batch_key"
+                " WHEN MATCHED THEN UPDATE SET *"
+                " WHEN NOT MATCHED THEN INSERT *"
+            )
+        finally:
+            self.spark.catalog.dropTempView(view)
 
 
 @dataclass

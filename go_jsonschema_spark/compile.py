@@ -123,13 +123,17 @@ def compile_predicate(
     if not isinstance(schema, dict):
         raise CompileError(f"invalid schema node: {schema!r}")
 
-    if "unevaluatedProperties" in schema or "unevaluatedItems" in schema:
-        # annotation-dependent keywords need the interpreter's annotated
-        # evaluator (interp._validate_ann) — refuse rather than silently
-        # compiling an incomplete predicate
+    if any(
+        k in schema
+        for k in ("unevaluatedProperties", "unevaluatedItems",
+                  "$recursiveRef", "$dynamicRef")
+    ):
+        # annotation- / dynamic-scope-dependent keywords need the
+        # interpreter — refuse rather than silently compiling an
+        # incomplete (always-permissive) predicate
         raise CompileError(
-            "unevaluatedProperties/unevaluatedItems require the dynamic "
-            "path (json_column_predicate)"
+            "unevaluatedProperties/unevaluatedItems/$recursiveRef/"
+            "$dynamicRef require the dynamic path (json_column_predicate)"
         )
 
     # $ref → bounded compile-time inlining (SURVEY §2.6: refs are inlined,

@@ -441,6 +441,62 @@ def _err(errors: list[str], path: str, kw: str, msg: str) -> bool:
     return False
 
 
+def _push_resource(
+    registry: dict[str, Any], spec: SchemaSpec, schema: Any
+) -> bool:
+    """Push this node's schema resource onto the dynamic-scope stack
+    (shared via the call's registry) when the walk enters a different
+    resource.  Returns True when a pop is owed."""
+    dyn = registry.setdefault("__dyn_scope__", [])
+    base = spec.base_of.get(id(schema), (None, ""))[0]
+    if base is not None and (not dyn or dyn[-1][0] is not base):
+        dyn.append(
+            (
+                base,
+                isinstance(base, dict)
+                and base.get("$recursiveAnchor") is True,
+                spec.dyn_anchors.get(id(base), {}),
+            )
+        )
+        return True
+    return False
+
+
+def _resolve_recursive_target(
+    spec: SchemaSpec, schema: Any, registry: dict[str, Any]
+) -> Any:
+    """2019-09 $recursiveRef '#': the current base — or, when that base
+    carries `$recursiveAnchor: true`, the OUTERMOST dynamically-entered
+    resource that also carries it."""
+    cur_base = spec.base_of.get(id(schema), (spec.root, ""))[0]
+    target = cur_base
+    if isinstance(cur_base, dict) and cur_base.get("$recursiveAnchor") is True:
+        for entry in registry.get("__dyn_scope__", []):
+            if entry[1]:
+                return entry[0]
+    return target
+
+
+def _resolve_dynamic_target(
+    spec: SchemaSpec, schema: Any, dref: str, registry: dict[str, Any]
+) -> Any:
+    """2020-12 $dynamicRef: resolve statically first; if the landing spot
+    is a matching $dynamicAnchor (bookending), hop to the OUTERMOST
+    dynamic-scope resource defining that anchor name."""
+    owner = _owning_spec(spec, schema, registry)
+    target = owner.resolve_ref(dref, at=schema, extra=registry)
+    name = dref.split("#", 1)[1] if "#" in dref else ""
+    if (
+        name
+        and isinstance(target, dict)
+        and target.get("$dynamicAnchor") == name
+    ):
+        for entry in registry.get("__dyn_scope__", []):
+            if name in entry[2]:
+                return entry[2][name]
+    return target
+
+
 def _validate(
     schema: Any,
     v: Any,
@@ -461,97 +517,60 @@ def _validate(
     if not isinstance(schema, dict):
         raise SpecError(f"invalid schema node at {path}")
 
-    # 2019-09 unevaluated* keywords need annotation collection across the
-    # in-place applicators of this node → dedicated evaluator (the
-    # reference skips these files entirely)
-    if "unevaluatedProperties" in schema or "unevaluatedItems" in schema:
-        ok_u, _ = _validate_ann(schema, v, spec, draft, registry, fmt,
-                                errors, path, _ref_depth)
-        return ok_u
-
-    # 2019-09 $recursiveRef/$recursiveAnchor: "#" resolves to the current
-    # base, then — if that base carries `$recursiveAnchor: true` — hops to
-    # the OUTERMOST dynamically-entered resource that also carries it.
-    # The dynamic scope stack lives in the (call-shared) registry under a
-    # reserved key, pushed at resource boundaries below.
-    rref = schema.get("$recursiveRef")
-    if isinstance(rref, str):
-        if _ref_depth > 100:
-            return _err(errors, path, "$recursiveRef", "ref recursion limit")
-        cur_base = spec.base_of.get(id(schema), (spec.root, ""))[0]
-        target = cur_base
-        if isinstance(cur_base, dict) and cur_base.get(
-            "$recursiveAnchor"
-        ) is True:
-            for entry in registry.get("__dyn_scope__", []):
-                if entry[1]:
-                    target = entry[0]
-                    break
-        towner = _owning_spec(spec, target, registry)
-        return _validate(target, v, towner if towner is not spec else spec,
-                         draft, registry, fmt, errors, all_,
-                         path, _ref_depth + 1)
-
-    # $ref short-circuits sibling keywords in draft<=7 (parser.go:323-326);
-    # from 2019-09 it is an in-place applicator evaluated WITH its
-    # siblings — and the referring node's resource enters the dynamic
-    # scope first (the $recursiveRef cases depend on that order)
-    ref = schema.get("$ref")
-    if isinstance(ref, str) and draft < 2019:
-        if _ref_depth > 100:
-            return _err(errors, path, "$ref", "ref recursion limit")
-        owner = _owning_spec(spec, schema, registry)
-        target = owner.resolve_ref(ref, at=schema, extra=registry)
-        return _validate(target, v, owner if owner is not spec else spec,
-                         draft, registry, fmt, errors, all_,
-                         path, _ref_depth + 1)
-
     # resource-boundary tracking for $recursiveRef/$dynamicRef: push this
-    # node's base when the walk enters a different schema resource
-    __dyn = registry.setdefault("__dyn_scope__", [])
-    __base = spec.base_of.get(id(schema), (None, ""))[0]
-    __entered = False
-    if __base is not None and (not __dyn or __dyn[-1][0] is not __base):
-        __dyn.append(
-            (
-                __base,
-                isinstance(__base, dict)
-                and __base.get("$recursiveAnchor") is True,
-                spec.dyn_anchors.get(id(__base), {}),
-            )
-        )
-        __entered = True
+    # node's base when the walk enters a different schema resource — BEFORE
+    # any evaluation path (incl. the unevaluated* evaluator), so dynamic
+    # refs below always see the full scope
+    __entered = _push_resource(registry, spec, schema)
     try:
+        # 2019-09 unevaluated* keywords need annotation collection across
+        # the in-place applicators of this node → dedicated evaluator (the
+        # reference skips these files entirely)
+        if "unevaluatedProperties" in schema or "unevaluatedItems" in schema:
+            ok_u, _ = _validate_ann(schema, v, spec, draft, registry, fmt,
+                                    errors, path, _ref_depth)
+            return ok_u
+
         ok = True
-        if isinstance(ref, str):  # 2019-09 sibling-evaluated $ref
+        # 2019-09 $recursiveRef — an in-place applicator evaluated WITH its
+        # siblings (the keyword only exists in 2019-09)
+        rref = schema.get("$recursiveRef")
+        if isinstance(rref, str):
             if _ref_depth > 100:
-                return _err(errors, path, "$ref", "ref recursion limit")
-            owner = _owning_spec(spec, schema, registry)
-            target = owner.resolve_ref(ref, at=schema, extra=registry)
-            ok = _validate(target, v, owner if owner is not spec else spec,
+                return _err(errors, path, "$recursiveRef",
+                            "ref recursion limit")
+            target = _resolve_recursive_target(spec, schema, registry)
+            towner = _owning_spec(spec, target, registry)
+            ok = _validate(target, v,
+                           towner if towner is not spec else spec,
                            draft, registry, fmt, errors, all_,
                            path, _ref_depth + 1)
             if not ok and not all_:
                 return False
+
+        # $ref short-circuits sibling keywords in draft<=7
+        # (parser.go:323-326); from 2019-09 it is an in-place applicator
+        # evaluated WITH its siblings
+        ref = schema.get("$ref")
+        if isinstance(ref, str):
+            if _ref_depth > 100:
+                return _err(errors, path, "$ref", "ref recursion limit")
+            owner = _owning_spec(spec, schema, registry)
+            target = owner.resolve_ref(ref, at=schema, extra=registry)
+            r_ok = _validate(target, v, owner if owner is not spec else spec,
+                             draft, registry, fmt, errors, all_,
+                             path, _ref_depth + 1)
+            if draft < 2019:
+                return r_ok
+            ok = ok and r_ok
+            if not ok and not all_:
+                return False
+
         dref = schema.get("$dynamicRef")
         if isinstance(dref, str):
-            # 2020-12: resolve statically first; if the landing spot is a
-            # matching $dynamicAnchor (bookending), hop to the OUTERMOST
-            # dynamic-scope resource defining that anchor name
             if _ref_depth > 100:
                 return _err(errors, path, "$dynamicRef", "ref recursion limit")
-            owner = _owning_spec(spec, schema, registry)
-            target = owner.resolve_ref(dref, at=schema, extra=registry)
-            name = dref.split("#", 1)[1] if "#" in dref else ""
-            if (
-                name
-                and isinstance(target, dict)
-                and target.get("$dynamicAnchor") == name
-            ):
-                for entry in __dyn:
-                    if name in entry[2]:
-                        target = entry[2][name]
-                        break
+            target = _resolve_dynamic_target(spec, schema, dref, registry)
             towner = _owning_spec(spec, target, registry)
             d_ok = _validate(target, v,
                              towner if towner is not spec else spec,
@@ -564,7 +583,7 @@ def _validate(
                               all_, path, _ref_depth) and ok
     finally:
         if __entered:
-            __dyn.pop()
+            registry["__dyn_scope__"].pop()
 
 
 def _validate_body(
@@ -954,7 +973,32 @@ def _validate_ann(
 ) -> tuple[bool, _Ann]:
     """Validate with annotation collection (2019-09 semantics: ``$ref``
     does NOT short-circuit siblings, in-place applicators contribute the
-    annotations their SUCCESSFUL subschemas produced)."""
+    annotations their SUCCESSFUL subschemas produced).  Pushes the node's
+    schema resource like :func:`_validate` so $recursiveRef/$dynamicRef
+    below an unevaluated*-bearing node still see the full dynamic scope."""
+    if not isinstance(schema, dict):
+        return _validate_ann_body(schema, v, spec, draft, registry, fmt,
+                                  errors, path, _ref_depth)
+    entered = _push_resource(registry, spec, schema)
+    try:
+        return _validate_ann_body(schema, v, spec, draft, registry, fmt,
+                                  errors, path, _ref_depth)
+    finally:
+        if entered:
+            registry["__dyn_scope__"].pop()
+
+
+def _validate_ann_body(
+    schema: Any,
+    v: Any,
+    spec: SchemaSpec,
+    draft: int,
+    registry: dict[str, Any],
+    fmt: bool,
+    errors: list[str],
+    path: str,
+    _ref_depth: int = 0,
+) -> tuple[bool, _Ann]:
     ann = _Ann()
     if schema is True:
         return True, ann
@@ -1001,6 +1045,38 @@ def _validate_ann(
             ok = ok and r_ok
             if r_ok:
                 ann.merge(r_ann)
+    # $recursiveRef / $dynamicRef — same in-place-applicator treatment,
+    # resolved through the dynamic-scope stack
+    rref = schema.get("$recursiveRef")
+    if isinstance(rref, str):
+        if _ref_depth > 100:
+            ok = bool(_err(errors, path, "$recursiveRef",
+                           "ref recursion limit"))
+        else:
+            target = _resolve_recursive_target(spec, schema, registry)
+            towner = _owning_spec(spec, target, registry)
+            r_ok, r_ann = _validate_ann(
+                target, v, towner if towner is not spec else spec, draft,
+                registry, fmt, errors, path, _ref_depth + 1,
+            )
+            ok = ok and r_ok
+            if r_ok:
+                ann.merge(r_ann)
+    dref = schema.get("$dynamicRef")
+    if isinstance(dref, str):
+        if _ref_depth > 100:
+            ok = bool(_err(errors, path, "$dynamicRef",
+                           "ref recursion limit"))
+        else:
+            target = _resolve_dynamic_target(spec, schema, dref, registry)
+            towner = _owning_spec(spec, target, registry)
+            d_ok, d_ann = _validate_ann(
+                target, v, towner if towner is not spec else spec, draft,
+                registry, fmt, errors, path, _ref_depth + 1,
+            )
+            ok = ok and d_ok
+            if d_ok:
+                ann.merge(d_ann)
 
     # object applicators (child locations → plain validation; annotation =
     # which keys were successfully applied)

@@ -42,16 +42,21 @@ def _spread(df: DataFrame) -> DataFrame:
     (one parquet file → one partition) would otherwise serialize the whole
     LSH pipeline onto a single task.  No-op for big inputs — at 100 TB the
     scan already has thousands of partitions and an extra shuffle here
-    would be pure waste.  Sizing uses ``inputFiles()`` (a metadata lookup)
-    rather than ``df.rdd.getNumPartitions()``, which would force an RDD
-    conversion + plan compile per call."""
+    would be pure waste.  Sizing: ``inputFiles()`` (a cheap metadata
+    lookup) proves a big input without touching the RDD API — at 100 TB
+    the scan has thousands of files and this is a guaranteed no-op.  Only
+    ambiguous inputs (few or zero files: in-memory frames, Iceberg/JDBC
+    sources, a handful of large splittable files) fall back to the
+    accurate ``df.rdd.getNumPartitions()`` check, so a large non-file
+    table is never blind-shuffled."""
     sc = df.sparkSession.sparkContext
     try:
-        n_in = len(df.inputFiles())
+        n_files = len(df.inputFiles())
     except Exception:  # pragma: no cover - exotic sources
-        n_in = 0
-    # n_in == 0 → non-file source (in-memory/synthetic, i.e. small)
-    if n_in < sc.defaultParallelism:
+        n_files = 0
+    if n_files >= sc.defaultParallelism:
+        return df
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
         return df.repartition(sc.defaultParallelism)
     return df
 

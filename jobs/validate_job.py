@@ -41,7 +41,9 @@ def main() -> int:
     ap.add_argument("--spec", help="TableSpec JSON file (default: the "
                                    "north-star sequences spec)")
     ap.add_argument("--out", required=True)
-    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--checkpoint",
+                    help="checkpoint directory (required unless "
+                         "--iceberg-table is given)")
     ap.add_argument("--run-id", required=True)
     ap.add_argument("--partition-col", default="part")
     ap.add_argument("--batch-size", type=int, default=4)
@@ -55,6 +57,8 @@ def main() -> int:
                     help="read --input as a parquet path or an Iceberg "
                     "table identifier")
     args = ap.parse_args()
+    if not args.checkpoint and not args.iceberg_table:
+        ap.error("one of --checkpoint or --iceberg-table is required")
 
     from pyspark.sql import SparkSession
 

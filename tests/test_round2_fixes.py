@@ -399,3 +399,77 @@ def test_topk_uses_take_ordered(spark):
     assert "TakeOrderedAndProject" in _plan(df)
     rows = df.collect()
     assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+
+
+# ---------------------------------------------------------------------------
+# dynamic-scope regressions (cases newer than the vendored suite corpus)
+# ---------------------------------------------------------------------------
+
+def test_dynamicref_below_unevaluated_properties():
+    """strict-tree pattern: the dynamic ref inside the tree must hop back
+    to the outermost (strict) resource, so unknown keys at ANY depth
+    fail."""
+    from go_jsonschema_spark.interp import validate_instance
+    from go_jsonschema_spark.spec import SchemaSpec
+
+    strict_tree = {
+        "$id": "https://ex.test/strict-tree.json",
+        "$dynamicAnchor": "node",
+        "$ref": "https://ex.test/tree.json",
+        "unevaluatedProperties": False,
+    }
+    tree = {
+        "$id": "https://ex.test/tree.json",
+        "$dynamicAnchor": "node",
+        "type": "object",
+        "properties": {
+            "data": True,
+            "children": {"type": "array", "items": {"$dynamicRef": "#node"}},
+        },
+    }
+    spec = SchemaSpec(strict_tree)
+    reg = {"https://ex.test/tree.json": SchemaSpec(
+        tree, base_uri="https://ex.test/tree.json")}
+
+    def check(v):
+        return validate_instance(
+            strict_tree, v, draft=2019, spec=spec, registry=reg
+        ).valid
+
+    assert check({"children": [{"data": 1}]}) is True
+    assert check({"children": [{"daat": 1}]}) is False  # typo at depth 1
+    assert check({"children": [{"children": [{"daat": 1}]}]}) is False
+
+
+def test_dynamicref_beside_unevaluated():
+    from go_jsonschema_spark.interp import validate_instance
+    from go_jsonschema_spark.spec import SchemaSpec
+
+    s = {"$defs": {"x": {"$dynamicAnchor": "x", "required": ["a"]}},
+         "$dynamicRef": "#x", "unevaluatedProperties": True}
+    spec = SchemaSpec(s)
+    assert validate_instance(s, {}, draft=2019, spec=spec).valid is False
+    assert validate_instance(s, {"a": 1}, draft=2019, spec=spec).valid is True
+
+
+def test_recursiveref_evaluates_siblings():
+    from go_jsonschema_spark.interp import validate_instance
+    from go_jsonschema_spark.spec import SchemaSpec
+
+    s = {"$recursiveAnchor": True,
+         "properties": {"a": {"$recursiveRef": "#", "type": "string"}}}
+    spec = SchemaSpec(s)
+    assert validate_instance(s, {"a": 5}, draft=2019, spec=spec).valid is False
+    assert validate_instance(s, {"a": "x"}, draft=2019, spec=spec).valid is True
+
+
+def test_typed_compiler_refuses_dynamic_scope_keywords(spark):
+    from pyspark.sql import types as T
+
+    from go_jsonschema_spark.compile import CompileError, compile_predicate
+
+    for schema in ({"$recursiveRef": "#"},
+                   {"type": "integer", "$dynamicRef": "#b"},
+                   {"unevaluatedItems": False}):
+        with pytest.raises(CompileError):
+            compile_predicate(schema, F.col("x"), T.LongType())
