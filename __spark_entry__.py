@@ -427,6 +427,27 @@ def _q_hourly_event_counts(spark: SparkSession, sf: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("n"))
 
 
+def _q_rolling_hourly_avg(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding window frame: per event type, 3-hour rolling average of
+    hourly event counts (rowsBetween frame over an hourly pre-agg)."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", F.col("ts")).cast("string").alias("hour"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return hourly.select(
+        "hour", "event_type", "n",
+        F.round(F.avg("n").over(w), 4).alias("avg3h"),
+    )
+
+
 def _q_rollup_lineitem(spark: SparkSession, sf: str) -> DataFrame:
     """Grouping sets: rollup over (returnflag, linestatus)."""
     li = _t(spark, sf, "lineitem")
@@ -486,6 +507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": _q_sessionize_events,
         "asof_purchase_last_error": _q_asof_purchase_last_error,
         "hourly_event_counts": _q_hourly_event_counts,
+        "rolling_hourly_avg": _q_rolling_hourly_avg,
         "rollup_lineitem": _q_rollup_lineitem,
         "token_counts_documents": _q_token_counts_documents,
         "fingerprints_documents": _q_fingerprints_documents,
@@ -727,6 +749,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour,
                    event_type, count(*) AS n
             FROM events GROUP BY 1, 2
+        """,
+        "rolling_hourly_avg": """
+            WITH h AS (
+                SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour,
+                       event_type, count(*) AS n
+                FROM events GROUP BY 1, 2
+            )
+            SELECT hour, event_type, n,
+                   round(avg(n) OVER (
+                       PARTITION BY event_type ORDER BY hour
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS avg3h
+            FROM h
         """,
         "rollup_lineitem": """
             SELECT l_returnflag, l_linestatus,
