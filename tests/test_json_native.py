@@ -204,3 +204,22 @@ def test_auto_falls_back_to_udf(spark):
     df = spark.createDataFrame([('{"k": -1}',), ('{"k": "s"}',)], "j string")
     got = [r[0] for r in df.select(fn(F.col("j"))).collect()]
     assert got == [False, True]  # minimum vacuous on strings (interp parity)
+
+
+def test_json_column_errors_surface(spark):
+    """Errors-as-data UDF: ALL failed keywords per payload as
+    array<string> (the reference's chained error strings, but as data)."""
+    from go_jsonschema_spark.compile import json_column_errors
+
+    errs = json_column_errors(PROPS_SCHEMA)
+    df = spark.createDataFrame(
+        [('{"k": 12}',), ('{"k": 99}',), ('{}',), ("garbage",), (None,)],
+        "j string",
+    )
+    rows = df.select("j", errs(F.col("j")).alias("e")).collect()
+    got = {r["j"]: list(r["e"]) for r in rows}
+    assert got['{"k": 12}'] == []
+    assert any("maximum" in e for e in got['{"k": 99}'])
+    assert any("required" in e for e in got["{}"])
+    assert any("invalid JSON" in e for e in got["garbage"])
+    assert any("null payload" in e for e in got[None])
