@@ -239,6 +239,41 @@ def test_full_draft2019_and_2020_mandatory_sweep():
     )
 
 
+def test_draft2019_2020_optional_format_assertion_mode():
+    """optional/format for 2019-09 + 2020-12 in ASSERTION mode (the drafts
+    default to annotation-only; assertion mode is the engine's
+    configurable strict mode) — 153 cases per draft pass, minus the
+    reference's own format skip list (validate_test.go:234-250)."""
+    skip = {
+        "idn-hostname.json", "ipv4.json", "ipv6.json", "iri.json",
+        "iri-reference.json", "uri.json", "uri-reference.json",
+        "relative-json-pointer.json", "ecmascript-regex.json",
+    }
+    mismatches = []
+    n = 0
+    for ddir in ("draft2019-09", "draft2020-12"):
+        root = os.path.join(SUITE_ROOT, ddir, "optional", "format")
+        for path in sorted(glob.glob(os.path.join(root, "*.json"))):
+            if os.path.basename(path) in skip:
+                continue
+            with open(path) as f:
+                groups = json.load(f)
+            for group in groups:
+                spec = SchemaSpec(group["schema"])
+                for t in group["tests"]:
+                    n += 1
+                    got = validate_instance(
+                        group["schema"], t["data"], draft=2019, spec=spec,
+                        assert_formats=True,
+                    ).valid
+                    if got != t["valid"]:
+                        mismatches.append(
+                            f"{ddir}/{os.path.basename(path)}: "
+                            f"{group['description']} :: {t['description']}"
+                        )
+    assert n >= 300 and not mismatches, "\n".join(mismatches[:10])
+
+
 def test_refremote_via_registry():
     """refRemote.json WITHOUT any HTTP: the remote documents are
     pre-registered as SchemaSpecs keyed by their URLs (the AddSchema
