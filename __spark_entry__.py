@@ -432,7 +432,9 @@ def _q_rolling_hourly_avg(spark: SparkSession, sf: str) -> DataFrame:
     hourly event counts (rowsBetween frame over an hourly pre-agg)."""
     from pyspark.sql import Window
 
-    e = _t(spark, sf, "events")
+    # NULL ts would sort NULLS FIRST in Spark vs NULLS LAST in DuckDB and
+    # shift the frame — exclude explicitly so the oracle stays exact
+    e = _t(spark, sf, "events").filter(F.col("ts").isNotNull())
     hourly = e.groupBy(
         F.date_trunc("hour", F.col("ts")).cast("string").alias("hour"),
         "event_type",
@@ -754,7 +756,7 @@ def oracle_sql() -> dict[str, str]:
             WITH h AS (
                 SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour,
                        event_type, count(*) AS n
-                FROM events GROUP BY 1, 2
+                FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
             )
             SELECT hour, event_type, n,
                    round(avg(n) OVER (

@@ -35,9 +35,10 @@ from go_jsonschema_spark.spec import SchemaSpec, SpecError
 __all__ = ["CompileError", "compile_predicate", "json_column_predicate"]
 
 # Bounded $ref inlining depth — the column-expression analogue of the
-# reference's circularThreshold (/root/reference/schema.go:24-26): a Spark
-# column's type has finite nesting depth, so inlining deeper than the type
-# can never be exercised by data.
+# reference's circularThreshold (/root/reference/schema.go:24-26).  The
+# budget is a TOTAL hop count (same-level alias chains consume it without
+# descending the type), so exhausting it raises CompileError rather than
+# truncating to an always-true predicate.
 _MAX_REF_INLINE = 8
 
 
@@ -137,10 +138,17 @@ def compile_predicate(
         )
 
     # $ref → bounded compile-time inlining (SURVEY §2.6: refs are inlined,
-    # nothing resolves at runtime)
+    # nothing resolves at runtime).  Budget exhaustion REFUSES instead of
+    # compiling lit(True): a same-level alias chain or ref cycle deeper
+    # than the budget would otherwise yield an always-permissive predicate
+    # that silently passes rows the interpreter rejects — callers fall
+    # back to the dynamic path.
     if "$ref" in schema:
         if _ref_depth >= _MAX_REF_INLINE:
-            return F.lit(True)
+            raise CompileError(
+                f"$ref inlining exceeded {_MAX_REF_INLINE} hops "
+                "(cycle or deep alias chain) — use the dynamic path"
+            )
         target = spec.resolve_ref(schema["$ref"])
         return compile_predicate(
             target, col, dtype, draft=draft, spec=spec, _ref_depth=_ref_depth + 1

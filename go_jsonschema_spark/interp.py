@@ -536,20 +536,22 @@ def _validate(
 
         ok = True
         # 2019-09 $recursiveRef — an in-place applicator evaluated WITH its
-        # siblings (the keyword only exists in 2019-09)
+        # siblings.  Unknown keyword in earlier drafts → not evaluated.
         rref = schema.get("$recursiveRef")
-        if isinstance(rref, str):
+        if draft >= 2019 and isinstance(rref, str):
             if _ref_depth > 100:
-                return _err(errors, path, "$recursiveRef",
-                            "ref recursion limit")
-            target = _resolve_recursive_target(spec, schema, registry)
-            towner = _owning_spec(spec, target, registry)
-            ok = _validate(target, v,
-                           towner if towner is not spec else spec,
-                           draft, registry, fmt, errors, all_,
-                           path, _ref_depth + 1)
-            if not ok and not all_:
-                return False
+                ok = _err(errors, path, "$recursiveRef",
+                          "ref recursion limit")
+                if not all_:
+                    return False
+            else:
+                target = _resolve_recursive_target(spec, schema, registry)
+                towner = _owning_spec(spec, target, registry)
+                r_ok = _validate(target, v, towner, draft, registry, fmt,
+                                 errors, all_, path, _ref_depth + 1)
+                ok = ok and r_ok
+                if not ok and not all_:
+                    return False
 
         # $ref short-circuits sibling keywords in draft<=7
         # (parser.go:323-326); from 2019-09 it is an in-place applicator
@@ -560,9 +562,8 @@ def _validate(
                 return _err(errors, path, "$ref", "ref recursion limit")
             owner = _owning_spec(spec, schema, registry)
             target = owner.resolve_ref(ref, at=schema, extra=registry)
-            r_ok = _validate(target, v, owner if owner is not spec else spec,
-                             draft, registry, fmt, errors, all_,
-                             path, _ref_depth + 1)
+            r_ok = _validate(target, v, owner, draft, registry, fmt, errors,
+                             all_, path, _ref_depth + 1)
             if draft < 2019:
                 return r_ok
             ok = ok and r_ok
@@ -570,18 +571,19 @@ def _validate(
                 return False
 
         dref = schema.get("$dynamicRef")
-        if isinstance(dref, str):
+        if draft >= 2019 and isinstance(dref, str):
             if _ref_depth > 100:
-                return _err(errors, path, "$dynamicRef", "ref recursion limit")
-            target = _resolve_dynamic_target(spec, schema, dref, registry)
-            towner = _owning_spec(spec, target, registry)
-            d_ok = _validate(target, v,
-                             towner if towner is not spec else spec,
-                             draft, registry, fmt, errors, all_,
-                             path, _ref_depth + 1)
-            ok = ok and d_ok
-            if not ok and not all_:
-                return False
+                ok = _err(errors, path, "$dynamicRef", "ref recursion limit")
+                if not all_:
+                    return False
+            else:
+                target = _resolve_dynamic_target(spec, schema, dref, registry)
+                towner = _owning_spec(spec, target, registry)
+                d_ok = _validate(target, v, towner, draft, registry, fmt,
+                                 errors, all_, path, _ref_depth + 1)
+                ok = ok and d_ok
+                if not ok and not all_:
+                    return False
         return _validate_body(schema, v, spec, draft, registry, fmt, errors,
                               all_, path, _ref_depth) and ok
     finally:
@@ -1042,7 +1044,7 @@ def _validate_ann_body(
             owner = _owning_spec(spec, schema, registry)
             target = owner.resolve_ref(ref, at=schema, extra=registry)
             r_ok, r_ann = _validate_ann(
-                target, v, owner if owner is not spec else spec, draft,
+                target, v, owner, draft,
                 registry, fmt, errors, path, _ref_depth + 1,
             )
             ok = ok and r_ok
@@ -1059,7 +1061,7 @@ def _validate_ann_body(
             target = _resolve_recursive_target(spec, schema, registry)
             towner = _owning_spec(spec, target, registry)
             r_ok, r_ann = _validate_ann(
-                target, v, towner if towner is not spec else spec, draft,
+                target, v, towner, draft,
                 registry, fmt, errors, path, _ref_depth + 1,
             )
             ok = ok and r_ok
@@ -1074,7 +1076,7 @@ def _validate_ann_body(
             target = _resolve_dynamic_target(spec, schema, dref, registry)
             towner = _owning_spec(spec, target, registry)
             d_ok, d_ann = _validate_ann(
-                target, v, towner if towner is not spec else spec, draft,
+                target, v, towner, draft,
                 registry, fmt, errors, path, _ref_depth + 1,
             )
             ok = ok and d_ok
