@@ -386,3 +386,77 @@ def test_compile_matches_interp_random(spark, dtype, spark_type):
         if got[c] != want[c]
     ]
     assert not mismatches, "\n".join(mismatches[:10])
+
+
+# ---------------------------------------------------------------------------
+# annotated evaluator vs plain path: adding a vacuous unevaluated* marker
+# must never change a verdict
+# ---------------------------------------------------------------------------
+
+_APPLICATOR_SCHEMAS = st.recursive(
+    st.one_of(
+        st.booleans(),
+        st.fixed_dictionaries(
+            {},
+            optional={
+                "type": st.sampled_from(
+                    ["string", "number", "integer", "boolean", "null",
+                     "array", "object"]
+                ),
+                "enum": st.lists(json_scalars, min_size=1, max_size=3),
+                "minimum": st.integers(-20, 20),
+                "maximum": st.integers(-20, 20),
+                "minLength": st.integers(0, 5),
+                "minItems": st.integers(0, 3),
+                "required": st.lists(
+                    st.sampled_from(["a", "b", "c"]), max_size=2, unique=True
+                ),
+            },
+        ),
+    ),
+    lambda inner: st.fixed_dictionaries(
+        {},
+        optional={
+            "properties": st.dictionaries(
+                st.sampled_from(["a", "b", "c"]), inner, max_size=2
+            ),
+            "patternProperties": st.dictionaries(
+                st.sampled_from(["^a", "b$"]), inner, max_size=1
+            ),
+            "additionalProperties": inner,
+            "items": inner,
+            "prefixItems": st.lists(inner, min_size=1, max_size=2),
+            "contains": inner,
+            "minContains": st.integers(0, 2),
+            "allOf": st.lists(inner, min_size=1, max_size=2),
+            "anyOf": st.lists(inner, min_size=1, max_size=2),
+            "oneOf": st.lists(inner, min_size=1, max_size=2),
+            "not": inner,
+            "if": inner,
+            "then": inner,
+            "else": inner,
+            "dependentSchemas": st.dictionaries(
+                st.sampled_from(["a", "b"]), inner, max_size=1
+            ),
+            "required": st.lists(
+                st.sampled_from(["a", "b", "c"]), max_size=2, unique=True
+            ),
+            "type": st.sampled_from(["object", "array", "integer", "string"]),
+        },
+    ),
+    max_leaves=8,
+)
+
+
+@given(_APPLICATOR_SCHEMAS, json_values)
+@settings(max_examples=300, deadline=None)
+def test_annotated_evaluator_agrees_with_plain_path(schema, value):
+    """Wrapping any schema as {allOf:[S], unevaluated*: true} is
+    semantically vacuous (true accepts every unevaluated member) but
+    forces the annotation-collecting evaluator — verdicts must match the
+    plain path keyword-for-keyword at 2019 semantics."""
+    want = validate_instance(schema, value, draft=2019).valid
+    for marker in ("unevaluatedProperties", "unevaluatedItems"):
+        wrapped = {"allOf": [schema], marker: True}
+        got = validate_instance(wrapped, value, draft=2019).valid
+        assert got == want, (schema, value, marker)
