@@ -284,6 +284,27 @@ class ConstraintSuite:
                 )
             elif kind == "row_count":
                 out[tc["id"]] = df.count()
+            elif kind == "completeness":
+                # per-column null ratio vs threshold, ONE agg pass over a
+                # column-pruned scan: {column: {null_ratio, max, passed}}
+                cols = tc.get("columns") or [tc["column"]]
+                thr = tc.get("max_null_ratio", 0.0)
+                row = df.agg(
+                    F.count(F.lit(1)).alias("__n__"),
+                    *[
+                        F.count(F.when(F.col(c).isNull(), 1)).alias(f"__x{i}__")
+                        for i, c in enumerate(cols)
+                    ],
+                ).first()
+                n = row["__n__"] or 1
+                out[tc["id"]] = {
+                    c: {
+                        "null_ratio": row[f"__x{i}__"] / n,
+                        "max_null_ratio": thr,
+                        "passed": row[f"__x{i}__"] / n <= thr,
+                    }
+                    for i, c in enumerate(cols)
+                }
         return out
 
     def row_only(self) -> "ConstraintSuite":

@@ -461,7 +461,7 @@ def validate_spec_against_metaschema(spec: Any, draft: int = 7) -> list[str]:
 # ---------------------------------------------------------------------------
 
 _TABLE_CHECK_KINDS = frozenset(
-    {"unique", "foreign_key", "stats", "drift", "row_count"}
+    {"unique", "foreign_key", "stats", "drift", "row_count", "completeness"}
 )
 
 

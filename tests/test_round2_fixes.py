@@ -473,3 +473,75 @@ def test_typed_compiler_refuses_dynamic_scope_keywords(spark):
                    {"unevaluatedItems": False}):
         with pytest.raises(CompileError):
             compile_predicate(schema, F.col("x"), T.LongType())
+
+
+# ---------------------------------------------------------------------------
+# corrupt-capturing source readers + completeness check
+# ---------------------------------------------------------------------------
+
+def test_read_jsonl_with_corrupt_capture(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from go_jsonschema_spark.sources.readers import read_with_corrupt_capture
+
+    p = tmp_path / "in.jsonl"
+    p.write_text(
+        '{"doc_id": "1", "n": 10}\n'
+        '{"doc_id": "2", "n": 20}\n'
+        'THIS IS NOT JSON {{{\n'
+        '{"doc_id": "4", "n": "not-a-number"}\n'
+    )
+    schema = T.StructType([
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("n", T.LongType()),
+    ])
+    clean, viol = read_with_corrupt_capture(
+        spark, str(p), schema, key="doc_id"
+    )
+    assert {r["doc_id"] for r in clean.collect()} == {"1", "2"}
+    v = viol.collect()
+    assert len(v) == 2
+    assert all(r["constraint_id"] == "source.malformed:json" for r in v)
+    obs = {r["observed"] for r in v}
+    assert any("NOT JSON" in o for o in obs)
+    assert any("not-a-number" in o for o in obs)
+
+
+def test_read_csv_with_corrupt_capture(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from go_jsonschema_spark.sources.readers import read_with_corrupt_capture
+
+    p = tmp_path / "in.csv"
+    p.write_text("1,10\n2,twenty\n3,30\n")
+    schema = T.StructType([
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("n", T.LongType()),
+    ])
+    clean, viol = read_with_corrupt_capture(
+        spark, str(p), schema, format="csv", key="doc_id"
+    )
+    assert {r["doc_id"] for r in clean.collect()} == {"1", "3"}
+    assert [r["observed"] for r in viol.collect()] == ["2,twenty"]
+
+
+def test_completeness_check(spark):
+    suite = ConstraintSuite(
+        TableSpec(
+            table_checks=[{
+                "kind": "completeness", "id": "complete:v",
+                "columns": ["v", "w"], "max_null_ratio": 0.25,
+            }]
+        ),
+        key="doc_id",
+    )
+    df = spark.createDataFrame(
+        [("1", 1, None), ("2", None, 2), ("3", 3, 3), ("4", 4, 4)],
+        "doc_id string, v int, w int",
+    )
+    m = suite.metrics(df)["complete:v"]
+    assert m["v"]["null_ratio"] == 0.25 and m["v"]["passed"] is True
+    assert m["w"]["null_ratio"] == 0.25 and m["w"]["passed"] is True
+    suite.spec.table_checks[0]["max_null_ratio"] = 0.1
+    m = suite.metrics(df)["complete:v"]
+    assert m["v"]["passed"] is False
