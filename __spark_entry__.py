@@ -381,15 +381,47 @@ def _q_props_json_native(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_SEQ_ORACLE_N = 20000
+
+
+def _sequences_oracle_path() -> str:
+    """Parquet snapshot path for the flagship oracle.  The synthetic table
+    is a pure function of (row count, plant constants) — the tag embeds
+    them so a generator change invalidates the snapshot instead of
+    silently comparing against stale data."""
+    import hashlib
+    import os
+
+    from go_jsonschema_spark.sources import synth
+
+    tag = hashlib.md5(repr((
+        _SEQ_ORACLE_N, synth.VOCAB, synth.N_SOURCES, synth.MAX_LEN,
+        synth.DRIFT_SHIFT, synth.N_PARTS, synth.HOT_KEY_PCT,
+        synth.PAIR_DUP_PCT, synth.BAD_SOURCE_PCT, synth.SHAPE_PCT,
+        synth.OOR_TOKEN_PCT, synth.EMPTY_PCT,
+    )).encode()).hexdigest()[:10]
+    root = os.path.dirname(os.path.abspath(__file__))
+    return os.path.join(root, ".benchdata", "oracle", f"sequences_{tag}")
+
+
 def _q_sequences_validation(spark: SparkSession, sf: str) -> DataFrame:
     """North-star flagship on the synthetic tokenized-sequences table
     (the BASELINE.json input shape): full suite, violation counts per
-    constraint.  Not SQL-expressible (generator + engine internals)."""
+    constraint.  The generator is deterministic, so the table is
+    snapshotted to parquet once and BOTH this suite run and the DuckDB
+    oracle read the identical file — per-constraint counts are plain SQL
+    (VERDICT r2 item 1).  Row count is fixed (independent of sf) so the
+    snapshot is one artifact with no query/oracle ordering hazard."""
+    import os
+
     from go_jsonschema_spark.engine import ConstraintSuite
     from go_jsonschema_spark.sources import synth
 
-    n = 20000 if "0.01" in sf else 5000
-    df = synth.sequences(spark, n)
+    path = _sequences_oracle_path()
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        synth.sequences(spark, _SEQ_ORACLE_N).write.mode(
+            "overwrite").parquet(path)
+    df = spark.read.parquet(path)
     suite = ConstraintSuite(synth.sequences_table_spec(), key="doc_id")
     res = suite.run(df, partition_col="part",
                     dims={"sources_dim": synth.sources_dim(spark)})
@@ -589,6 +621,47 @@ def _lang_id_oracle() -> str:
 
 
 _LANG_ID_ORACLE = _lang_id_oracle()
+
+
+def _sequences_oracle() -> str:
+    """DuckDB oracle for the flagship: per-constraint violation counts over
+    the SAME parquet snapshot `_q_sequences_validation` validates — token
+    range via list_filter, minItems via len, shape via n_tok != len(tokens),
+    source pattern/FK, duplicate doc_ids via GROUP BY ... HAVING."""
+    from go_jsonschema_spark.sources import synth
+
+    pq = _sequences_oracle_path() + "/*.parquet"
+    srcs = ", ".join(f"'src{i}'" for i in range(synth.N_SOURCES))
+    return f"""
+        WITH seq AS (SELECT * FROM read_parquet('{pq}'))
+        SELECT constraint_id, n FROM (
+          SELECT 'fk:source' AS constraint_id, CAST(count(*) AS BIGINT) AS n
+          FROM seq WHERE source NOT IN ({srcs})
+          UNION ALL
+          SELECT 'n_tok.minimum', CAST(count(*) AS BIGINT)
+          FROM seq WHERE n_tok < 1
+          UNION ALL
+          SELECT 'shape.n_tok', CAST(count(*) AS BIGINT)
+          FROM seq WHERE n_tok != len(tokens)
+          UNION ALL
+          SELECT 'source.pattern', CAST(count(*) AS BIGINT)
+          FROM seq WHERE NOT regexp_matches(source, '^src[0-9]+$')
+          UNION ALL
+          SELECT 'tokens.items', CAST(count(*) AS BIGINT)
+          FROM seq
+          WHERE len(list_filter(tokens, t -> t < 0 OR t >= {synth.VOCAB})) > 0
+          UNION ALL
+          SELECT 'tokens.minItems', CAST(count(*) AS BIGINT)
+          FROM seq WHERE len(tokens) < 1
+          UNION ALL
+          SELECT 'unique:doc_id', CAST(count(*) AS BIGINT) FROM (
+            SELECT doc_id FROM seq GROUP BY doc_id HAVING count(*) > 1
+          )
+        ) WHERE n > 0
+    """
+
+
+_SEQUENCES_ORACLE = _sequences_oracle()
 
 _PROPS_JSON_ORACLE = """
     SELECT event_id, props FROM events
@@ -905,4 +978,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # native and UDF JSON-validation paths agree with the SAME oracle
         "props_json_native": _PROPS_JSON_ORACLE,
+        # flagship: counts over the deterministic parquet snapshot the
+        # Spark suite itself validates (written by _q_sequences_validation)
+        "sequences_validation": _SEQUENCES_ORACLE,
     }

@@ -267,8 +267,15 @@ class ResumableValidation:
             n_run += 1
 
         # global phase: dataset-level checks over the full table, its own
-        # checkpoint key so a resume after the batches skips it too
-        if self.suite.spec.table_checks and "global" not in done:
+        # checkpoint key so a resume after the batches skips it too.  Same
+        # membership rule as batch keys: uniqueness/FK results computed over
+        # an older partition set are stale, so a changed set re-runs the
+        # global phase even when a "global" record exists.
+        g_prev = done.get("global")
+        g_stale = g_prev is not None and sorted(
+            str(p) for p in g_prev["partitions"]
+        ) != sorted(str(p) for p in parts)
+        if self.suite.spec.table_checks and (g_prev is None or g_stale):
             gv = self.suite.table_check_violations(df, dims=dims)
             if gv is not None:
                 out_path = os.path.join(out_root, "batch=global")
@@ -281,6 +288,6 @@ class ResumableValidation:
                     {"__global__": {"n_violations": n_viol}}, out_path,
                 )
                 n_run += 1
-        elif "global" in done:
+        elif g_prev is not None and not g_stale:
             n_skip += 1
         return RunReport(run_id, n_run, n_skip, part_metrics, out_root)

@@ -24,9 +24,10 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Any
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F, types as T
 
-from go_jsonschema_spark.compile import compile_predicate
+from go_jsonschema_spark.compile import CompileError, compile_predicate
 from go_jsonschema_spark.spec import SchemaSpec, TableSpec
 
 __all__ = ["ConstraintSuite", "SuiteResult", "ConstraintPlan"]
@@ -109,6 +110,52 @@ def _observed_col(col: Column, dtype: T.DataType) -> Column:
     return F.substring(col.cast("string"), 1, 256)
 
 
+def _interp_group_predicate(
+    group: tuple[str, ...], full: dict, registry_raw: dict[str, Any],
+    draft: int, col: Column,
+) -> Column:
+    """Interpreter-backed fallback for keyword groups the typed compiler
+    refuses (unevaluated*, $recursiveRef/$dynamicRef need annotation
+    collection / a dynamic scope no columnar expression carries).
+
+    These keywords are non-compositional — what counts as "unevaluated"
+    depends on the SIBLING applicators — so the group cannot be judged in
+    isolation.  The predicate therefore attributes the failure: it fails
+    exactly when the full schema fails but the schema WITHOUT this group
+    passes, keeping the per-keyword violation granularity honest.  The
+    typed value crosses to the Python worker as JSON inside an Arrow
+    batch and is judged by the closure-compiled interpreter — so valid
+    2019+ specs still plan() instead of raising (ADVICE r2)."""
+    import json as _json
+
+    @F.pandas_udf(T.BooleanType())
+    def _judge(s: pd.Series) -> pd.Series:
+        from go_jsonschema_spark.interp_compile import compile_validator
+        from go_jsonschema_spark.spec import SchemaSpec as _SS
+
+        spec = _SS(full)
+        for k, v in registry_raw.items():
+            spec.registry.setdefault(k, _SS(v))
+        rest = {k: v for k, v in full.items() if k not in group}
+        v_full = compile_validator(full, spec=spec, draft=draft,
+                                   registry=spec.registry)
+        v_rest = compile_validator(rest, spec=spec, draft=draft,
+                                   registry=spec.registry)
+        out = []
+        for raw in s:
+            if raw is None:
+                out.append(True)  # null guard (validators.go:55-62)
+                continue
+            v = _json.loads(raw).get("v")
+            out.append(True if v is None else (v_full(v) or not v_rest(v)))
+        return pd.Series(out)
+
+    # to_json keeps null fields so the worker can tell null from absent
+    wrapped = F.to_json(F.struct(col.alias("v")),
+                        {"ignoreNullFields": "false"})
+    return F.when(col.isNull(), F.lit(True)).otherwise(_judge(wrapped))
+
+
 class ConstraintSuite:
     """Compile once, run on any DataFrame with matching columns.
 
@@ -137,6 +184,10 @@ class ConstraintSuite:
             dt = dtypes[name]
             sspec = SchemaSpec(schema)
             sspec.registry.update(self.registry)
+            registry_raw = {
+                k: (v.root if isinstance(v, SchemaSpec) else v)
+                for k, v in self.registry.items()
+            }
             if not isinstance(schema, dict):
                 cid = f"{name}.schema"
                 preds.append((cid, compile_predicate(schema, col, dt,
@@ -171,10 +222,16 @@ class ConstraintSuite:
                            if k in schema}
                 # carry type info the sub-keywords may need
                 cid = f"{name}.{kw}"
-                preds.append(
-                    (cid, compile_predicate(sub, col, dt, draft=draft,
-                                            spec=sspec))
-                )
+                try:
+                    pred = compile_predicate(sub, col, dt, draft=draft,
+                                             spec=sspec)
+                except CompileError:
+                    # typed compiler refuses this group (unevaluated*,
+                    # dynamic refs) → interpreter fallback, same chooser
+                    # shape as json_column_predicate_auto
+                    pred = _interp_group_predicate(
+                        tuple(sub), schema, registry_raw, draft, col)
+                preds.append((cid, pred))
                 observed[cid] = _observed_col(col, dt)
 
         for rc in self.spec.row_checks:

@@ -528,8 +528,11 @@ def _validate(
     try:
         # 2019-09 unevaluated* keywords need annotation collection across
         # the in-place applicators of this node → dedicated evaluator (the
-        # reference skips these files entirely)
-        if "unevaluatedProperties" in schema or "unevaluatedItems" in schema:
+        # reference skips these files entirely).  Draft-gated: in draft<=7
+        # these are unknown keywords and MUST be ignored as annotations
+        # (same treatment as the reference's unknown-keyword handling).
+        if draft >= 2019 and ("unevaluatedProperties" in schema
+                              or "unevaluatedItems" in schema):
             ok_u, _ = _validate_ann(schema, v, spec, draft, registry, fmt,
                                     errors, path, _ref_depth)
             return ok_u
@@ -1051,9 +1054,10 @@ def _validate_ann_body(
             if r_ok:
                 ann.merge(r_ann)
     # $recursiveRef / $dynamicRef — same in-place-applicator treatment,
-    # resolved through the dynamic-scope stack
+    # resolved through the dynamic-scope stack.  Draft-gated like the plain
+    # path: unknown keywords in draft<=7 are ignored.
     rref = schema.get("$recursiveRef")
-    if isinstance(rref, str):
+    if draft >= 2019 and isinstance(rref, str):
         if _ref_depth > 100:
             ok = bool(_err(errors, path, "$recursiveRef",
                            "ref recursion limit"))
@@ -1068,7 +1072,7 @@ def _validate_ann_body(
             if r_ok:
                 ann.merge(r_ann)
     dref = schema.get("$dynamicRef")
-    if isinstance(dref, str):
+    if draft >= 2019 and isinstance(dref, str):
         if _ref_depth > 100:
             ok = bool(_err(errors, path, "$dynamicRef",
                            "ref recursion limit"))

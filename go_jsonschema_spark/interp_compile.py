@@ -52,10 +52,12 @@ def compile_validator(
         schema_has_unevaluated, validate_instance,
     )
 
-    if schema_has_unevaluated(schema):
+    if draft >= 2019 and schema_has_unevaluated(schema):
         # unevaluated* needs annotation collection across in-place
         # applicators — route to the interpreter's annotated evaluator
-        # instead of the closure chain (same verdicts, parity-tested)
+        # instead of the closure chain (same verdicts, parity-tested).
+        # In draft<=7 these are unknown keywords (ignored), so the plain
+        # closure chain is both correct and faster there.
         reg = registry or {}
 
         def _ann_validator(v: Any) -> bool:

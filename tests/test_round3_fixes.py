@@ -1,0 +1,145 @@
+"""Round-3 fixes from VERDICT/ADVICE r2.
+
+1. unevaluated*/dynamic-ref keywords are draft-gated in BOTH evaluators:
+   draft<=7 treats them as unknown keywords (ignored annotations), matching
+   the reference's unknown-keyword handling.
+2. ConstraintSuite.plan() no longer raises for 2019+ annotation-dependent
+   keywords — it falls back to an interpreter-backed predicate with honest
+   per-keyword attribution.
+3. Checkpoint resume re-runs the GLOBAL phase when the partition set
+   changed (same membership rule as batch keys).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_jsonschema_spark.engine import ConstraintSuite
+from go_jsonschema_spark.interp import validate_instance
+from go_jsonschema_spark.interp_compile import compile_validator
+from go_jsonschema_spark.spec import TableSpec
+
+UNEVAL_SCHEMA = {"properties": {"a": {}}, "unevaluatedProperties": False}
+RREF_SCHEMA = {"$recursiveRef": "#", "type": "object"}
+
+
+# -- 1. draft gating --------------------------------------------------------
+
+@pytest.mark.parametrize("draft", [4, 6, 7])
+def test_unevaluated_ignored_below_2019_interp(draft):
+    # draft<=7: unknown keyword → annotation, instance is VALID
+    r = validate_instance(UNEVAL_SCHEMA, {"a": 1, "b": 2}, draft=draft)
+    assert r.valid
+
+
+def test_unevaluated_enforced_at_2019_interp():
+    r = validate_instance(UNEVAL_SCHEMA, {"a": 1, "b": 2}, draft=2019)
+    assert not r.valid
+
+
+@pytest.mark.parametrize("draft", [7, 2019])
+def test_unevaluated_gate_closure_compiler_agrees(draft):
+    v = compile_validator(UNEVAL_SCHEMA, draft=draft)
+    assert v({"a": 1, "b": 2}) is (draft < 2019)
+
+
+def test_recursive_ref_ignored_below_2019():
+    # {"$recursiveRef": "#"} at draft 7 is an unknown keyword: an object
+    # whose members violate the root schema's type must still validate.
+    schema = {"type": "object", "$recursiveRef": "#",
+              "additionalProperties": {"type": "string"}}
+    assert validate_instance(schema, {"x": "ok"}, draft=7).valid
+    r = validate_instance(
+        {"type": "object",
+         "properties": {"child": {"$recursiveRef": "#"}}},
+        {"child": "not-an-object"}, draft=7)
+    # child's $recursiveRef ignored at draft 7 → nothing constrains it
+    assert r.valid
+
+
+# -- 2. plan() fallback -----------------------------------------------------
+
+@pytest.fixture(scope="module")
+def payload_df(spark):
+    return spark.createDataFrame(
+        [
+            (1, {"a": "x", "b": None}),       # extra key b → unevaluated hit
+            (2, {"a": "y", "b": None}),
+            (3, {"a": None, "b": None}),      # a missing → required hit only
+            (4, {"a": "z", "b": "w"}),        # extra key b → unevaluated hit
+        ],
+        "doc_id int, payload struct<a:string,b:string>",
+    )
+
+
+def test_plan_falls_back_for_unevaluated(spark, payload_df):
+    ts = TableSpec(columns={"payload": {
+        "type": "object",
+        "required": ["a"],
+        "properties": {"a": {"type": "string"}},
+        "unevaluatedProperties": False,
+    }}, draft=2019)
+    suite = ConstraintSuite(ts, key="doc_id")
+    res = suite.run(payload_df)
+    got = {
+        (int(r["doc_id"]), r["constraint_id"])
+        for r in res.violations.collect()
+    }
+    # struct→JSON keeps null fields (ignoreNullFields=false), so "b" is a
+    # present property (JSON null) on every row → unevaluatedProperties
+    # fires on rows 1,2,4.  Row 3 ALSO fails the rest-schema (a is null),
+    # so full-vs-rest attribution assigns its failure to the properties
+    # group, not to unevaluatedProperties.
+    uneval = {d for d, c in got if c == "payload.unevaluatedProperties"}
+    assert uneval == {1, 2, 4}
+    assert any(d == 3 and c != "payload.unevaluatedProperties"
+               for d, c in got)
+
+
+def test_plan_fallback_attribution_not_double_counted(spark, payload_df):
+    # a row failing ONLY `required` must not also be flagged by the
+    # unevaluated fallback (full-vs-rest attribution)
+    ts = TableSpec(columns={"payload": {
+        "type": "object",
+        "required": ["a", "b"],
+        "properties": {"a": {"type": "string"}, "b": {"type": "string"}},
+        "unevaluatedProperties": False,
+    }}, draft=2019)
+    suite = ConstraintSuite(ts, key="doc_id")
+    res = suite.run(payload_df)
+    rows = res.violations.filter(
+        F.col("constraint_id") == "payload.unevaluatedProperties"
+    ).count()
+    # all keys are evaluated by properties → unevaluatedProperties never fires
+    assert rows == 0
+
+
+# -- 3. checkpoint global-phase membership ----------------------------------
+
+def test_global_phase_reruns_on_membership_change(spark, tmp_path):
+    from go_jsonschema_spark.checkpoint import (
+        CheckpointStore, ResumableValidation,
+    )
+    from go_jsonschema_spark.sources import synth
+
+    suite = ConstraintSuite(synth.sequences_table_spec(), key="doc_id")
+    store = CheckpointStore(str(tmp_path / "ckpt"))
+    rv = ResumableValidation(store=store, suite=suite,
+                             partition_col="part", batch_size=4)
+    dims = {"sources_dim": synth.sources_dim(spark)}
+
+    df8 = synth.sequences(spark, 1500, parts=8)
+    rv.run(df8, "runA", str(tmp_path / "outA"), dims=dims)
+    ts_before = store.completed("runA")["global"]["ts"]
+
+    # same partition set → global phase skipped (timestamp unchanged)
+    rep2 = rv.run(df8, "runA", str(tmp_path / "outA"), dims=dims)
+    assert store.completed("runA")["global"]["ts"] == ts_before
+    assert rep2.batches_run == 0
+
+    # new partitions land → global phase re-runs (stale uniqueness/FK)
+    df10 = synth.sequences(spark, 1500, parts=10)
+    rep3 = rv.run(df10, "runA", str(tmp_path / "outA"), dims=dims)
+    assert store.completed("runA")["global"]["ts"] != ts_before
+    assert rep3.batches_run >= 1
