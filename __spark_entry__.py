@@ -278,10 +278,31 @@ def _q_minhash_pairs_documents(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _q_simhash_pairs_documents(spark: SparkSession, sf: str) -> DataFrame:
-    from go_jsonschema_spark.operators.dedup import simhash_dup_pairs
+def _simhash_hs_path() -> str:
+    import os
 
-    return simhash_dup_pairs(_t(spark, sf, "documents"), max_hamming=2)
+    root = os.path.dirname(os.path.abspath(__file__))
+    return os.path.join(root, ".benchdata", "oracle", "simhash_hs")
+
+
+def _q_simhash_pairs_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash near-dup pairs.  The per-doc xxhash64 feature-hash arrays
+    (the one step DuckDB cannot reproduce) are snapshotted to parquet and
+    the signature→banding→verify stages run FROM that snapshot; the oracle
+    recomputes the 63-bit majority signatures from the same snapshot and
+    brute-forces all-pairs hamming ≤ 2 — by the 4×16-bit pigeonhole
+    property the banded Spark result must equal it exactly (VERDICT r2
+    item 2).  Snapshot is overwritten per call (driver runs query, then
+    oracle, side by side at one sf)."""
+    from go_jsonschema_spark.operators.dedup import (
+        simhash_feature_hashes, simhash_pairs_from_hashes,
+    )
+
+    hashed = simhash_feature_hashes(_t(spark, sf, "documents"))
+    path = _simhash_hs_path()
+    hashed.write.mode("overwrite").parquet(path)
+    return simhash_pairs_from_hashes(
+        spark.read.parquet(path), max_hamming=2)
 
 
 def _q_near_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
@@ -320,12 +341,50 @@ def _q_ann_topk_exact(spark: SparkSession, sf: str) -> DataFrame:
     return t.select("vec_id", F.round("cosine", 4).alias("cos"))
 
 
+def _ann_snapshot_path(kind: str) -> str:
+    import os
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    return os.path.join(root, ".benchdata", "oracle", f"ann_{kind}")
+
+
+def _ann_approx_checked(spark: SparkSession, sf: str, kind: str,
+                        approx: DataFrame) -> DataFrame:
+    """Relaxed-but-real oracle harness for the approximate ANN paths
+    (VERDICT r2 item 3): snapshot the approx top-10 to parquet, then emit
+    each returned (vec_id, cos) together with recall@10 vs the exact
+    brute-force top-10.  The DuckDB oracle reads the same snapshot,
+    independently recomputes every returned cosine from the embeddings
+    table (a wrong cosine drops the row → mismatch) and recomputes
+    recall@10 from its own brute force (a recall disagreement flips the
+    column → mismatch)."""
+    from go_jsonschema_spark.operators.ann import topk_cosine
+
+    e = _t(spark, sf, "embeddings")
+    qv = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    path = _ann_snapshot_path(kind)
+    approx.write.mode("overwrite").parquet(path)
+    s = spark.read.parquet(path)
+    exact = topk_cosine(e, qv, k=10).select(F.col("vec_id").alias("evid"))
+    recall = (
+        s.join(exact, s["vec_id"] == exact["evid"], "left")
+        .agg((F.count("evid") / F.lit(10.0)).alias("r"))
+        .first()["r"]
+    )
+    return s.select(
+        "vec_id",
+        F.round("cosine", 4).alias("cos"),
+        F.round(F.lit(float(recall)), 2).alias("recall10"),
+    ).orderBy(F.col("cos").desc(), "vec_id")
+
+
 def _q_ann_lsh_embeddings(spark: SparkSession, sf: str) -> DataFrame:
     from go_jsonschema_spark.operators.ann import topk_cosine_lsh
 
     e = _t(spark, sf, "embeddings")
     qv = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
-    return topk_cosine_lsh(e, qv, k=10)
+    return _ann_approx_checked(
+        spark, sf, "lsh", topk_cosine_lsh(e, qv, k=10))
 
 
 def _q_ann_ivf_embeddings(spark: SparkSession, sf: str) -> DataFrame:
@@ -333,7 +392,9 @@ def _q_ann_ivf_embeddings(spark: SparkSession, sf: str) -> DataFrame:
 
     e = _t(spark, sf, "embeddings")
     qv = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
-    return topk_cosine_ivf(e, qv, k=10, n_centroids=16, n_probe=4)
+    return _ann_approx_checked(
+        spark, sf, "ivf",
+        topk_cosine_ivf(e, qv, k=10, n_centroids=16, n_probe=4))
 
 
 def _q_props_json_validation(spark: SparkSession, sf: str) -> DataFrame:
@@ -402,6 +463,31 @@ def _sequences_oracle_path() -> str:
     )).encode()).hexdigest()[:10]
     root = os.path.dirname(os.path.abspath(__file__))
     return os.path.join(root, ".benchdata", "oracle", f"sequences_{tag}")
+
+
+_PROPS_SCHEMA = {
+    "type": "object",
+    "required": ["k"],
+    "properties": {"k": {"type": "integer", "minimum": 0, "maximum": 49}},
+}
+
+
+def _q_props_json_suite(spark: SparkSession, sf: str) -> DataFrame:
+    """kind=json column THROUGH ConstraintSuite.run (VERDICT r2 item 7):
+    TableSpec declares props as a dynamic JSON string column and the
+    engine's chooser picks the zero-Python native from_json path — same
+    oracle as the hand-written props_json_* queries."""
+    from go_jsonschema_spark.engine import ConstraintSuite
+    from go_jsonschema_spark.spec import TableSpec
+
+    ts = TableSpec(columns={
+        "props": {"kind": "json", "schema": _PROPS_SCHEMA},
+    })
+    suite = ConstraintSuite(ts, key="event_id")
+    v = suite.run(_t(spark, sf, "events")).violations
+    return v.select(
+        F.col("doc_id").alias("event_id"), "constraint_id", "observed",
+    )
 
 
 def _q_sequences_validation(spark: SparkSession, sf: str) -> DataFrame:
@@ -513,15 +599,24 @@ def _q_column_stats_full(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
+    """mapInPandas feature extraction over the deterministic synthetic
+    media table.  Fully oracle-checked (VERDICT r2 item 4): the payload is
+    the ASCII hex of sha256(id), so DuckDB reproduces n_bytes, the crc32
+    checksum (recursive-CTE implementation of the zlib polynomial) and the
+    byte-histogram features.  Features surface as 8 double columns — each
+    value is k/64 (exactly representable in float32 AND ≤6 decimal
+    digits), so cross-engine equality is exact, not approximate."""
     from go_jsonschema_spark.operators import multimodal
 
     media = multimodal.synth_media(spark, 128)
     feats = multimodal.extract_features(media, fake=True)
-    # JSON-serialize the feature vector — array columns break the driver's
-    # row canonicalizer
     return feats.select(
         "media_id", "kind", "n_bytes", "checksum",
-        F.to_json("feature").alias("feature_json"),
+        *[
+            F.round(F.element_at("feature", i + 1).cast("double"), 6)
+            .alias(f"f{i}")
+            for i in range(8)
+        ],
     )
 
 
@@ -558,6 +653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_embeddings": _q_ann_ivf_embeddings,
         "props_json_validation": _q_props_json_validation,
         "props_json_native": _q_props_json_native,
+        "props_json_suite": _q_props_json_suite,
         "sequences_validation": _q_sequences_validation,
         "column_stats_full": _q_column_stats_full,
         "multimodal_features": _q_multimodal_features,
@@ -662,6 +758,34 @@ def _sequences_oracle() -> str:
 
 
 _SEQUENCES_ORACLE = _sequences_oracle()
+
+
+def _ann_approx_oracle(kind: str) -> str:
+    """DuckDB side of :func:`_ann_approx_checked`: read the snapshot,
+    recompute every returned cosine (inner join drops any wrong value) and
+    recall@10 vs DuckDB's own brute-force top-10."""
+    return f"""
+        WITH s AS (
+            SELECT * FROM read_parquet('{_ann_snapshot_path(kind)}/*.parquet')
+        ),
+        q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+              WHERE vec_id = 0),
+        cos AS (
+            SELECT vec_id,
+                   round(list_cosine_similarity(embedding::DOUBLE[], qv), 4)
+                       AS c4,
+                   round(list_cosine_similarity(embedding::DOUBLE[], qv), 6)
+                       AS c6
+            FROM embeddings, q
+        ),
+        ex10 AS (SELECT vec_id FROM cos ORDER BY c6 DESC, vec_id LIMIT 10),
+        r AS (SELECT round(count(*) / 10.0, 2) AS recall10
+              FROM s JOIN ex10 USING (vec_id))
+        SELECT s.vec_id, cos.c4 AS cos, (SELECT recall10 FROM r) AS recall10
+        FROM s JOIN cos ON s.vec_id = cos.vec_id
+                       AND round(s.cosine, 4) = cos.c4
+        ORDER BY cos.c4 DESC, s.vec_id
+    """
 
 _PROPS_JSON_ORACLE = """
     SELECT event_id, props FROM events
@@ -978,7 +1102,107 @@ def oracle_sql() -> dict[str, str]:
         """,
         # native and UDF JSON-validation paths agree with the SAME oracle
         "props_json_native": _PROPS_JSON_ORACLE,
+        # the engine-level kind=json path: same failing set, violation-row
+        # shape (event_id, constraint_id, observed)
+        "props_json_suite": f"""
+            SELECT CAST(event_id AS VARCHAR) AS event_id,
+                   'props.json' AS constraint_id,
+                   substr(props, 1, 256) AS observed
+            FROM ({_PROPS_JSON_ORACLE}) t
+        """,
+        # approximate ANN: every returned cosine independently recomputed;
+        # recall@10 recomputed from DuckDB's own brute force (see
+        # _ann_approx_checked)
+        "ann_lsh_embeddings": _ann_approx_oracle("lsh"),
+        "ann_ivf_embeddings": _ann_approx_oracle("ivf"),
+        # multimodal: payload = ASCII hex of sha256(id); DuckDB reproduces
+        # the crc32 checksum (recursive-CTE zlib polynomial, cross-checked
+        # against zlib.crc32) and the byte-histogram features exactly
+        "multimodal_features": """
+            WITH RECURSIVE
+            tbl(i, k, v) AS (
+                SELECT i, 0, i::BIGINT FROM generate_series(0, 255) t(i)
+                UNION ALL
+                SELECT i, k + 1,
+                       CASE WHEN (v & 1) = 1 THEN xor(v >> 1, 3988292384)
+                            ELSE v >> 1 END
+                FROM tbl WHERE k < 8
+            ),
+            crctab AS (SELECT i, v FROM tbl WHERE k = 8),
+            media AS (
+                SELECT id, printf('m%06d', id) AS media_id,
+                       (['image', 'audio', 'video'])[(id % 3) + 1] AS kind,
+                       sha256(CAST(id AS VARCHAR)) AS s
+                FROM generate_series(0, 127) t(id)
+            ),
+            chars AS (
+                SELECT id, unicode(substr(s, p, 1)) AS code
+                FROM media CROSS JOIN generate_series(1, 64) g(p)
+            ),
+            hist AS (
+                SELECT id,
+                       round(sum(CASE WHEN code % 8 = 0 THEN 1 ELSE 0 END)
+                             / 64.0, 6) AS f0,
+                       round(sum(CASE WHEN code % 8 = 1 THEN 1 ELSE 0 END)
+                             / 64.0, 6) AS f1,
+                       round(sum(CASE WHEN code % 8 = 2 THEN 1 ELSE 0 END)
+                             / 64.0, 6) AS f2,
+                       round(sum(CASE WHEN code % 8 = 3 THEN 1 ELSE 0 END)
+                             / 64.0, 6) AS f3,
+                       round(sum(CASE WHEN code % 8 = 4 THEN 1 ELSE 0 END)
+                             / 64.0, 6) AS f4,
+                       round(sum(CASE WHEN code % 8 = 5 THEN 1 ELSE 0 END)
+                             / 64.0, 6) AS f5,
+                       round(sum(CASE WHEN code % 8 = 6 THEN 1 ELSE 0 END)
+                             / 64.0, 6) AS f6,
+                       round(sum(CASE WHEN code % 8 = 7 THEN 1 ELSE 0 END)
+                             / 64.0, 6) AS f7
+                FROM chars GROUP BY id
+            ),
+            fold(id, pos, crc) AS (
+                SELECT id, 0, 4294967295::BIGINT FROM media
+                UNION ALL
+                SELECT f.id, f.pos + 1,
+                       xor((SELECT v FROM crctab
+                            WHERE i = (xor(f.crc,
+                                           unicode(substr(m.s, f.pos + 1, 1)))
+                                       & 255)),
+                           f.crc >> 8)
+                FROM fold f JOIN media m ON m.id = f.id WHERE f.pos < 64
+            ),
+            crc AS (SELECT id, xor(crc, 4294967295) AS checksum
+                    FROM fold WHERE pos = 64)
+            SELECT m.media_id, m.kind, CAST(64 AS INT) AS n_bytes,
+                   CAST(c.checksum AS BIGINT) AS checksum,
+                   h.f0, h.f1, h.f2, h.f3, h.f4, h.f5, h.f6, h.f7
+            FROM media m JOIN crc c ON m.id = c.id
+                         JOIN hist h ON m.id = h.id
+            ORDER BY m.media_id
+        """,
         # flagship: counts over the deterministic parquet snapshot the
         # Spark suite itself validates (written by _q_sequences_validation)
         "sequences_validation": _SEQUENCES_ORACLE,
+        # simhash: recompute majority signatures from the snapshotted
+        # feature hashes, brute-force all-pairs hamming (pigeonhole ⟹
+        # banding is lossless at hamming ≤ 2, so exact equality holds)
+        "simhash_pairs_documents": f"""
+            WITH h AS (
+                SELECT id, unnest(hs) AS h
+                FROM read_parquet('{_simhash_hs_path()}/*.parquet')
+            ),
+            bits AS (
+                SELECT id, j,
+                       CASE WHEN 2 * sum(CASE WHEN (h & (1::BIGINT << j)) != 0
+                                              THEN 1 ELSE 0 END) > count(*)
+                            THEN (1::BIGINT << j) ELSE 0::BIGINT END AS w
+                FROM h CROSS JOIN generate_series(0, 62) AS t(j)
+                GROUP BY id, j
+            ),
+            sig AS (SELECT id, CAST(sum(w) AS BIGINT) AS sig
+                    FROM bits GROUP BY id)
+            SELECT a.id AS a, b.id AS b,
+                   CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+            FROM sig a JOIN sig b ON a.id < b.id
+            WHERE bit_count(xor(a.sig, b.sig)) <= 2
+        """,
     }

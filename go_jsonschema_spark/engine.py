@@ -28,7 +28,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F, types as T
 
 from go_jsonschema_spark.compile import CompileError, compile_predicate
-from go_jsonschema_spark.spec import SchemaSpec, TableSpec
+from go_jsonschema_spark.spec import SchemaSpec, SpecError, TableSpec
 
 __all__ = ["ConstraintSuite", "SuiteResult", "ConstraintPlan"]
 
@@ -182,6 +182,26 @@ class ConstraintSuite:
                 raise KeyError(f"spec column {name!r} not in DataFrame")
             col = F.col(name)
             dt = dtypes[name]
+            if isinstance(schema, dict) and schema.get("kind") == "json":
+                # dynamic JSON string column → json_column_predicate_auto
+                # picks the zero-Python native path (from_json + typed
+                # compiler) when the schema qualifies, else the
+                # Arrow-batched interpreter UDF — the 5.8× native win now
+                # applies inside the suite, not just hand-written queries
+                if not isinstance(dt, T.StringType):
+                    raise SpecError(
+                        f"column {name!r}: kind=json needs a string "
+                        f"column, got {dt.simpleString()}")
+                from go_jsonschema_spark.functions.json_native import (
+                    json_column_predicate_auto,
+                )
+
+                cid = f"{name}.json"
+                judge = json_column_predicate_auto(
+                    schema["schema"], draft=draft)
+                preds.append((cid, F.coalesce(judge(col), F.lit(False))))
+                observed[cid] = F.substring(col, 1, 256)
+                continue
             sspec = SchemaSpec(schema)
             sspec.registry.update(self.registry)
             registry_raw = {

@@ -31,6 +31,8 @@ __all__ = [
     "minhash_lsh_pairs",
     "simhash",
     "simhash_dup_pairs",
+    "simhash_feature_hashes",
+    "simhash_pairs_from_hashes",
     "jaccard",
     "duplicate_clusters",
     "embedding_cosine_pairs",
@@ -274,12 +276,34 @@ def simhash_dup_pairs(
     SAME DataFrame on both sides (aliases, not re-derived selects) so
     Catalyst plans one Exchange + ReusedExchange — the 63-expression
     signature is computed once, not once per side."""
-    hashed = _spread(df).select(
+    hashed = simhash_feature_hashes(
+        df, text_col=text_col, id_col=id_col, shingle_n=shingle_n)
+    return simhash_pairs_from_hashes(
+        hashed, max_hamming=max_hamming, max_bucket=max_bucket)
+
+
+def simhash_feature_hashes(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id",
+    shingle_n: int = 2,
+) -> DataFrame:
+    """``(id, hs array<bigint>)`` — the per-document xxhash64'd shingle
+    set feeding :func:`simhash`.  Exposed so the feature hashes can be
+    snapshotted and the signature→banding→verify stages oracle-checked
+    from the identical inputs (VERDICT r2 item 2)."""
+    return _spread(df).select(
         F.col(id_col).alias("id"),
         F.transform(
             word_shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s)
         ).alias("hs"),
     ).filter(F.size("hs") > 0)
+
+
+def simhash_pairs_from_hashes(
+    hashed: DataFrame, *, max_hamming: int = 3, max_bucket: int | None = 1024,
+) -> DataFrame:
+    """Signature → 16-bit block banding → equi-join → exact-hamming verify,
+    over pre-computed feature hashes ``(id, hs)`` (see
+    :func:`simhash_dup_pairs` for the plan rationale)."""
     sig = hashed.select("id", simhash(F.col("hs")).alias("sig"))
     blocks = sig.select(
         "id",
@@ -320,22 +344,39 @@ def simhash_dup_pairs(
 
 def duplicate_clusters(
     pairs: DataFrame, *, a_col: str = "a", b_col: str = "b",
-    max_iter: int = 25,
+    max_iter: int = 25, algorithm: str = "auto",
+    star_threshold: int = 100_000,
 ) -> DataFrame:
     """Connected components over a near-dup pair list → ``(id, cluster)``
     with ``cluster`` = min id in the component (the canonical keeper).
 
-    Min-label propagation with pointer jumping: each round a vertex takes
-    the minimum label among itself and its neighbors, then compresses one
-    level (``lbl ← label[lbl]``) — the doubling step that turns
-    diameter-bound convergence into O(log n) rounds (same family as
-    large-star/small-star, Kiveris et al., "Connected Components in
-    MapReduce and Beyond", SoCC'14).
+    Two engines, picked by ``algorithm``:
 
-    Scale notes: each round is two shuffle joins (edge list + compression)
-    and a ``localCheckpoint`` to cut the growing lineage (without it the
-    plan doubles per round and the DRIVER becomes the bottleneck);
-    convergence is detected with a count of the CHANGED set only."""
+    * ``"label"`` — min-label propagation with pointer jumping: each round
+      a vertex takes the minimum label among itself and its neighbors,
+      then compresses one level (``lbl ← label[lbl]``), turning
+      diameter-bound convergence into O(log n) rounds.  Every round
+      shuffles the FULL edge set twice — fine when the pair list is small.
+    * ``"star"`` — alternating large-star/small-star (Kiveris et al.,
+      "Connected Components in MapReduce and Beyond", SoCC'14): the edge
+      set itself contracts toward a star forest, so per-round shuffle
+      volume SHRINKS as components collapse — the constants that matter
+      when a 100 TB corpus yields billions of near-dup pairs.
+    * ``"auto"`` — one ``count()`` on the pair list, then ``"star"`` at or
+      above ``star_threshold`` pairs, ``"label"`` below.
+
+    Both produce identical labels (pytest-verified on hub/chain/random
+    graphs + the same DuckDB recursive-CTE oracle).
+
+    Scale notes: each round ``localCheckpoint``s to cut the growing
+    lineage (without it the plan doubles per round and the DRIVER becomes
+    the bottleneck); convergence is detected on a count of the CHANGED /
+    difference set only."""
+    if algorithm == "auto":
+        algorithm = "star" if pairs.count() >= star_threshold else "label"
+    if algorithm == "star":
+        return _clusters_star(pairs, a_col=a_col, b_col=b_col,
+                              max_iter=max_iter)
     edges = (
         pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
         .unionByName(
@@ -382,6 +423,88 @@ def duplicate_clusters(
         if changed == 0:
             break
     return labels.select("id", F.col("lbl").alias("cluster"))
+
+
+def _clusters_star(
+    pairs: DataFrame, *, a_col: str = "a", b_col: str = "b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Alternating large-star/small-star (Kiveris et al. SoCC'14).
+
+    Edges live canonically as ``(hi, lo)`` with hi > lo.  Per round:
+
+    * **large-star** — per node u over its full neighborhood, m = min of
+      neighbors and self; every neighbor v > u re-wires to m.  Tall
+      chains/hubs collapse toward their minimum.
+    * **small-star** — per node u over its SMALLER neighbors (the lo side),
+      m = min(lo); re-wire u and every other lo to m.  Stars flatten.
+
+    Fixed point = a star forest (every edge is (node, component-min)), so
+    the labels fall straight out of the final edge set.  Convergence is
+    exact: the distinct edge set is compared round-over-round (count +
+    one-sided exceptAll — both sets are distinct, so equal counts plus an
+    empty difference imply equality).  Per-round shuffle volume tracks the
+    CURRENT edge set, which contracts as components collapse — unlike
+    label propagation, which drags the full original edge list through
+    every round."""
+    ids = (
+        pairs.select(F.col(a_col).alias("id"))
+        .unionByName(pairs.select(F.col(b_col).alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    edges = (
+        pairs.select(
+            F.greatest(F.col(a_col), F.col(b_col)).alias("hi"),
+            F.least(F.col(a_col), F.col(b_col)).alias("lo"),
+        )
+        .filter(F.col("hi") != F.col("lo"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_edges = edges.count()
+    for _ in range(max_iter):
+        # large-star over the bidirectional view
+        b = edges.select(F.col("hi").alias("u"), F.col("lo").alias("v")) \
+            .unionByName(
+                edges.select(F.col("lo").alias("u"), F.col("hi").alias("v")))
+        mins = b.groupBy("u").agg(F.min("v").alias("mv")).select(
+            "u", F.least(F.col("u"), F.col("mv")).alias("m"))
+        large = (
+            b.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+            .filter(F.col("hi") != F.col("lo"))
+            .distinct()
+        )
+        # small-star over the lo-side neighborhoods
+        smins = large.groupBy("hi").agg(F.min("lo").alias("m"))
+        small = (
+            large.join(smins, "hi")
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("hi").alias("hi"),
+                                 F.col("m").alias("lo")),
+                        F.struct(F.col("lo").alias("hi"),
+                                 F.col("m").alias("lo")),
+                    )
+                ).alias("e")
+            )
+            .select("e.hi", "e.lo")
+            .filter(F.col("hi") != F.col("lo"))
+            .distinct()
+            .localCheckpoint()
+        )
+        n_new = small.count()
+        if n_new == n_edges and small.exceptAll(edges).count() == 0:
+            edges = small
+            break
+        edges, n_edges = small, n_new
+    roots = edges.select(F.col("hi").alias("id"), F.col("lo").alias("cluster"))
+    return ids.join(roots, "id", "left").select(
+        "id", F.coalesce(F.col("cluster"), F.col("id")).alias("cluster")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -483,6 +483,15 @@ class TableSpec:
 
     def __post_init__(self) -> None:
         for name, spec in self.columns.items():
+            # {"kind": "json", "schema": ...} declares a STRING column of
+            # dynamic JSON payloads; the engine routes it through
+            # json_column_predicate_auto (native from_json compilation when
+            # the schema qualifies, Arrow-batched interpreter otherwise)
+            if isinstance(spec, dict) and spec.get("kind") == "json":
+                if "schema" not in spec:
+                    raise SpecError(
+                        f"column {name!r}: kind=json needs a 'schema'")
+                spec = spec["schema"]
             try:
                 normalize_spec(spec)
             except SpecError as e:

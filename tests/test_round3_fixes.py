@@ -115,6 +115,109 @@ def test_plan_fallback_attribution_not_double_counted(spark, payload_df):
     assert rows == 0
 
 
+# -- kind=json column through the suite --------------------------------------
+
+JSON_ROWS = [
+    (1, '{"k": 5}'),          # valid
+    (2, '{"k": 99}'),         # maximum hit
+    (3, '{"nope": 1}'),       # required hit
+    (4, 'not json'),          # corrupt
+    (5, None),                # null payload
+]
+K_SCHEMA = {
+    "type": "object",
+    "required": ["k"],
+    "properties": {"k": {"type": "integer", "minimum": 0, "maximum": 49}},
+}
+
+
+def test_tablespec_json_kind_native_path(spark):
+    ts = TableSpec(columns={"props": {"kind": "json", "schema": K_SCHEMA}})
+    suite = ConstraintSuite(ts, key="doc_id")
+    df = spark.createDataFrame(JSON_ROWS, "doc_id int, props string")
+    res = suite.run(df)
+    bad = {int(r["doc_id"]) for r in res.violations.collect()}
+    assert bad == {2, 3, 4, 5}
+    # the qualifying schema rides the native from_json path: no Python
+    # eval operator anywhere in the plan
+    plan = res.violations._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_tablespec_json_kind_udf_fallback(spark):
+    # propertyNames isn't native-compilable → interpreter UDF arm, same
+    # verdicts
+    schema = {"type": "object", "propertyNames": {"maxLength": 1},
+              "required": ["k"]}
+    ts = TableSpec(columns={"props": {"kind": "json", "schema": schema}})
+    suite = ConstraintSuite(ts, key="doc_id")
+    df = spark.createDataFrame(JSON_ROWS, "doc_id int, props string")
+    bad = {int(r["doc_id"])
+           for r in suite.run(df).violations.collect()}
+    assert bad == {3, 4, 5}  # 'nope' too long a key + required; corrupt; null
+
+
+def test_tablespec_json_kind_requires_string_column(spark):
+    from go_jsonschema_spark.spec import SpecError
+
+    ts = TableSpec(columns={"doc_id": {"kind": "json", "schema": K_SCHEMA}})
+    df = spark.createDataFrame([(1,)], "doc_id int")
+    with pytest.raises(SpecError, match="string"):
+        ConstraintSuite(ts, key="doc_id").run(df)
+
+
+# -- large-star/small-star connected components ------------------------------
+
+def _cc_reference(edges):
+    """Driver-side union-find ground truth."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+@pytest.mark.parametrize("edges", [
+    # chain (worst case for propagation)
+    [(i, i + 1) for i in range(20)],
+    # hub + satellite pairs + isolated pair
+    [(0, i) for i in range(1, 15)] + [(100, 101), (101, 102), (200, 201)],
+    # two rings
+    [(i, (i + 1) % 10) for i in range(10)]
+    + [(20 + i, 20 + (i + 1) % 7) for i in range(7)],
+])
+def test_star_and_label_clusters_agree(spark, edges):
+    from go_jsonschema_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(edges, "a int, b int")
+    want = _cc_reference(edges)
+    lab = {r["id"]: r["cluster"] for r in duplicate_clusters(
+        pairs, algorithm="label").collect()}
+    star = {r["id"]: r["cluster"] for r in duplicate_clusters(
+        pairs, algorithm="star").collect()}
+    assert lab == want
+    assert star == want
+
+
+def test_clusters_auto_switch_counts_pairs(spark):
+    from go_jsonschema_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "a int, b int")
+    # tiny threshold forces the star path through the auto switch
+    out = {r["id"]: r["cluster"] for r in duplicate_clusters(
+        pairs, algorithm="auto", star_threshold=1).collect()}
+    assert out == {1: 1, 2: 1, 3: 1}
+
+
 # -- 3. checkpoint global-phase membership ----------------------------------
 
 def test_global_phase_reruns_on_membership_change(spark, tmp_path):
