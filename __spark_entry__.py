@@ -577,10 +577,23 @@ def _q_rollup_lineitem(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _stats_snapshot_path() -> str:
+    import os
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    return os.path.join(root, ".benchdata", "oracle", "column_stats")
+
+
 def _q_column_stats_full(spark: SparkSession, sf: str) -> DataFrame:
-    """Full stats profile incl. approx quantiles (percentile_approx) and
-    HLL++ approx distinct — approximate by construction, so rows-only
-    (DuckDB's approximations differ)."""
+    """Full stats profile incl. approx quantiles (percentile_approx,
+    accuracy 10000) and HLL++ approx distinct.  The sketches can't equal
+    DuckDB's, so the oracle is relaxed-but-real (same harness shape as the
+    ANN paths): the result is snapshotted to parquet and the oracle keeps
+    each row only if the EXACT fields (n, n_null, min, max, mean) match
+    DuckDB's exact computation and every estimate sits inside its
+    guaranteed tolerance — quantiles within ±0.002 rank (20× the
+    configured 1e-4 accuracy), HLL within 10% (2× the 5% rsd) of exact
+    distinct."""
     from go_jsonschema_spark.operators.stats import column_stats
 
     s = column_stats(
@@ -590,12 +603,16 @@ def _q_column_stats_full(spark: SparkSession, sf: str) -> DataFrame:
     )
     # scalar quantile columns (not array<double>) so the driver's
     # canonicalizer can hash the rows
-    return s.select(
-        "column", "n", "n_null", "n_distinct_approx", "min", "max", "mean",
+    out = s.select(
+        "column", "n", "n_null", "n_distinct_approx", "min", "max",
+        F.round("mean", 4).alias("mean"),
         F.element_at("quantiles", 1).alias("q50"),
         F.element_at("quantiles", 2).alias("q95"),
         F.element_at("quantiles", 3).alias("q99"),
     )
+    path = _stats_snapshot_path()
+    out.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
 
 
 def _q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
@@ -758,6 +775,43 @@ def _sequences_oracle() -> str:
 
 
 _SEQUENCES_ORACLE = _sequences_oracle()
+
+
+def _stats_oracle() -> str:
+    """DuckDB side of _q_column_stats_full: exact fields must equal,
+    estimates must sit inside their guaranteed tolerance (any violation
+    drops the row → mismatch)."""
+    arms = []
+    for c in ("l_quantity", "l_extendedprice", "l_orderkey"):
+        arms.append(f"""
+            SELECT '{c}' AS col, CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(*) - count({c}) AS BIGINT) AS n_null,
+                   CAST(min({c}) AS DOUBLE) AS mn,
+                   CAST(max({c}) AS DOUBLE) AS mx,
+                   round(avg({c}), 4) AS mean,
+                   CAST(count(DISTINCT {c}) AS BIGINT) AS nd,
+                   CAST(quantile_disc({c}, 0.498) AS DOUBLE) AS q50_lo,
+                   CAST(quantile_disc({c}, 0.502) AS DOUBLE) AS q50_hi,
+                   CAST(quantile_disc({c}, 0.948) AS DOUBLE) AS q95_lo,
+                   CAST(quantile_disc({c}, 0.952) AS DOUBLE) AS q95_hi,
+                   CAST(quantile_disc({c}, 0.988) AS DOUBLE) AS q99_lo,
+                   CAST(quantile_disc({c}, 0.992) AS DOUBLE) AS q99_hi
+            FROM lineitem""")
+    union = "\n            UNION ALL".join(arms)
+    return f"""
+        WITH s AS (
+            SELECT * FROM read_parquet('{_stats_snapshot_path()}/*.parquet')
+        ),
+        ex AS ({union})
+        SELECT s.* FROM s JOIN ex ON s."column" = ex.col
+        WHERE s.n = ex.n AND s.n_null = ex.n_null
+          AND s.min = ex.mn AND s.max = ex.mx
+          AND abs(s.mean - ex.mean) <= 2e-4
+          AND s.n_distinct_approx BETWEEN 0.9 * ex.nd AND 1.1 * ex.nd
+          AND s.q50 BETWEEN ex.q50_lo AND ex.q50_hi
+          AND s.q95 BETWEEN ex.q95_lo AND ex.q95_hi
+          AND s.q99 BETWEEN ex.q99_lo AND ex.q99_hi
+    """
 
 
 def _ann_approx_oracle(kind: str) -> str:
@@ -1182,6 +1236,9 @@ def oracle_sql() -> dict[str, str]:
         # flagship: counts over the deterministic parquet snapshot the
         # Spark suite itself validates (written by _q_sequences_validation)
         "sequences_validation": _SEQUENCES_ORACLE,
+        # stats sketches: exact fields equal + estimates inside guaranteed
+        # tolerance, via the snapshot harness
+        "column_stats_full": _stats_oracle(),
         # simhash: recompute majority signatures from the snapshotted
         # feature hashes, brute-force all-pairs hamming (pigeonhole ⟹
         # banding is lossless at hamming ≤ 2, so exact equality holds)

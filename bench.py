@@ -111,7 +111,45 @@ def validate_sequences(spark, path: str) -> tuple[int, float]:
     return n_rows, dt
 
 
-def run_headline(spark, sf_dir: str) -> dict[str, float]:
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, fn))
+    return total
+
+
+def _scan_only(spark, path: str) -> tuple[int, float]:
+    """Pure parquet-scan baseline: read the table, sum token counts.
+    Isolates the memory/IO path from constraint evaluation — if THIS
+    plateaus between parallelism bands, the band's efficiency ceiling is
+    bandwidth, not the engine."""
+    from pyspark.sql import functions as F
+
+    t0 = time.time()
+    n_tok = spark.read.parquet(path).select(
+        F.sum(F.size("tokens")).alias("s")).first()["s"]
+    return int(n_tok), time.time() - t0
+
+
+def _git_head() -> str:
+    try:
+        out = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"], cwd=REPO,
+            capture_output=True, text=True, timeout=10,
+        )
+        return out.stdout.strip() or "unknown"
+    except Exception:
+        return "unknown"
+
+
+def run_headline(spark, sf_dir: str, *, n_runs: int = 3) -> tuple[
+        dict[str, float], dict[str, list[float]]]:
+    """Each headline query timed ``n_runs`` times in this JVM (first run
+    carries codegen/page-cache warm-up for that plan); best + the full run
+    array are both reported, so a regression is attributable (probe-gated
+    host noise vs a real plan change) instead of shrugged off."""
     import __spark_entry__ as entry
 
     headline = [
@@ -135,16 +173,22 @@ def run_headline(spark, sf_dir: str) -> dict[str, float]:
         "ann_lsh_embeddings",
         "props_json_validation",
         "props_json_native",
+        "props_json_suite",
         "multimodal_features",
     ]
     qs = entry.queries()
-    out: dict[str, float] = {}
+    best: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
     for name in headline:
-        t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        df.count()
-        out[name] = round(time.time() - t0, 3)
-    return out
+        rr = []
+        for _ in range(n_runs):
+            t0 = time.time()
+            df = qs[name](spark, sf_dir)
+            df.count()
+            rr.append(round(time.time() - t0, 3))
+        runs[name] = rr
+        best[name] = min(rr)
+    return best, runs
 
 
 def _one_run(cores: int, seq_path: str) -> dict:
@@ -160,10 +204,27 @@ def _one_run(cores: int, seq_path: str) -> dict:
         n, dt = validate_sequences(spark, seq_path)
         runs.append(round(dt, 3))
         best = dt if best is None or dt < best else best
+    # per-band bytes evidence: the pure-scan baseline (same warm-up +
+    # best-of-3 discipline) bounds what ANY job over this table can reach
+    # at this parallelism; token_bytes is the decompressed array volume
+    # the validation pass must stream
+    _scan_only(spark, seq_path)
+    scan_runs = []
+    n_tok = 0
+    for _ in range(3):
+        n_tok, sdt = _scan_only(spark, seq_path)
+        scan_runs.append(round(sdt, 3))
+    scan_sec = min(scan_runs)
+    token_bytes = n_tok * 4  # int32 tokens
+    parquet_bytes = _dir_bytes(seq_path)
     spark.stop()
     return {"cores": cores, "rows": n, "sec": round(best, 3),
             "runs": runs, "probe_sec": probe,
-            "rows_per_sec": round(n / best, 1)}
+            "rows_per_sec": round(n / best, 1),
+            "scan_sec": round(scan_sec, 3), "scan_runs": scan_runs,
+            "parquet_bytes": parquet_bytes, "token_bytes": token_bytes,
+            "scan_token_gbps": round(token_bytes / scan_sec / 1e9, 2),
+            "validate_token_gbps": round(token_bytes / best / 1e9, 2)}
 
 
 def main() -> int:
@@ -196,14 +257,20 @@ def main() -> int:
         results = {}
         cache_dir = os.path.join(REPO, "BENCH")
         os.makedirs(cache_dir, exist_ok=True)
+        # cache entries carry a code+data fingerprint: results measured on
+        # a different engine version or table size are ignored, never
+        # silently mixed into a published BASELINE.md (ADVICE r2)
+        fingerprint = f"{_git_head()}:{scaling_rows}"
         for c in (2, 8, 32):
             # per-core results are cached so a long run can be split across
             # invocations (each level is its own fresh JVM either way)
             cache = os.path.join(cache_dir, f".scaling_c{c}.json")
             if os.path.exists(cache):
                 with open(cache) as f:
-                    results[c] = json.load(f)
-                continue
+                    prev = json.load(f)
+                if prev.get("fingerprint") == fingerprint:
+                    results[c] = prev
+                    continue
             p = subprocess.run(
                 [sys.executable, os.path.abspath(__file__),
                  f"--subprocess-cores={c}"],
@@ -212,11 +279,14 @@ def main() -> int:
             )
             line = p.stdout.strip().splitlines()[-1]
             results[c] = json.loads(line)
+            results[c]["fingerprint"] = fingerprint
             with open(cache, "w") as f:
                 json.dump(results[c], f)
         r2, r8, r32 = results[2], results[8], results[32]
         eff_2_8 = (r8["rows_per_sec"] / r2["rows_per_sec"]) / 4.0
         eff_8_32 = (r32["rows_per_sec"] / r8["rows_per_sec"]) / 4.0
+        scan_eff_2_8 = (r2["scan_sec"] / r8["scan_sec"]) / 4.0
+        scan_eff_8_32 = (r8["scan_sec"] / r32["scan_sec"]) / 4.0
         md = f"""# BENCH — sandbox scaling evidence (north-rule criterion)
 
 Same job (full constraint-validation pass over the identical
@@ -243,15 +313,40 @@ N→4N scaling efficiency (the north-rule criterion, ≥ 0.8):
 | local[2] → local[8]  | **{eff_2_8:.3f}** | {"MET" if eff_2_8 >= 0.8 else "NOT MET"} |
 | local[8] → local[32] | {eff_8_32:.3f} | {"MET" if eff_8_32 >= 0.8 else "NOT MET (see note)"} |
 
+## Per-band bytes evidence (is the ceiling the engine or the memory bus?)
+
+The same table's PURE SCAN (read parquet, sum token counts — no
+constraint evaluation at all) at each band, same warm-up + best-of-3
+discipline.  Parquet on disk: {r8['parquet_bytes']/1e9:.2f} GB; decoded
+token volume the pass must stream: {r8['token_bytes']/1e9:.2f} GB.
+
+| parallelism | pure-scan sec (best of 3) | all runs | scan token-GB/s | full-validation token-GB/s |
+|---|---|---|---|---|
+| local[2]  | {r2['scan_sec']} | {r2['scan_runs']} | {r2['scan_token_gbps']} | {r2['validate_token_gbps']} |
+| local[8]  | {r8['scan_sec']} | {r8['scan_runs']} | {r8['scan_token_gbps']} | {r8['validate_token_gbps']} |
+| local[32] | {r32['scan_sec']} | {r32['scan_runs']} | {r32['scan_token_gbps']} | {r32['validate_token_gbps']} |
+
+| band | scan-only efficiency | full-validation efficiency |
+|---|---|---|
+| local[2] → local[8]  | {scan_eff_2_8:.3f} | {eff_2_8:.3f} |
+| local[8] → local[32] | {scan_eff_8_32:.3f} | {eff_8_32:.3f} |
+
+Reading: the scan-only job contains zero engine code — its 8→32
+efficiency is the HOST's parquet-decode/memory-bandwidth ceiling for this
+table in one JVM.  The validation pass cannot scale past the scan that
+feeds it; the gap between the two columns (not the gap to 1.0) is what
+constraint evaluation costs in scaling terms.
+
 Note on the upper band: all threads share ONE JVM, one memory bus, one
 page cache and one driver in local mode.  Between 8 and 32 threads the
-job becomes memory-bandwidth-bound (the pass streams ~8 GB of token
-arrays) and loses CPU turbo headroom, which a real 4×-executor cluster —
-each executor with its own memory channels — does not suffer.  The
-engine-side evidence that the design scales is shuffle discipline: the
-only shuffles in the pass are O(#violations) and O(#keys) aggregations
-(map-side combined, salted against hot keys) and a broadcast join; the
-O(rows·tokens) predicate work is embarrassingly parallel per partition.
+job becomes memory-bandwidth-bound (the pass streams
+{r8['token_bytes']/1e9:.1f} GB of token arrays) and loses CPU turbo
+headroom, which a real 4×-executor cluster — each executor with its own
+memory channels — does not suffer.  The engine-side evidence that the
+design scales is shuffle discipline: the only shuffles in the pass are
+O(#violations) and O(#keys) aggregations (map-side combined, salted
+against hot keys) and a broadcast join; the O(rows·tokens) predicate work
+is embarrassingly parallel per partition.
 
 ## Reconciling driver-bench vs builder-bench throughput
 
@@ -270,8 +365,18 @@ embedded in both outputs (`seq_runs` / `noise_probe_sec` in the JSON, the
 table above) make window quality visible in every future measurement.
 """
         os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-        with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-            f.write(md)
+        out_md = os.path.join(REPO, "BENCH", "BASELINE.md")
+        # hand-maintained sections (measurement-variance record) survive
+        # regeneration: everything from their first header on is re-appended
+        keep = ""
+        if os.path.exists(out_md):
+            with open(out_md) as f:
+                old = f.read()
+            idx = old.find("## Measurement variance")
+            if idx >= 0:
+                keep = "\n" + old[idx:]
+        with open(out_md, "w") as f:
+            f.write(md + keep)
         print(json.dumps({
             "scaling": list(results.values()),
             "efficiency_2_8": round(eff_2_8, 3),
@@ -297,16 +402,21 @@ table above) make window quality visible in every future measurement.
         n_seq, s = validate_sequences(spark, seq_path)
         seq_runs.append(round(s, 3))
     seq_sec = min(seq_runs)
-    queries = run_headline(spark, sf_dir)
+    probe_mid = _noise_probe()
+    queries, query_runs = run_headline(spark, sf_dir)
     total = time.time() - t0
     queries["sequences_validation"] = round(seq_sec, 3)
+    query_runs["sequences_validation"] = seq_runs
     probe_after = _noise_probe()
 
     out = {
-        "metric": "headline suite wall time (constraint validation + analytics + dedup)",
-        "value": round(total, 3),
+        "metric": ("headline suite time: sum of per-query best-of-3 "
+                   "(constraint validation + analytics + dedup)"),
+        "value": round(sum(queries.values()), 3),
         "unit": "sec",
+        "wall_sec_all_runs": round(total, 3),
         "queries": queries,
+        "query_runs": query_runs,
         "sf": float(sf_name.replace("sf", "") or 0.1),
         "seq_rows": n_seq,
         "seq_validate_sec": round(seq_sec, 3),
@@ -314,8 +424,9 @@ table above) make window quality visible in every future measurement.
         "seq_per_sec": round(n_seq / seq_sec, 1),
         "cores": cores,
         # host-noise context: quiet ≈ 1.3 s, noisy 1.9 s+ (single-thread
-        # python loop); scale seq_per_sec judgments accordingly
-        "noise_probe_sec": [probe_before, probe_after],
+        # python loop), sampled before the seq pass / between seq and the
+        # suite / after; scale per-query judgments accordingly
+        "noise_probe_sec": [probe_before, probe_mid, probe_after],
     }
     spark.stop()
     print(json.dumps(out))

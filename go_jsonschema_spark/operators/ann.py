@@ -24,6 +24,8 @@ __all__ = [
     "kmeans_centroids",
     "assign_centroid",
     "topk_cosine_ivf",
+    "ivf_write_index",
+    "topk_cosine_ivf_indexed",
 ]
 
 
@@ -164,6 +166,61 @@ def topk_cosine_ivf(
     cell = assign_centroid(F.col(vec_col), centroids)
     return (
         df.select(F.col(id_col), F.col(vec_col), cell.alias("cell"))
+        .filter(F.col("cell").isin(probe))
+        .select(
+            F.col(id_col),
+            F.round(cosine_to(F.col(vec_col), query), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def ivf_write_index(
+    df: DataFrame,
+    path: str,
+    centroids,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Materialize the IVF index: the table written partitioned by its
+    coarse-quantizer cell.  This is the deployment shape the inline
+    :func:`topk_cosine_ivf` docstring promises — after this one narrow
+    pass, every query's ``n_probe`` cell filter is PARTITION PRUNING at
+    the scan (``PartitionFilters`` in the plan; unprobed cells are never
+    read from storage), which is what makes IVF pay at 10^12 rows."""
+    cell = assign_centroid(F.col(vec_col), centroids)
+    (
+        df.select(F.col(id_col), F.col(vec_col), cell.alias("cell"))
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+
+
+def topk_cosine_ivf_indexed(
+    spark,
+    path: str,
+    query: list[float],
+    centroids,
+    k: int = 10,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_probe: int = 4,
+) -> DataFrame:
+    """Query a materialized IVF index (:func:`ivf_write_index`): pick the
+    ``n_probe`` nearest centroids driver-side, scan ONLY those cell
+    partitions, exact-rank the survivors.  Identical results to the
+    inline :func:`topk_cosine_ivf` for the same centroids/probe set."""
+    import numpy as np
+
+    q = np.asarray(query, dtype=float)
+    d2 = ((np.asarray(centroids) - q[None, :]) ** 2).sum(1)
+    probe = [int(i) for i in d2.argsort()[:n_probe]]
+    return (
+        spark.read.parquet(path)
         .filter(F.col("cell").isin(probe))
         .select(
             F.col(id_col),

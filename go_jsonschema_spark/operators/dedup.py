@@ -345,7 +345,7 @@ def simhash_pairs_from_hashes(
 def duplicate_clusters(
     pairs: DataFrame, *, a_col: str = "a", b_col: str = "b",
     max_iter: int = 25, algorithm: str = "auto",
-    star_threshold: int = 100_000,
+    star_threshold: int = 100_000, stats_out: dict | None = None,
 ) -> DataFrame:
     """Connected components over a near-dup pair list → ``(id, cluster)``
     with ``cluster`` = min id in the component (the canonical keeper).
@@ -371,12 +371,15 @@ def duplicate_clusters(
     Scale notes: each round ``localCheckpoint``s to cut the growing
     lineage (without it the plan doubles per round and the DRIVER becomes
     the bottleneck); convergence is detected on a count of the CHANGED /
-    difference set only."""
+    difference set only.  ``stats_out`` (optional dict) receives
+    ``{"algorithm", "rounds"}`` for round-count measurement."""
     if algorithm == "auto":
         algorithm = "star" if pairs.count() >= star_threshold else "label"
+    if stats_out is not None:
+        stats_out["algorithm"] = algorithm
     if algorithm == "star":
         return _clusters_star(pairs, a_col=a_col, b_col=b_col,
-                              max_iter=max_iter)
+                              max_iter=max_iter, stats_out=stats_out)
     edges = (
         pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
         .unionByName(
@@ -390,7 +393,9 @@ def duplicate_clusters(
         .select("id", F.col("id").alias("lbl"))
         .localCheckpoint()
     )
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         neigh = (
             edges.join(labels, edges.y == labels.id)
             .groupBy("x")
@@ -422,12 +427,14 @@ def duplicate_clusters(
         labels = new_labels.select("id", F.col("nlbl").alias("lbl"))
         if changed == 0:
             break
+    if stats_out is not None:
+        stats_out["rounds"] = rounds
     return labels.select("id", F.col("lbl").alias("cluster"))
 
 
 def _clusters_star(
     pairs: DataFrame, *, a_col: str = "a", b_col: str = "b",
-    max_iter: int = 25,
+    max_iter: int = 25, stats_out: dict | None = None,
 ) -> DataFrame:
     """Alternating large-star/small-star (Kiveris et al. SoCC'14).
 
@@ -462,8 +469,22 @@ def _clusters_star(
         .distinct()
         .localCheckpoint()
     )
-    n_edges = edges.count()
+
+    def _fp(e: DataFrame):
+        # one-action convergence fingerprint of the DISTINCT edge set:
+        # (count, xor of per-edge hashes).  A false convergence needs a
+        # different set with equal count AND colliding xor (~2^-64) —
+        # the same collision assumption hash partitioning itself makes.
+        r = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(hi, lo))").alias("x"),
+        ).first()
+        return (r["n"], r["x"])
+
+    prev_fp = _fp(edges)
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         # large-star over the bidirectional view
         b = edges.select(F.col("hi").alias("u"), F.col("lo").alias("v")) \
             .unionByName(
@@ -475,9 +496,10 @@ def _clusters_star(
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
             .filter(F.col("hi") != F.col("lo"))
-            .distinct()
         )
-        # small-star over the lo-side neighborhoods
+        # small-star over the lo-side neighborhoods; large-star output is
+        # deliberately NOT deduplicated — min() tolerates duplicates and
+        # skipping the distinct saves a full shuffle per round
         smins = large.groupBy("hi").agg(F.min("lo").alias("m"))
         small = (
             large.join(smins, "hi")
@@ -496,11 +518,13 @@ def _clusters_star(
             .distinct()
             .localCheckpoint()
         )
-        n_new = small.count()
-        if n_new == n_edges and small.exceptAll(edges).count() == 0:
-            edges = small
+        new_fp = _fp(small)
+        edges = small
+        if new_fp == prev_fp:
             break
-        edges, n_edges = small, n_new
+        prev_fp = new_fp
+    if stats_out is not None:
+        stats_out["rounds"] = rounds
     roots = edges.select(F.col("hi").alias("id"), F.col("lo").alias("cluster"))
     return ids.join(roots, "id", "left").select(
         "id", F.coalesce(F.col("cluster"), F.col("id")).alias("cluster")
