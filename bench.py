@@ -139,7 +139,13 @@ def _git_head() -> str:
             ["git", "rev-parse", "--short", "HEAD"], cwd=REPO,
             capture_output=True, text=True, timeout=10,
         )
-        return out.stdout.strip() or "unknown"
+        head = out.stdout.strip() or "unknown"
+        dirty = subprocess.run(
+            ["git", "status", "--porcelain"], cwd=REPO,
+            capture_output=True, text=True, timeout=10,
+        )
+        # uncommitted engine changes must invalidate caches too
+        return head + ("-dirty" if dirty.stdout.strip() else "")
     except Exception:
         return "unknown"
 

@@ -218,6 +218,59 @@ def test_clusters_auto_switch_counts_pairs(spark):
     assert out == {1: 1, 2: 1, 3: 1}
 
 
+# -- items bounds fast path (array_min/max) ----------------------------------
+
+TRICKY_ARRAYS = [
+    [1, 2, 3], [1, None, 5], [], [None], [0], [31999], [32000], [-1],
+    [0, 31999], [-1, 32000], None,
+]
+
+
+@pytest.mark.parametrize("items,draft", [
+    ({"type": "integer", "minimum": 0, "exclusiveMaximum": 32000}, 7),
+    ({"minimum": 0, "exclusiveMaximum": 32000}, 7),   # bare bounds: null ok
+    ({"type": "integer"}, 7),                          # type only
+    ({"minimum": 0, "exclusiveMinimum": True}, 4),     # draft-4 bool excl
+    ({"maximum": 10}, 7),
+])
+def test_items_fast_path_matches_interp(spark, items, draft):
+    from go_jsonschema_spark.compile import (
+        _items_bounds_fast_path, compile_predicate,
+    )
+    from go_jsonschema_spark.interp import validate_instance
+
+    schema = {"type": "array", "items": items}
+    df = spark.createDataFrame(
+        [(i, a) for i, a in enumerate(TRICKY_ARRAYS)],
+        "id int, toks array<int>",
+    )
+    et = df.schema["toks"].dataType
+    # these schemas must actually take the fast path
+    assert _items_bounds_fast_path(items, F.col("toks"),
+                                   et.elementType) is not None
+    p = compile_predicate(schema, F.col("toks"), et, draft=draft)
+    got = {r["id"]: r["ok"] for r in df.select("id", p.alias("ok")).collect()}
+    for i, a in enumerate(TRICKY_ARRAYS):
+        if a is None:
+            continue  # null-column guard is the caller's _null_safe
+        want = validate_instance(schema, a, draft=draft).valid
+        assert got[i] == want, f"arr={a}: fast={got[i]} interp={want}"
+
+
+def test_items_fast_path_declined_for_unsupported(spark):
+    from go_jsonschema_spark.compile import _items_bounds_fast_path
+    from pyspark.sql import types as T
+
+    et = T.IntegerType()
+    assert _items_bounds_fast_path(
+        {"type": "integer", "multipleOf": 2}, F.col("x"), et) is None
+    assert _items_bounds_fast_path(
+        {"type": "string"}, F.col("x"), et) is None
+    assert _items_bounds_fast_path(
+        {"minimum": 0}, F.col("x"), T.DoubleType()) is None  # NaN ordering
+    assert _items_bounds_fast_path({}, F.col("x"), et) is None
+
+
 # -- IVF materialized index: probing = partition pruning ---------------------
 
 def test_ivf_indexed_prunes_partitions(spark, tmp_path):
