@@ -490,6 +490,45 @@ def _q_props_json_suite(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_corpus_curation(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end training-corpus curation composition: exact dedup →
+    near-dup keeper selection (MinHash LSH + connected components) →
+    quality floor → language allowlist, returning the kept corpus with
+    per-doc stats.  Every stage is an independently oracle-paired
+    operator; the DuckDB oracle recomposes the identical pipeline from
+    brute-force primitives (md5 fingerprints, all-pairs Jaccard +
+    recursive-CTE closure, the quality/lang replicas)."""
+    from go_jsonschema_spark.functions.text import (
+        lang_id, quality_score, token_count,
+    )
+    from go_jsonschema_spark.operators.dedup import (
+        duplicate_clusters, exact_duplicates, minhash_lsh_pairs,
+    )
+
+    docs = _t(spark, sf, "documents")
+    ex_drop = exact_duplicates(docs).select(F.col("doc_id").alias("k"))
+    near_drop = (
+        duplicate_clusters(
+            minhash_lsh_pairs(docs, threshold=0.9, k=64, bands=16)
+        )
+        .filter(F.col("id") != F.col("cluster"))
+        .select(F.col("id").alias("k"))
+    )
+    kept = docs.join(
+        ex_drop.unionByName(near_drop).distinct(),
+        docs["doc_id"] == F.col("k"), "left_anti",
+    )
+    out = kept.select(
+        "doc_id",
+        lang_id(F.col("text")).alias("pred_lang"),
+        quality_score(F.col("text")).alias("q"),
+        token_count(F.col("text")).cast("long").alias("n_tok"),
+    )
+    return out.filter(
+        (F.col("q") >= 0.5) & F.col("pred_lang").isin(list(DOC_LANGS))
+    )
+
+
 def _q_sequences_validation(spark: SparkSession, sf: str) -> DataFrame:
     """North-star flagship on the synthetic tokenized-sequences table
     (the BASELINE.json input shape): full suite, violation counts per
@@ -671,6 +710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "props_json_validation": _q_props_json_validation,
         "props_json_native": _q_props_json_native,
         "props_json_suite": _q_props_json_suite,
+        "corpus_curation": _q_corpus_curation,
         "sequences_validation": _q_sequences_validation,
         "column_stats_full": _q_column_stats_full,
         "multimodal_features": _q_multimodal_features,
@@ -862,6 +902,83 @@ _DOC_PASS = (
 )
 
 
+_QUALITY_ORACLE = r"""
+            WITH q AS (
+                SELECT doc_id,
+                       length(text) AS nc,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(lower(trim(text)), '\s+'))
+                       END AS nw,
+                       CASE WHEN length(text) = 0 THEN 0.0
+                            ELSE length(regexp_replace(text, '[^[:punct:]]', '', 'g'))
+                                 * 1.0 / length(text)
+                       END AS pr
+                FROM documents
+            )
+            SELECT doc_id,
+                   round(
+                     least(nc / 200.0, 1.0)
+                     * greatest(0.0, 1.0 - 2.0 * pr)
+                     * CASE WHEN nw > 0 AND nc * 1.0 / nw BETWEEN 3.0 AND 12.0
+                            THEN 1.0 ELSE 0.5 END,
+                   4) AS q
+            FROM q
+        """
+
+_TOKEN_COUNTS_ORACLE = r"""
+            SELECT doc_id,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(lower(trim(text)), '\s+'))
+                   END AS n_tok
+            FROM documents
+        """
+
+_EXACT_DUPS_ORACLE = r"""
+            WITH fp AS (
+                SELECT doc_id,
+                       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+                FROM documents
+            ), g AS (
+                SELECT doc_id,
+                       min(doc_id) OVER (PARTITION BY fp) AS keeper_id,
+                       count(*) OVER (PARTITION BY fp) AS group_size
+                FROM fp
+            )
+            SELECT doc_id, keeper_id, group_size
+            FROM g WHERE group_size > 1 AND doc_id != keeper_id
+        """
+
+_NEAR_DUP_CLUSTERS_ORACLE = r"""
+            WITH RECURSIVE w AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+                FROM documents WHERE text IS NOT NULL
+            ), sh AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, greatest(len(ws) - 2, 1) + 1),
+                           i -> array_to_string(ws[i:i+2], ' '))) AS s
+                FROM w
+            ), p AS (
+                SELECT l.doc_id AS a, r.doc_id AS b
+                FROM sh l JOIN sh r ON l.doc_id < r.doc_id
+                WHERE round(CASE WHEN len(list_distinct(list_concat(l.s, r.s))) = 0
+                            THEN 1.0
+                            ELSE len(list_intersect(l.s, r.s)) * 1.0
+                                 / len(list_distinct(list_concat(l.s, r.s)))
+                       END, 6) >= 0.9
+            ), e AS (
+                SELECT a AS x, b AS y FROM p UNION SELECT b, a FROM p
+            ), reach AS (
+                SELECT x, y FROM e
+                UNION
+                SELECT r.x, e2.y FROM reach r JOIN e e2 ON r.y = e2.x
+            )
+            SELECT x AS doc_id, least(x, min(y)) AS cluster
+            FROM reach GROUP BY x
+        """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "violations_documents": f"""
@@ -1020,40 +1137,13 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
             FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """,
-        "token_counts_documents": r"""
-            SELECT doc_id,
-                   CASE WHEN length(trim(text)) = 0 THEN 0
-                        ELSE len(regexp_split_to_array(lower(trim(text)), '\s+'))
-                   END AS n_tok
-            FROM documents
-        """,
+        "token_counts_documents": _TOKEN_COUNTS_ORACLE,
         "fingerprints_documents": r"""
             SELECT doc_id,
                    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
             FROM documents
         """,
-        "quality_documents": r"""
-            WITH q AS (
-                SELECT doc_id,
-                       length(text) AS nc,
-                       CASE WHEN length(trim(text)) = 0 THEN 0
-                            ELSE len(regexp_split_to_array(lower(trim(text)), '\s+'))
-                       END AS nw,
-                       CASE WHEN length(text) = 0 THEN 0.0
-                            ELSE length(regexp_replace(text, '[^[:punct:]]', '', 'g'))
-                                 * 1.0 / length(text)
-                       END AS pr
-                FROM documents
-            )
-            SELECT doc_id,
-                   round(
-                     least(nc / 200.0, 1.0)
-                     * greatest(0.0, 1.0 - 2.0 * pr)
-                     * CASE WHEN nw > 0 AND nc * 1.0 / nw BETWEEN 3.0 AND 12.0
-                            THEN 1.0 ELSE 0.5 END,
-                   4) AS q
-            FROM q
-        """,
+        "quality_documents": _QUALITY_ORACLE,
         "jaccard_to_doc0": r"""
             WITH w AS (
                 SELECT doc_id,
@@ -1076,20 +1166,7 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings, q
             WHERE round(list_cosine_similarity(embedding::DOUBLE[], qv), 4) >= 0.75
         """,
-        "exact_dups_documents": r"""
-            WITH fp AS (
-                SELECT doc_id,
-                       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
-                FROM documents
-            ), g AS (
-                SELECT doc_id,
-                       min(doc_id) OVER (PARTITION BY fp) AS keeper_id,
-                       count(*) OVER (PARTITION BY fp) AS group_size
-                FROM fp
-            )
-            SELECT doc_id, keeper_id, group_size
-            FROM g WHERE group_size > 1 AND doc_id != keeper_id
-        """,
+        "exact_dups_documents": _EXACT_DUPS_ORACLE,
         "lang_id_documents": _LANG_ID_ORACLE,
         "minhash_pairs_documents": r"""
             WITH w AS (
@@ -1114,35 +1191,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT a, b, round(jac, 6) AS jaccard
             FROM p WHERE round(jac, 6) >= 0.9
         """,
-        "near_dup_clusters": r"""
-            WITH RECURSIVE w AS (
-                SELECT doc_id,
-                       regexp_split_to_array(lower(trim(text)), '\s+') AS ws
-                FROM documents WHERE text IS NOT NULL
-            ), sh AS (
-                SELECT doc_id,
-                       list_distinct(list_transform(
-                           range(1, greatest(len(ws) - 2, 1) + 1),
-                           i -> array_to_string(ws[i:i+2], ' '))) AS s
-                FROM w
-            ), p AS (
-                SELECT l.doc_id AS a, r.doc_id AS b
-                FROM sh l JOIN sh r ON l.doc_id < r.doc_id
-                WHERE round(CASE WHEN len(list_distinct(list_concat(l.s, r.s))) = 0
-                            THEN 1.0
-                            ELSE len(list_intersect(l.s, r.s)) * 1.0
-                                 / len(list_distinct(list_concat(l.s, r.s)))
-                       END, 6) >= 0.9
-            ), e AS (
-                SELECT a AS x, b AS y FROM p UNION SELECT b, a FROM p
-            ), reach AS (
-                SELECT x, y FROM e
-                UNION
-                SELECT r.x, e2.y FROM reach r JOIN e e2 ON r.y = e2.x
-            )
-            SELECT x AS doc_id, least(x, min(y)) AS cluster
-            FROM reach GROUP BY x
-        """,
+        "near_dup_clusters": _NEAR_DUP_CLUSTERS_ORACLE,
         "props_json_validation": _PROPS_JSON_ORACLE,
         "ann_topk_exact": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
@@ -1232,6 +1281,28 @@ def oracle_sql() -> dict[str, str]:
             FROM media m JOIN crc c ON m.id = c.id
                          JOIN hist h ON m.id = h.id
             ORDER BY m.media_id
+        """,
+        # curation pipeline: recompose dedup keepers + quality + lang from
+        # the brute-force primitives and intersect
+        "corpus_curation": f"""
+            WITH kept AS (
+                SELECT doc_id FROM documents
+                WHERE doc_id NOT IN (
+                    SELECT doc_id FROM ({_EXACT_DUPS_ORACLE}) x
+                ) AND doc_id NOT IN (
+                    SELECT doc_id FROM ({_NEAR_DUP_CLUSTERS_ORACLE}) c
+                    WHERE c.doc_id != c.cluster
+                )
+            ),
+            l AS ({_LANG_ID_ORACLE}),
+            q AS ({_QUALITY_ORACLE}),
+            t AS ({_TOKEN_COUNTS_ORACLE})
+            SELECT k.doc_id, l.pred_lang, q.q, CAST(t.n_tok AS BIGINT) AS n_tok
+            FROM kept k
+            JOIN l ON k.doc_id = l.doc_id
+            JOIN q ON k.doc_id = q.doc_id
+            JOIN t ON k.doc_id = t.doc_id
+            WHERE q.q >= 0.5 AND l.pred_lang IN ({_LANGS_SQL})
         """,
         # flagship: counts over the deterministic parquet snapshot the
         # Spark suite itself validates (written by _q_sequences_validation)

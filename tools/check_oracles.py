@@ -111,8 +111,8 @@ def main(sf_dir: str, only: list[str] | None = None) -> int:
             continue
         print(f"OK    {name}: {len(rows)} rows match ({dt:.1f}s)")
         n_ok += 1
-    print(f"\n{n_ok} ok, {n_bad} bad, "
-          f"{len(qs) - len(oracles)} rows-only")
+    n_rows_only = sum(1 for k in qs if k not in oracles)
+    print(f"\n{n_ok} ok, {n_bad} bad, {n_rows_only} rows-only")
     spark.stop()
     return 1 if n_bad else 0
 
