@@ -529,6 +529,83 @@ def _q_corpus_curation(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _oracle_snap(name: str) -> str:
+    import os
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    return os.path.join(root, ".benchdata", "oracle", name)
+
+
+def _q_doc_splits(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic train/val/test assignment (operators/sampling.py):
+    membership is a pure function of xxhash64(doc_id, salt), so it
+    survives repartitioning and re-runs.  The per-doc hash bucket is
+    snapshotted; DuckDB re-derives the split from the bucket thresholds
+    and the documents view (threshold logic + doc coverage verified; the
+    hash itself is the snapshotted primitive, as with simhash)."""
+    from go_jsonschema_spark.operators.sampling import hash_bucket, hash_split
+
+    docs = _t(spark, sf, "documents")
+    out = hash_split(docs, "doc_id").select(
+        "doc_id",
+        hash_bucket(F.col("doc_id"), "split").alias("bucket"),
+        "split",
+    )
+    out.select("doc_id", "bucket").write.mode("overwrite").parquet(
+        _oracle_snap("splits"))
+    return out
+
+
+def _q_stratified_sample_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Exactly 25 docs per lang, chosen by hash rank inside the stratum
+    (operators/sampling.py).  The full per-doc hash table is snapshotted;
+    DuckDB re-ranks it per stratum and must reproduce the exact
+    membership — the windowing logic is verified end to end."""
+    from go_jsonschema_spark.operators.sampling import (
+        hash_bucket, stratified_sample,
+    )
+
+    docs = _t(spark, sf, "documents")
+    docs.select(
+        "doc_id", hash_bucket(F.col("doc_id"), "stratified").alias("b")
+    ).write.mode("overwrite").parquet(_oracle_snap("strat_hash"))
+    return stratified_sample(docs, "lang", "doc_id", 25).select(
+        "doc_id", "lang")
+
+
+def _q_packed_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (operators/packing.py): window
+    cumsum per source over doc_id order — pure SQL arithmetic, so the
+    oracle recomputes the identical pack grid from scratch."""
+    from go_jsonschema_spark.functions.text import token_count
+    from go_jsonschema_spark.operators.packing import pack_chunks
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", "source",
+        token_count(F.col("text")).cast("long").alias("n_tok"),
+    )
+    return pack_chunks(
+        docs, token_col="n_tok", key="doc_id", budget=256,
+        group_col="source",
+    ).select("doc_id", "source", "n_tok", "pack_id", "pack_offset",
+             "pack_span")
+
+
+def _q_contamination_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination (operators/decontam.py): docs sharing a
+    word 4-gram with the probe set (docs 0-4), probe n-grams shipped as
+    one literal array — zero shuffle over the corpus.  hashed=False here
+    so DuckDB recomputes the identical string intersection; the hashed
+    scale form is pytest-equivalence-checked against this one."""
+    from go_jsonschema_spark.operators.decontam import contamination_hits
+
+    docs = _t(spark, sf, "documents")
+    probes = docs.filter(F.col("doc_id") < 5)
+    return contamination_hits(
+        docs.filter(F.col("doc_id") >= 5), probes, n=4, hashed=False,
+    )
+
+
 def _q_sequences_validation(spark: SparkSession, sf: str) -> DataFrame:
     """North-star flagship on the synthetic tokenized-sequences table
     (the BASELINE.json input shape): full suite, violation counts per
@@ -711,6 +788,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "props_json_native": _q_props_json_native,
         "props_json_suite": _q_props_json_suite,
         "corpus_curation": _q_corpus_curation,
+        "doc_splits": _q_doc_splits,
+        "stratified_sample_documents": _q_stratified_sample_documents,
+        "packed_sequences": _q_packed_sequences,
+        "contamination_documents": _q_contamination_documents,
         "sequences_validation": _q_sequences_validation,
         "column_stats_full": _q_column_stats_full,
         "multimodal_features": _q_multimodal_features,
@@ -1281,6 +1362,69 @@ def oracle_sql() -> dict[str, str]:
             FROM media m JOIN crc c ON m.id = c.id
                          JOIN hist h ON m.id = h.id
             ORDER BY m.media_id
+        """,
+        # deterministic sampling / packing / decontamination (r3 additions)
+        "doc_splits": f"""
+            SELECT s.doc_id, s.bucket,
+                   CASE WHEN s.bucket < 900000 THEN 'train'
+                        WHEN s.bucket < 950000 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM read_parquet('{_oracle_snap("splits")}/*.parquet') s
+            JOIN documents d ON s.doc_id = d.doc_id
+        """,
+        "stratified_sample_documents": f"""
+            WITH r AS (
+                SELECT d.doc_id, d.lang,
+                       row_number() OVER (
+                           PARTITION BY d.lang ORDER BY s.b, d.doc_id
+                       ) AS rk
+                FROM documents d
+                JOIN read_parquet('{_oracle_snap("strat_hash")}/*.parquet') s
+                  ON d.doc_id = s.doc_id
+            )
+            SELECT doc_id, lang FROM r WHERE rk <= 25
+        """,
+        "packed_sequences": f"""
+            WITH t AS (
+                SELECT d.doc_id, d.source, CAST(tc.n_tok AS BIGINT) AS n_tok
+                FROM documents d JOIN ({_TOKEN_COUNTS_ORACLE}) tc
+                  ON d.doc_id = tc.doc_id
+            ), w AS (
+                SELECT *,
+                       CAST(coalesce(SUM(n_tok) OVER (
+                           PARTITION BY source ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS BIGINT) AS st
+                FROM t
+            )
+            SELECT doc_id, source, n_tok,
+                   st // 256 AS pack_id,
+                   st % 256 AS pack_offset,
+                   CAST(CASE WHEN n_tok > 0
+                        THEN (st + n_tok - 1) // 256 - st // 256 + 1
+                        ELSE 1 END AS INT) AS pack_span
+            FROM w
+        """,
+        "contamination_documents": r"""
+            WITH w AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+                FROM documents
+            ), g AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, greatest(len(ws) - 3, 1) + 1),
+                           i -> array_to_string(ws[i:i+3], ' '))) AS gs
+                FROM w
+            ), plist AS (
+                SELECT list_distinct(flatten(list(gs))) AS pl
+                FROM g WHERE doc_id < 5
+            )
+            SELECT g.doc_id,
+                   CAST(len(list_intersect(g.gs, p.pl)) AS INT) AS n_hits
+            FROM g CROSS JOIN plist p
+            WHERE g.doc_id >= 5
+              AND len(list_intersect(g.gs, p.pl)) > 0
         """,
         # curation pipeline: recompose dedup keepers + quality + lang from
         # the brute-force primitives and intersect

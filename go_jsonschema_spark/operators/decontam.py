@@ -1,0 +1,76 @@
+"""Benchmark decontamination: flag training documents that share word
+n-grams with an evaluation/probe set.
+
+The probe side (benchmark suites) is small by nature; the corpus is not.
+So the corpus is NEVER exploded or shuffled: probe n-grams are collected
+once on the driver (bounded — raises past ``max_probe_ngrams``) and
+shipped inside the filter expression as one literal array; each document
+computes its own n-gram set natively and intersects in place.  Zero
+shuffle, zero Python in the row path, predicate pushdown unaffected.
+
+``hashed=True`` ships 8-byte ``xxhash64`` values instead of n-gram
+strings — the scale form (a 100k-probe literal of longs is ~800 KB vs
+many MB of strings).  ``hashed=False`` keeps raw strings so an external
+SQL engine can recompute the identical intersection (the oracle form).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from go_jsonschema_spark.functions.text import word_shingles
+
+__all__ = ["contamination_hits", "probe_ngrams"]
+
+
+def probe_ngrams(
+    probes: DataFrame,
+    *,
+    text_col: str = "text",
+    n: int = 8,
+    hashed: bool = True,
+    max_probe_ngrams: int = 100_000,
+) -> list:
+    """Distinct probe n-grams (or their xxhash64s), driver-side."""
+    g = F.explode(word_shingles(F.col(text_col), n)).alias("g")
+    col = F.xxhash64("g").alias("v") if hashed else F.col("g").alias("v")
+    rows = (
+        probes.select(g).select(col).distinct()
+        .limit(max_probe_ngrams + 1).collect()
+    )
+    if len(rows) > max_probe_ngrams:
+        raise ValueError(
+            f"probe set yields >{max_probe_ngrams} n-grams; raise "
+            "max_probe_ngrams or pre-reduce the probe set")
+    return [r["v"] for r in rows]
+
+
+def contamination_hits(
+    docs: DataFrame,
+    probes: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    hashed: bool = True,
+    max_probe_ngrams: int = 100_000,
+) -> DataFrame:
+    """``(doc_id, n_hits)`` for documents sharing ≥1 word n-gram with the
+    probe set.  ``n_hits`` counts DISTINCT shared n-grams."""
+    vals = probe_ngrams(
+        probes, text_col=text_col, n=n, hashed=hashed,
+        max_probe_ngrams=max_probe_ngrams,
+    )
+    if not vals:
+        return docs.select(F.col(id_col).alias("doc_id")).limit(0).select(
+            "doc_id", F.lit(0).alias("n_hits"))
+    grams = F.array_distinct(word_shingles(F.col(text_col), n))
+    mine = (
+        F.transform(grams, lambda s: F.xxhash64(s)) if hashed else grams
+    )
+    probe_lit = F.array(*[F.lit(v) for v in vals])
+    hits = F.size(F.array_intersect(mine, probe_lit))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), hits.alias("n_hits"))
+        .filter(F.col("n_hits") > 0)
+    )

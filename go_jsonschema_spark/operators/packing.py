@@ -1,0 +1,76 @@
+"""Sequence packing: concatenate-and-chunk token accounting for
+pretraining pipelines.
+
+GPT-style pretraining packs documents back to back into fixed-size
+context windows; a document may straddle a window boundary.  For a
+deterministic document order this is pure window arithmetic — each doc's
+global start offset is the exclusive cumulative token sum within its
+group, and the chunk grid falls out of a division:
+
+    start    = sum(n_tok) OVER (group ORDER BY key  ROWS < current)
+    pack_id  = floor(start / budget)
+    offset   = start % budget
+    n_packs spanned = floor((start + n_tok - 1)/budget) - pack_id + 1
+
+One shuffle (the per-group sort that any deterministic packing needs);
+no UDFs, no iteration — and the identical arithmetic runs in any SQL
+engine, so the assignment is oracle-checkable and reproducible.
+Greedy no-straddle packing (docs never split) is intentionally NOT the
+default: its running-remainder recurrence is sequential per group, and
+concat-and-chunk is what tokenizer pipelines actually do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+__all__ = ["pack_chunks", "pack_summary"]
+
+
+def pack_chunks(
+    df: DataFrame,
+    *,
+    token_col: str = "n_tok",
+    key: str = "doc_id",
+    budget: int = 2048,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Adds ``pack_id`` / ``pack_offset`` / ``pack_span`` (how many
+    windows the doc touches) per the concat-and-chunk grid.  ``group_col``
+    scopes packing (e.g. per source); None packs the whole table as one
+    stream (single sort — fine for tests, scope by a column at scale)."""
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    part = [group_col] if group_col else []
+    w = (
+        Window.partitionBy(*part)
+        .orderBy(key)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum(token_col).over(w), F.lit(0)).cast("long")
+    n = F.col(token_col).cast("long")
+    pack_id = F.floor(start / budget)
+    last = F.when(n > 0, start + n - 1).otherwise(start)
+    return (
+        df.withColumn("__start__", start)
+        .withColumn("pack_id", pack_id)
+        .withColumn("pack_offset", F.col("__start__") % budget)
+        .withColumn(
+            "pack_span",
+            (F.floor(last / budget) - pack_id + 1).cast("int"),
+        )
+        .drop("__start__")
+    )
+
+
+def pack_summary(
+    packed: DataFrame, *, group_col: str | None = None
+) -> DataFrame:
+    """Per-pack fill accounting: docs per pack and tokens contributed
+    (straddling docs count toward their STARTING pack here — exact
+    per-pack fill is budget except the tail pack by construction)."""
+    keys = ([group_col] if group_col else []) + ["pack_id"]
+    return packed.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("tokens_started"),
+    )

@@ -1,0 +1,93 @@
+"""Deterministic sampling / splitting for training-data pipelines.
+
+Random sampling is the wrong tool at 10^12 rows: reproducing a split
+requires either persisting the assignment or trusting seed+partitioning
+stability (Spark's `randomSplit` changes membership when the partitioning
+changes).  Everything here derives from ``xxhash64(key, salt)`` instead —
+a pure row function, so assignments are reproducible across runs,
+cluster sizes and engines (DuckDB oracles recompute them exactly), and
+nothing needs to be persisted to re-derive a split.
+
+* :func:`hash_split` — train/val/test assignment by hash bucket; zero
+  shuffle, zero state.
+* :func:`hash_sample` — deterministic Bernoulli-by-hash sampling; zero
+  shuffle — the 100 TB scale path.
+* :func:`stratified_sample` — EXACT n-per-stratum: rank by hash inside
+  each stratum, keep the first n.  One shuffle on the stratum key; the
+  per-stratum sort is the price of exactness — for massive strata use
+  :func:`hash_sample` with a per-stratum rate instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+__all__ = ["hash_split", "hash_sample", "stratified_sample", "hash_bucket"]
+
+_BUCKETS = 1_000_000
+
+
+def hash_bucket(key: Column, salt: str) -> Column:
+    """Deterministic bucket in [0, 1e6) — the primitive under all three."""
+    return F.pmod(F.xxhash64(key, F.lit(salt)), F.lit(_BUCKETS))
+
+
+def hash_split(
+    df: DataFrame,
+    key: str,
+    weights: dict[str, float] | None = None,
+    *,
+    salt: str = "split",
+) -> DataFrame:
+    """Adds a ``split`` column ('train'/'val'/... per ``weights``) keyed
+    ONLY on ``xxhash64(key, salt)`` — membership survives repartitioning,
+    engine changes and re-runs.  Weights must sum to 1 (±1e-9)."""
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights sum to {total}, expected 1.0")
+    b = hash_bucket(F.col(key), salt)
+    expr = None
+    hi = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        hi += weights[name]
+        cond = b < int(round(hi * _BUCKETS))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
+            cond, F.lit(name))
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)
+
+
+def hash_sample(
+    df: DataFrame, key: str, rate: float, *, salt: str = "sample"
+) -> DataFrame:
+    """Deterministic Bernoulli-by-hash sample: keeps rows whose bucket
+    falls below ``rate`` of the hash space.  No shuffle, no RNG state —
+    the same rows survive on any cluster."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate {rate} outside [0, 1]")
+    return df.filter(
+        hash_bucket(F.col(key), salt) < int(round(rate * _BUCKETS)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    key: str,
+    n_per_stratum: int,
+    *,
+    salt: str = "stratified",
+) -> DataFrame:
+    """Exactly ``min(n, |stratum|)`` rows per stratum, chosen by hash
+    order (ties broken by the key itself so the pick is total).  One
+    shuffle on ``stratum_col``; a hot stratum costs its own sort but the
+    OUTPUT is bounded by n per stratum, so downstream stays small."""
+    w = Window.partitionBy(stratum_col).orderBy(
+        hash_bucket(F.col(key), salt), F.col(key))
+    return (
+        df.withColumn("__rk__", F.row_number().over(w))
+        .filter(F.col("__rk__") <= n_per_stratum)
+        .drop("__rk__")
+    )
