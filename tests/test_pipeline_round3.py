@@ -109,6 +109,43 @@ def test_pack_chunks_zero_and_budget_edge(spark):
         pack_chunks(df, budget=0)
 
 
+# -- word_shingles zip_with rewrite -------------------------------------------
+
+def _old_shingles(text, n=3):
+    from go_jsonschema_spark.functions.text import words
+
+    w = words(text)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
+        ))
+
+
+@pytest.mark.parametrize("n", [2, 3, 4, 8])
+def test_word_shingles_zipwith_equivalent(spark, docs, n):
+    """The 6×-faster zip_with formulation must shingle IDENTICALLY to the
+    original transform+slice form on non-null text (every dedup oracle
+    depends on the semantics).  Null text now yields null instead of the
+    old junk [''] — strictly better, matches the oracles' IS NOT NULL."""
+    from go_jsonschema_spark.functions.text import word_shingles
+
+    edge = spark.createDataFrame(
+        [(9001, "one"), (9002, "one two"), (9003, "one two three"),
+         (9005, ""), (9006, "  padded  words here  "), (9008, "a a a a a")],
+        "doc_id long, text string")
+    all_df = docs.select("doc_id", "text").unionByName(edge).filter(
+        F.col("text").isNotNull())
+    bad = all_df.select(
+        word_shingles(F.col("text"), n).alias("new"),
+        _old_shingles(F.col("text"), n).alias("old"),
+    ).filter(F.col("new") != F.col("old")).count()
+    assert bad == 0
+    nulls = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    assert nulls.select(
+        word_shingles(F.col("text"), n).alias("s")).first()["s"] is None
+
+
 # -- decontamination ----------------------------------------------------------
 
 def test_contamination_hashed_matches_strings(docs):
