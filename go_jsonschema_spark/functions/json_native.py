@@ -226,11 +226,22 @@ def json_column_predicate_native(
         parsed = F.from_json(
             col, st_parse, {"columnNameOfCorruptRecord": _CORRUPT}
         )
-        ok = col.isNotNull() & parsed.getField(_CORRUPT).isNull()
-        ok = ok & compile_predicate(schema, parsed, st_parse, draft=draft)
-        for c in conjuncts:
-            ok = ok & F.coalesce(c(col, parsed), F.lit(False))
-        return F.coalesce(ok, F.lit(False))
+
+        # let-bind the parsed struct ONCE via a single-element transform:
+        # JsonToStructs is CodegenFallback, so it gets no common-
+        # subexpression elimination — without the binding, CollapseProject
+        # inlines the predicate into every reference and the engine's
+        # violations plan re-parses the JSON ~10× per row (measured 2.9 s
+        # → 0.9 s on the sf0.1 suite).  The lambda variable is evaluated
+        # exactly once per row; everything inside stays native.
+        def body(p: Column) -> Column:
+            ok = col.isNotNull() & p.getField(_CORRUPT).isNull()
+            ok = ok & compile_predicate(schema, p, st_parse, draft=draft)
+            for c in conjuncts:
+                ok = ok & F.coalesce(c(col, p), F.lit(False))
+            return F.coalesce(ok, F.lit(False))
+
+        return F.element_at(F.transform(F.array(parsed), body), 1)
 
     return apply
 
