@@ -3,11 +3,13 @@
 ``entry(spark)`` runs the flagship constraint-validation pass on the
 sf0.001 tables; ``queries()``/``oracle_sql()`` expose one entry per
 implemented operator family (SURVEY.md §2 + the training-pipeline ops),
-checked against DuckDB at sf0.01 where ANSI-SQL can express the semantics.
-Non-SQL-expressible ops (LSH dedup/ANN internals, the synthetic-sequences
-north-star pass, multimodal mapInPandas, dynamic-JSON pandas-UDF
-validation) are exposed without an oracle → the driver records the weaker
-rows-only check, as allowed by the contract.
+EVERY one DuckDB-oracle-paired.  Ops whose semantics plain SQL cannot
+recompute from the raw tables (seeded LSH, approximate sketches,
+engine-generated synthetic inputs) go through the snapshot harness: the
+query writes its deterministic input or result to parquet and the static
+oracle SQL read_parquet()s the identical file and independently
+recomputes/verifies every row (see COVERAGE.md "snapshot-oracle
+harness").
 """
 
 from __future__ import annotations

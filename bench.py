@@ -191,6 +191,13 @@ def run_headline(spark, sf_dir: str, *, n_runs: int = 3) -> tuple[
         "props_json_native",
         "props_json_suite",
         "multimodal_features",
+        # round-3 pipeline ops
+        "near_dup_clusters",
+        "corpus_curation",
+        "doc_splits",
+        "stratified_sample_documents",
+        "packed_sequences",
+        "contamination_documents",
     ]
     qs = entry.queries()
     best: dict[str, float] = {}
