@@ -261,6 +261,32 @@ def test_clusters_auto_switch_counts_pairs(spark):
     assert out == {1: 1, 2: 1, 3: 1}
 
 
+# -- kind=json through Structured Streaming -----------------------------------
+
+def test_streaming_json_kind_violations(spark, tmp_path):
+    """A kind=json column validates in a stream exactly like in batch:
+    the native from_json predicate is a plain Column, so the streaming
+    plan carries no Python and the violation set matches the batch run."""
+    from go_jsonschema_spark.streaming.validate import stream_violations
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = str(tmp_path / "json_stream_src")
+    events.write.mode("overwrite").parquet(src)
+
+    ts = TableSpec(columns={"props": {"kind": "json", "schema": K_SCHEMA}})
+    suite = ConstraintSuite(ts, key="event_id")
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    q = (
+        stream_violations(suite, stream)
+        .writeStream.format("memory").queryName("json_viol")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT count(*) n FROM json_viol").first()["n"]
+    want = suite.run(events).violations.count()
+    assert got == want > 0
+
+
 # -- items bounds fast path (array_min/max) ----------------------------------
 
 TRICKY_ARRAYS = [
