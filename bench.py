@@ -32,12 +32,14 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
-# sf0.1 uses the same 4M-row table as the scaling evidence: at 1M rows the
-# ~2.5 s fixed per-run cost (job scheduling, Python<->JVM round trips, AQE
-# re-plans) is ~half the wall time and the throughput number measures
-# overhead, not the engine (measured: 1M → 215k rows/s, 4M → 540k rows/s,
-# same code, same quiet window)
-SEQ_ROWS = {"sf0.001": 20_000, "sf0.01": 100_000, "sf0.1": 4_000_000}
+# sf0.1 uses the SAME 16M-row table as the scaling evidence so the
+# default-mode seq_per_sec and BENCH/BASELINE.md report the same job at
+# the same scale.  Smaller tables measure fixed per-run cost, not the
+# engine: after the round-3 items fast path a 4M-row pass finishes in
+# ~4.6 s at local[32], roughly half of it scheduling/JVM-round-trip
+# overhead (round-1 measured the same effect at 1M rows: 215k vs 540k
+# rows/s for identical code).
+SEQ_ROWS = {"sf0.001": 20_000, "sf0.01": 100_000, "sf0.1": 16_000_000}
 BENCH_DATA = os.path.join(REPO, ".benchdata")
 
 

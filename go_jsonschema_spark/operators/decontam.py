@@ -2,11 +2,13 @@
 n-grams with an evaluation/probe set.
 
 The probe side (benchmark suites) is small by nature; the corpus is not.
-So the corpus is NEVER exploded or shuffled: probe n-grams are collected
-once on the driver (bounded — raises past ``max_probe_ngrams``) and
-shipped inside the filter expression as one literal array; each document
-computes its own n-gram set natively and intersects in place.  Zero
-shuffle, zero Python in the row path, predicate pushdown unaffected.
+So the corpus is never SHUFFLED: probe n-grams are collected once on the
+driver (bounded — raises past ``max_probe_ngrams``) and shipped either
+as one literal array (small sets — zero shuffle AND zero explode) or as
+a broadcast-joined probe table (large sets, where a huge literal stalls
+Catalyst; the corpus n-grams explode narrowly into the broadcast join
+and only the hits reach an aggregation).  No Python enters the row path
+on either plan.
 
 ``hashed=True`` ships 8-byte ``xxhash64`` values instead of n-gram
 strings — the scale form (a 100k-probe literal of longs is ~800 KB vs
@@ -54,9 +56,13 @@ def contamination_hits(
     n: int = 8,
     hashed: bool = True,
     max_probe_ngrams: int = 100_000,
+    literal_cap: int = 2000,
 ) -> DataFrame:
     """``(doc_id, n_hits)`` for documents sharing ≥1 word n-gram with the
-    probe set.  ``n_hits`` counts DISTINCT shared n-grams."""
+    probe set.  ``n_hits`` counts DISTINCT shared n-grams.  Probe sets up
+    to ``literal_cap`` n-grams ship as one literal array (zero shuffle);
+    larger sets switch to an explode + broadcast-join plan (a huge
+    CreateArray literal stalls the planner)."""
     vals = probe_ngrams(
         probes, text_col=text_col, n=n, hashed=hashed,
         max_probe_ngrams=max_probe_ngrams,
@@ -68,9 +74,26 @@ def contamination_hits(
     mine = (
         F.transform(grams, lambda s: F.xxhash64(s)) if hashed else grams
     )
-    probe_lit = F.array(*[F.lit(v) for v in vals])
-    hits = F.size(F.array_intersect(mine, probe_lit))
+    if len(vals) <= literal_cap:
+        # small probe set: one literal array, zero shuffle, zero explode
+        probe_lit = F.array(*[F.lit(v) for v in vals])
+        hits = F.size(F.array_intersect(mine, probe_lit))
+        return (
+            docs.select(F.col(id_col).alias("doc_id"), hits.alias("n_hits"))
+            .filter(F.col("n_hits") > 0)
+        )
+    # large probe set: a multi-thousand-child CreateArray literal stalls
+    # Catalyst (measured minutes at 10k+) — explode the per-doc DISTINCT
+    # n-grams and broadcast-join the probe table instead.  The explode is
+    # narrow, the join is broadcast (no corpus shuffle); only the HITS
+    # reach the groupBy, so the aggregation shuffle is O(#contaminated).
+    spark = docs.sparkSession
+    vtype = "bigint" if hashed else "string"
+    probe_df = spark.createDataFrame([(v,) for v in vals], f"v {vtype}")
+    ex = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(mine).alias("v"))
     return (
-        docs.select(F.col(id_col).alias("doc_id"), hits.alias("n_hits"))
-        .filter(F.col("n_hits") > 0)
+        ex.join(F.broadcast(probe_df), "v")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_hits"))
     )

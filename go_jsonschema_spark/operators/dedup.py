@@ -362,8 +362,12 @@ def duplicate_clusters(
       set itself contracts toward a star forest, so per-round shuffle
       volume SHRINKS as components collapse — the constants that matter
       when a 100 TB corpus yields billions of near-dup pairs.
+    * ``"local"`` — driver-side union-find; below ~100k pairs every
+      distributed round costs more in fixed stage overhead than the whole
+      problem (measured 9.8 s distributed vs <1 s local for a 25-pair
+      input), exactly like broadcasting a small join side.
     * ``"auto"`` — one ``count()`` on the pair list, then ``"star"`` at or
-      above ``star_threshold`` pairs, ``"label"`` below.
+      above ``star_threshold`` pairs, ``"local"`` below.
 
     Both produce identical labels (pytest-verified on hub/chain/random
     graphs + the same DuckDB recursive-CTE oracle).
@@ -374,9 +378,18 @@ def duplicate_clusters(
     difference set only.  ``stats_out`` (optional dict) receives
     ``{"algorithm", "rounds"}`` for round-count measurement."""
     if algorithm == "auto":
-        algorithm = "star" if pairs.count() >= star_threshold else "label"
+        # below the distributed threshold the pair list fits on the driver
+        # and union-find beats ANY iterative Spark loop (each distributed
+        # round costs ~1-2 s of fixed stage overhead regardless of data —
+        # measured 9.8 s for a 25-pair/47-cluster input); above it, the
+        # contracting star engine.  Same reasoning as broadcasting a small
+        # join side.
+        algorithm = "star" if pairs.count() >= star_threshold else "local"
     if stats_out is not None:
         stats_out["algorithm"] = algorithm
+    if algorithm == "local":
+        return _clusters_local(pairs, a_col=a_col, b_col=b_col,
+                               stats_out=stats_out)
     if algorithm == "star":
         return _clusters_star(pairs, a_col=a_col, b_col=b_col,
                               max_iter=max_iter, stats_out=stats_out)
@@ -430,6 +443,44 @@ def duplicate_clusters(
     if stats_out is not None:
         stats_out["rounds"] = rounds
     return labels.select("id", F.col("lbl").alias("cluster"))
+
+
+def _clusters_local(
+    pairs: DataFrame, *, a_col: str = "a", b_col: str = "b",
+    stats_out: dict | None = None,
+) -> DataFrame:
+    """Driver-side union-find for pair lists below the distributed
+    threshold (collected rows are bounded by the auto switch).  Identical
+    ``(id, cluster)`` contract: cluster = min id of the component."""
+    rows = pairs.select(F.col(a_col), F.col(b_col)).collect()
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in rows:
+        a, b = r[0], r[1]
+        if a is None or b is None or a == b:
+            if a is not None:
+                find(a)
+            if b is not None:
+                find(b)
+            continue
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    out = [(x, find(x)) for x in parent]
+    if stats_out is not None:
+        stats_out["rounds"] = 0
+    spark = pairs.sparkSession
+    id_type = pairs.schema[a_col].dataType.simpleString()
+    return spark.createDataFrame(
+        out or [], f"id {id_type}, cluster {id_type}")
 
 
 def _clusters_star(

@@ -164,6 +164,23 @@ def test_contamination_probe_budget(docs):
         contamination_hits(docs, probes, n=3, max_probe_ngrams=10)
 
 
+def test_contamination_broadcast_path_equivalent(docs):
+    """Forcing the large-probe broadcast-join plan (literal_cap=1) must
+    return the same hits as the literal plan, with a BroadcastHashJoin
+    and no corpus-side Exchange."""
+    probes = docs.filter(F.col("doc_id") < 5)
+    rest = docs.filter(F.col("doc_id") >= 5)
+    lit_plan = contamination_hits(rest, probes, n=3)
+    bc_plan = contamination_hits(rest, probes, n=3, literal_cap=1)
+    a = {(r["doc_id"], r["n_hits"]) for r in lit_plan.collect()}
+    b = {(r["doc_id"], r["n_hits"]) for r in bc_plan.collect()}
+    assert a == b and len(a) > 0
+    plan = bc_plan._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # the only exchanges are the broadcast + the tiny hits aggregation
+    assert "Exchange hashpartitioning(v" not in plan
+
+
 def test_contamination_no_shuffle_plan(docs):
     """The corpus side must not shuffle or explode: no Exchange in the
     contamination plan (probe list is a literal)."""

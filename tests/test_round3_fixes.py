@@ -200,12 +200,10 @@ def test_star_and_label_clusters_agree(spark, edges):
 
     pairs = spark.createDataFrame(edges, "a int, b int")
     want = _cc_reference(edges)
-    lab = {r["id"]: r["cluster"] for r in duplicate_clusters(
-        pairs, algorithm="label").collect()}
-    star = {r["id"]: r["cluster"] for r in duplicate_clusters(
-        pairs, algorithm="star").collect()}
-    assert lab == want
-    assert star == want
+    for algo in ("label", "star", "local"):
+        got = {r["id"]: r["cluster"] for r in duplicate_clusters(
+            pairs, algorithm=algo).collect()}
+        assert got == want, algo
 
 
 def test_star_clusters_random_graphs_hypothesis(spark):
@@ -256,9 +254,19 @@ def test_clusters_auto_switch_counts_pairs(spark):
 
     pairs = spark.createDataFrame([(1, 2), (2, 3)], "a int, b int")
     # tiny threshold forces the star path through the auto switch
+    st = {}
     out = {r["id"]: r["cluster"] for r in duplicate_clusters(
-        pairs, algorithm="auto", star_threshold=1).collect()}
-    assert out == {1: 1, 2: 1, 3: 1}
+        pairs, algorithm="auto", star_threshold=1, stats_out=st).collect()}
+    assert out == {1: 1, 2: 1, 3: 1} and st["algorithm"] == "star"
+    # default threshold routes a tiny list to the local union-find
+    st2 = {}
+    out2 = {r["id"]: r["cluster"] for r in duplicate_clusters(
+        pairs, algorithm="auto", stats_out=st2).collect()}
+    assert out2 == out and st2["algorithm"] == "local"
+    # empty pair list: empty result, correct schema
+    empty = duplicate_clusters(
+        spark.createDataFrame([], "a int, b int"), algorithm="local")
+    assert empty.columns == ["id", "cluster"] and empty.count() == 0
 
 
 # -- kind=json through Structured Streaming -----------------------------------
