@@ -129,10 +129,18 @@ def _items_bounds_fast_path(items: Any, col: Column, et) -> Column | None:
                            T.LongType)):
         return None
     t = items.get("type")
+    null_ok = False
     if t is not None:
-        ts = t if isinstance(t, list) else [t]
-        if not set(ts) & {"integer", "number"}:
+        ts = set(t) if isinstance(t, list) else {t}
+        # the fast path only reasons about numeric vs null elements (the
+        # column is integral, so nothing else can occur).  A type list
+        # outside {integer, number, null} — or one with NO numeric member —
+        # falls back to the generic forall.
+        if not ts <= {"integer", "number", "null"}:
             return None
+        if not ts & {"integer", "number"}:
+            return None
+        null_ok = "null" in ts
     mn, mx = items.get("minimum"), items.get("maximum")
     emn = items.get("exclusiveMinimum")
     emx = items.get("exclusiveMaximum")
@@ -148,9 +156,11 @@ def _items_bounds_fast_path(items: Any, col: Column, et) -> Column | None:
         conds.append(amx < emx)
     # empty/all-null arrays: bounds are vacuous (forall on empty == true)
     pred = _all([F.coalesce(c, F.lit(True)) for c in conds])
-    if t is not None:
+    if t is not None and not null_ok:
         # a named numeric type rejects null elements; bare bounds don't
-        # (numeric keywords ignore non-numbers) — mirror the generic path
+        # (numeric keywords ignore non-numbers), and a type list admitting
+        # "null" accepts them — mirror the generic path (ADVICE r3 high:
+        # ["integer","null"] must NOT get the not-null forall)
         pred = pred & F.forall(col, lambda x: x.isNotNull())
     return pred
 

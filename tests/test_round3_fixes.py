@@ -309,6 +309,13 @@ TRICKY_ARRAYS = [
     ({"type": "integer"}, 7),                          # type only
     ({"minimum": 0, "exclusiveMinimum": True}, 4),     # draft-4 bool excl
     ({"maximum": 10}, 7),
+    # type LISTS (ADVICE r4 high: ["integer","null"] admits null elements —
+    # the not-null forall must be skipped, [1, None, 5] is VALID)
+    ({"type": ["integer", "null"], "minimum": 0}, 7),
+    ({"type": ["integer", "null"]}, 7),
+    ({"type": ["number", "integer"], "maximum": 32000}, 7),
+    ({"type": ["integer", "null"],
+      "minimum": 0, "exclusiveMaximum": 32000}, 7),
 ])
 def test_items_fast_path_matches_interp(spark, items, draft):
     from go_jsonschema_spark.compile import (
@@ -343,6 +350,12 @@ def test_items_fast_path_declined_for_unsupported(spark):
         {"type": "integer", "multipleOf": 2}, F.col("x"), et) is None
     assert _items_bounds_fast_path(
         {"type": "string"}, F.col("x"), et) is None
+    # type lists outside {integer, number, null} or without a numeric
+    # member fall back to the generic forall
+    assert _items_bounds_fast_path(
+        {"type": ["integer", "string"]}, F.col("x"), et) is None
+    assert _items_bounds_fast_path(
+        {"type": ["null"]}, F.col("x"), et) is None
     assert _items_bounds_fast_path(
         {"minimum": 0}, F.col("x"), T.DoubleType()) is None  # NaN ordering
     assert _items_bounds_fast_path({}, F.col("x"), et) is None
