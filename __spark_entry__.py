@@ -1404,7 +1404,7 @@ def oracle_sql() -> dict[str, str]:
                    st % 256 AS pack_offset,
                    CAST(CASE WHEN n_tok > 0
                         THEN (st + n_tok - 1) // 256 - st // 256 + 1
-                        ELSE 1 END AS INT) AS pack_span
+                        ELSE 1 END AS BIGINT) AS pack_span
             FROM w
         """,
         "contamination_documents": r"""

@@ -47,19 +47,27 @@ def pack_chunks(
         .orderBy(key)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    budget = int(budget)
     start = F.coalesce(F.sum(token_col).over(w), F.lit(0)).cast("long")
     n = F.col(token_col).cast("long")
-    pack_id = F.floor(start / budget)
-    last = F.when(n > 0, start + n - 1).otherwise(start)
+    # integer `div`, never floor(double/): double division loses exactness
+    # past 2^53 cumulative tokens, silently desyncing pack_id from the
+    # (exact long) offset arithmetic — and from the oracle's integer `//`
     return (
         df.withColumn("__start__", start)
-        .withColumn("pack_id", pack_id)
+        .withColumn(
+            "__last__",
+            F.when(n > 0, F.col("__start__") + n - 1)
+            .otherwise(F.col("__start__")),
+        )
+        .withColumn("pack_id", F.expr(f"__start__ div {budget}"))
         .withColumn("pack_offset", F.col("__start__") % budget)
         .withColumn(
             "pack_span",
-            (F.floor(last / budget) - pack_id + 1).cast("int"),
+            (F.expr(f"__last__ div {budget}") - F.col("pack_id") + 1)
+            .cast("long"),
         )
-        .drop("__start__")
+        .drop("__start__", "__last__")
     )
 
 
