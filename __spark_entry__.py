@@ -352,51 +352,47 @@ def _ann_snapshot_path(kind: str) -> str:
 
 def _ann_approx_checked(spark: SparkSession, sf: str, kind: str,
                         approx: DataFrame) -> DataFrame:
-    """Relaxed-but-real oracle harness for the approximate ANN paths
-    (VERDICT r2 item 3): snapshot the approx top-10 to parquet, then emit
-    each returned (vec_id, cos) together with recall@10 vs the exact
-    brute-force top-10.  The DuckDB oracle reads the same snapshot,
-    independently recomputes every returned cosine from the embeddings
-    table (a wrong cosine drops the row → mismatch) and recomputes
-    recall@10 from its own brute force (a recall disagreement flips the
-    column → mismatch)."""
-    from go_jsonschema_spark.operators.ann import topk_cosine
-
-    e = _t(spark, sf, "embeddings")
-    qv = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    """Oracle harness for the approximate ANN paths: snapshot the approx
+    top-10 to parquet and emit ``(vec_id, cos)``.  The DuckDB oracle
+    reads the same snapshot, independently recomputes every returned
+    cosine from the embeddings table (a wrong cosine drops the row →
+    mismatch) and gates the WHOLE result on recall@10 ≥ 0.8 against its
+    own brute-force top-10 — a recall collapse returns 0 oracle rows →
+    red (VERDICT r3 item 2: an assertion, not an observation).  Recall
+    lives oracle-side only, so the query no longer pays a second exact
+    brute-force pass, and a 6-decimal ranking tie at position 10 merely
+    moves recall by 0.1 instead of flaking an emitted value (ADVICE r3)."""
     path = _ann_snapshot_path(kind)
     approx.write.mode("overwrite").parquet(path)
     s = spark.read.parquet(path)
-    exact = topk_cosine(e, qv, k=10).select(F.col("vec_id").alias("evid"))
-    recall = (
-        s.join(exact, s["vec_id"] == exact["evid"], "left")
-        .agg((F.count("evid") / F.lit(10.0)).alias("r"))
-        .first()["r"]
-    )
     return s.select(
-        "vec_id",
-        F.round("cosine", 4).alias("cos"),
-        F.round(F.lit(float(recall)), 2).alias("recall10"),
+        "vec_id", F.round("cosine", 4).alias("cos"),
     ).orderBy(F.col("cos").desc(), "vec_id")
 
 
 def _q_ann_lsh_embeddings(spark: SparkSession, sf: str) -> DataFrame:
-    from go_jsonschema_spark.operators.ann import topk_cosine_lsh
+    # multi-table LSH (b=8, L=32, r=1): measured recall@10 = 1.0 at
+    # sf0.001/0.01/0.1 on the near-isotropic synthetic embeddings — the
+    # single-table multiprobe form was recall 0.1 at sf0.01, exposed the
+    # moment the oracle gained its recall floor (VERDICT r3 item 2)
+    from go_jsonschema_spark.operators.ann import topk_cosine_lsh_multi
 
     e = _t(spark, sf, "embeddings")
     qv = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
     return _ann_approx_checked(
-        spark, sf, "lsh", topk_cosine_lsh(e, qv, k=10))
+        spark, sf, "lsh", topk_cosine_lsh_multi(e, qv, k=10))
 
 
 def _q_ann_ivf_embeddings(spark: SparkSession, sf: str) -> DataFrame:
+    # 2-fold multiple assignment + 6/16 probes: measured recall@10 =
+    # 0.9/1.0/0.9 at sf0.001/0.01/0.1 (single-assign n_probe=4 was 0.5)
     from go_jsonschema_spark.operators.ann import topk_cosine_ivf
 
     e = _t(spark, sf, "embeddings")
     qv = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
     return _ann_approx_checked(
         spark, sf, "ivf",
-        topk_cosine_ivf(e, qv, k=10, n_centroids=16, n_probe=4))
+        topk_cosine_ivf(e, qv, k=10, n_centroids=16, n_probe=6, n_assign=2))
 
 
 def _q_props_json_validation(spark: SparkSession, sf: str) -> DataFrame:
@@ -937,10 +933,12 @@ def _stats_oracle() -> str:
     """
 
 
-def _ann_approx_oracle(kind: str) -> str:
+def _ann_approx_oracle(kind: str, *, recall_floor: float = 0.8) -> str:
     """DuckDB side of :func:`_ann_approx_checked`: read the snapshot,
-    recompute every returned cosine (inner join drops any wrong value) and
-    recall@10 vs DuckDB's own brute-force top-10."""
+    recompute every returned cosine (inner join drops any wrong value)
+    and gate the entire result on recall@10 ≥ ``recall_floor`` vs
+    DuckDB's own brute-force top-10 — below the floor the oracle emits 0
+    rows, turning a quality regression into a row-count mismatch."""
     return f"""
         WITH s AS (
             SELECT * FROM read_parquet('{_ann_snapshot_path(kind)}/*.parquet')
@@ -956,11 +954,12 @@ def _ann_approx_oracle(kind: str) -> str:
             FROM embeddings, q
         ),
         ex10 AS (SELECT vec_id FROM cos ORDER BY c6 DESC, vec_id LIMIT 10),
-        r AS (SELECT round(count(*) / 10.0, 2) AS recall10
+        r AS (SELECT count(*) / 10.0 AS recall10
               FROM s JOIN ex10 USING (vec_id))
-        SELECT s.vec_id, cos.c4 AS cos, (SELECT recall10 FROM r) AS recall10
+        SELECT s.vec_id, cos.c4 AS cos
         FROM s JOIN cos ON s.vec_id = cos.vec_id
                        AND round(s.cosine, 4) = cos.c4
+        WHERE (SELECT recall10 FROM r) >= {recall_floor}
         ORDER BY cos.c4 DESC, s.vec_id
     """
 
@@ -1297,8 +1296,8 @@ def oracle_sql() -> dict[str, str]:
             FROM ({_PROPS_JSON_ORACLE}) t
         """,
         # approximate ANN: every returned cosine independently recomputed;
-        # recall@10 recomputed from DuckDB's own brute force (see
-        # _ann_approx_checked)
+        # the whole result gated on recall@10 >= 0.8 vs DuckDB's own brute
+        # force (see _ann_approx_checked / _ann_approx_oracle)
         "ann_lsh_embeddings": _ann_approx_oracle("lsh"),
         "ann_ivf_embeddings": _ann_approx_oracle("ivf"),
         # multimodal: payload = ASCII hex of sha256(id); DuckDB reproduces

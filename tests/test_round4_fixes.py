@@ -76,3 +76,35 @@ def test_pack_chunks_exact_past_double_precision(spark):
     assert out["b"]["pack_offset"] == big % 2048
     # spans derive from the same integer grid
     assert out["a"]["pack_span"] == (big - 1) // 2048 + 1
+
+
+# -- ANN recall floor: a quality collapse must flip the oracle red -----------
+
+def test_ann_recall_floor_flips_red(spark):
+    """VERDICT r3 item 2: the approximate-ANN oracle gates the whole
+    result on recall@10 >= 0.8 vs DuckDB's own brute force.  Snapshotting
+    the WORST 10 cosines (correct values, catastrophic recall) must yield
+    0 oracle rows; the true top-10 must yield 10."""
+    import duckdb
+
+    import __spark_entry__ as entry
+    from go_jsonschema_spark.operators.ann import cosine_to
+
+    sf = "/root/testdata/sf0.001"
+    e = spark.read.parquet(f"{sf}/embeddings.parquet")
+    qv = [float(x)
+          for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    cos = e.select(
+        "vec_id",
+        F.round(cosine_to(F.col("embedding"), qv), 6).alias("cosine"),
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS "
+                f"SELECT * FROM '{sf}/embeddings.parquet'")
+    for kind, asc, want in (("recallbad", True, 0), ("recallok", False, 10)):
+        snap = (cos.orderBy(F.col("cosine").asc() if asc
+                            else F.col("cosine").desc(), "vec_id")
+                .limit(10))
+        snap.write.mode("overwrite").parquet(entry._ann_snapshot_path(kind))
+        got = con.execute(entry._ann_approx_oracle(kind)).fetchall()
+        assert len(got) == want, (kind, got)
