@@ -589,6 +589,23 @@ def _q_packed_sequences(spark: SparkSession, sf: str) -> DataFrame:
              "pack_span")
 
 
+def _q_packed_greedy(spark: SparkSession, sf: str) -> DataFrame:
+    """Greedy no-straddle packing (operators/packing.py pack_greedy):
+    per-source applyInPandas recurrence, docs never split.  The DuckDB
+    oracle replays the identical recurrence as a recursive CTE."""
+    from go_jsonschema_spark.functions.text import token_count
+    from go_jsonschema_spark.operators.packing import pack_greedy
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", "source",
+        token_count(F.col("text")).cast("long").alias("n_tok"),
+    )
+    return pack_greedy(
+        docs, token_col="n_tok", key="doc_id", budget=256,
+        group_col="source",
+    ).select("doc_id", "source", "n_tok", "pack_id", "pack_offset")
+
+
 def _q_contamination_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Benchmark decontamination (operators/decontam.py): docs sharing a
     word 4-gram with the probe set (docs 0-4), probe n-grams shipped as
@@ -789,6 +806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_splits": _q_doc_splits,
         "stratified_sample_documents": _q_stratified_sample_documents,
         "packed_sequences": _q_packed_sequences,
+        "packed_greedy": _q_packed_greedy,
         "contamination_documents": _q_contamination_documents,
         "sequences_validation": _q_sequences_validation,
         "column_stats_full": _q_column_stats_full,
@@ -1405,6 +1423,34 @@ def oracle_sql() -> dict[str, str]:
                         THEN (st + n_tok - 1) // 256 - st // 256 + 1
                         ELSE 1 END AS BIGINT) AS pack_span
             FROM w
+        """,
+        # greedy no-straddle: the applyInPandas recurrence replayed from
+        # scratch as a recursive CTE (one step per doc rank within source)
+        "packed_greedy": f"""
+            WITH RECURSIVE t AS (
+                SELECT d.doc_id, d.source, CAST(tc.n_tok AS BIGINT) AS n_tok,
+                       row_number() OVER (
+                           PARTITION BY d.source ORDER BY d.doc_id) AS rn
+                FROM documents d JOIN ({_TOKEN_COUNTS_ORACLE}) tc
+                  ON d.doc_id = tc.doc_id
+            ), r AS (
+                SELECT doc_id, source, n_tok, rn,
+                       CAST(0 AS BIGINT) AS pack_id,
+                       CAST(0 AS BIGINT) AS pack_offset,
+                       n_tok AS used
+                FROM t WHERE rn = 1
+                UNION ALL
+                SELECT b.doc_id, b.source, b.n_tok, b.rn,
+                       CASE WHEN r.used + b.n_tok <= 256 OR r.used = 0
+                            THEN r.pack_id ELSE r.pack_id + 1 END,
+                       CASE WHEN r.used + b.n_tok <= 256 THEN r.used
+                            ELSE CAST(0 AS BIGINT) END,
+                       CASE WHEN r.used + b.n_tok <= 256
+                            THEN r.used + b.n_tok ELSE b.n_tok END
+                FROM r JOIN t b
+                  ON b.source = r.source AND b.rn = r.rn + 1
+            )
+            SELECT doc_id, source, n_tok, pack_id, pack_offset FROM r
         """,
         "contamination_documents": r"""
             WITH w AS (

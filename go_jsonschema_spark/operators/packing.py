@@ -23,8 +23,9 @@ concat-and-chunk is what tokenizer pipelines actually do.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import types as T
 
-__all__ = ["pack_chunks", "pack_summary"]
+__all__ = ["pack_chunks", "pack_greedy", "pack_summary"]
 
 
 def pack_chunks(
@@ -69,6 +70,70 @@ def pack_chunks(
         )
         .drop("__start__", "__last__")
     )
+
+
+def pack_greedy(
+    df: DataFrame,
+    *,
+    token_col: str = "n_tok",
+    key: str = "doc_id",
+    budget: int = 2048,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Greedy NO-STRADDLE packing: docs in deterministic ``key`` order
+    fill a pack until the next doc doesn't fit, then a new pack opens —
+    documents are never split across packs (the SFT/eval-pipeline
+    contract, vs :func:`pack_chunks`' concat-and-chunk pretraining grid).
+
+    The running-remainder recurrence is sequential PER GROUP — exactly
+    the shape ``applyInPandas`` exists for: one shuffle on ``group_col``,
+    then a linear scan per group in Python.  Recurrence (also the DuckDB
+    recursive-CTE oracle, __spark_entry__.py ``packed_greedy``)::
+
+        fits        = used + n <= budget
+        pack_id'    = pack_id      if fits or used == 0 else pack_id + 1
+        pack_offset = used         if fits else 0
+        used'       = used + n     if fits else n
+
+    so an oversize doc (``n > budget``) gets a pack of its own.  With
+    ``group_col=None`` the whole table is one group on one task — fine
+    for tests; scope by a column at scale (groups are the unit of
+    parallelism AND of pack numbering)."""
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    budget = int(budget)
+    one_group = group_col is None
+    gcol = group_col or "__g__"
+    src = df.withColumn(gcol, F.lit(0)) if one_group else df
+    schema = T.StructType(
+        list(src.schema.fields)
+        + [T.StructField("pack_id", T.LongType()),
+           T.StructField("pack_offset", T.LongType())]
+    )
+
+    def fill(pdf):
+        pdf = pdf.sort_values(key, kind="mergesort").reset_index(drop=True)
+        packs, offsets = [], []
+        pack = used = 0
+        for n in pdf[token_col].astype("int64"):
+            n = int(n)
+            if used + n <= budget:
+                offsets.append(used)
+                used += n
+            elif used == 0:
+                offsets.append(0)
+                used = n
+            else:
+                pack += 1
+                offsets.append(0)
+                used = n
+            packs.append(pack)
+        pdf["pack_id"] = packs
+        pdf["pack_offset"] = offsets
+        return pdf
+
+    out = src.groupBy(gcol).applyInPandas(fill, schema)
+    return out.drop("__g__") if one_group else out
 
 
 def pack_summary(

@@ -78,6 +78,81 @@ def test_pack_chunks_exact_past_double_precision(spark):
     assert out["a"]["pack_span"] == (big - 1) // 2048 + 1
 
 
+# -- pack_greedy: no-straddle greedy packing ---------------------------------
+
+def _greedy_ref(tokens, budget):
+    """Reference recurrence (mirrors the docstring + the DuckDB CTE)."""
+    out, pack, used = [], 0, 0
+    for n in tokens:
+        if used + n <= budget:
+            out.append((pack, used)); used += n
+        elif used == 0:
+            out.append((pack, 0)); used = n
+        else:
+            pack += 1; out.append((pack, 0)); used = n
+    return out
+
+
+def test_pack_greedy_matches_reference(spark):
+    import random
+
+    from go_jsonschema_spark.operators.packing import pack_greedy
+
+    rng = random.Random(7)
+    rows = [(g, i, rng.choice([0, 1, 5, 40, 90, 100, 101, 250]))
+            for g in ("a", "b", "c") for i in range(50)]
+    df = spark.createDataFrame(rows, "src string, doc_id int, n_tok long")
+    got = {(r["src"], r["doc_id"]): (r["pack_id"], r["pack_offset"])
+           for r in pack_greedy(df, budget=100, key="doc_id",
+                                group_col="src").collect()}
+    for g in ("a", "b", "c"):
+        toks = [n for (s, _i, n) in rows if s == g]
+        want = _greedy_ref(toks, 100)
+        for i, w in enumerate(want):
+            assert got[(g, i)] == w, (g, i, got[(g, i)], w)
+
+
+def test_pack_greedy_properties(spark):
+    """No doc straddles; every non-oversize pack's fill <= budget; packs
+    are maximal (the first doc of pack p+1 would not have fit in p)."""
+    import random
+
+    from go_jsonschema_spark.operators.packing import pack_greedy
+
+    rng = random.Random(11)
+    rows = [(i, rng.randint(0, 130)) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id int, n_tok long")
+    out = sorted(
+        pack_greedy(df, budget=100, key="doc_id").collect(),
+        key=lambda r: r["doc_id"])
+    by_pack = {}
+    for r in out:
+        by_pack.setdefault(r["pack_id"], []).append(r)
+    for p, docs in by_pack.items():
+        fill = sum(d["n_tok"] for d in docs)
+        if not any(d["n_tok"] > 100 for d in docs):
+            assert fill <= 100, (p, fill)
+        # offsets are the running fill
+        run = 0
+        for d in docs:
+            assert d["pack_offset"] == run
+            run += d["n_tok"]
+        if p + 1 in by_pack:
+            nxt = by_pack[p + 1][0]["n_tok"]
+            assert fill + nxt > 100, (p, fill, nxt)  # maximality
+
+
+def test_pack_greedy_whole_table_single_group(spark):
+    from go_jsonschema_spark.operators.packing import pack_greedy
+
+    df = spark.createDataFrame(
+        [(0, 60), (1, 30), (2, 60)], "doc_id int, n_tok long")
+    out = {r["doc_id"]: (r["pack_id"], r["pack_offset"])
+           for r in pack_greedy(df, budget=100).collect()}
+    assert out == {0: (0, 0), 1: (0, 60), 2: (1, 0)}
+    assert "__g__" not in pack_greedy(df, budget=100).columns
+
+
 # -- ANN recall floor: a quality collapse must flip the oracle red -----------
 
 def test_ann_recall_floor_flips_red(spark):
