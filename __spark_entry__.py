@@ -68,6 +68,38 @@ def _q_violations_documents(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_streaming_violations(spark: SparkSession, sf: str) -> DataFrame:
+    """Structured-Streaming surface of the one engine (VERDICT r3 item 6):
+    the SAME compiled predicates over ``readStream`` with a
+    ``Trigger.AvailableNow`` run — batch-equivalent by construction, so
+    the result locks stream/batch agreement against the identical
+    ``violations_documents`` DuckDB oracle.  The memory sink is the
+    bounded-test sink only; production streams write file/Iceberg sinks
+    (streaming/validate.py docstring)."""
+    from go_jsonschema_spark.streaming.validate import stream_violations
+
+    qname = "streaming_violations_mem"
+    try:
+        spark.catalog.dropTempView(qname)
+    except Exception:
+        pass
+    # the testdata table is a single .parquet FILE; the streaming file
+    # source wants a directory, so stream the parent with a glob filter
+    schema = spark.read.parquet(f"{sf}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf)
+    )
+    q = (
+        stream_violations(_documents_suite(), stream)
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    return spark.table(qname)
+
+
 def _q_verdicts_by_source(spark: SparkSession, sf: str) -> DataFrame:
     res = _documents_suite().run(_t(spark, sf, "documents"),
                                  partition_col="source")
@@ -771,6 +803,7 @@ def _q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "violations_documents": _q_violations_documents,
+        "streaming_violations": _q_streaming_violations,
         "verdicts_by_source": _q_verdicts_by_source,
         "stats_lineitem": _q_stats_lineitem,
         "dup_custkeys_orders": _q_dup_custkeys_orders,
@@ -1080,7 +1113,7 @@ _NEAR_DUP_CLUSTERS_ORACLE = r"""
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    out = {
         "violations_documents": f"""
             SELECT CAST(doc_id AS VARCHAR) AS doc_id,
                    'lang.enum' AS constraint_id,
@@ -1525,3 +1558,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE bit_count(xor(a.sig, b.sig)) <= 2
         """,
     }
+    # stream/batch agreement lock: the AvailableNow violations stream is
+    # batch-equivalent by construction, so it shares the batch oracle
+    out["streaming_violations"] = out["violations_documents"]
+    return out
