@@ -164,56 +164,84 @@ def _git_head() -> str:
 
 def run_headline(spark, sf_dir: str, *, n_runs: int = 3) -> tuple[
         dict[str, float], dict[str, list[float]]]:
-    """Each headline query timed ``n_runs`` times in this JVM (first run
-    carries codegen/page-cache warm-up for that plan); best + the full run
-    array are both reported, so a regression is attributable (probe-gated
-    host noise vs a real plan change) instead of shrugged off."""
+    """EVERY queries() entry (except the flagship, which runs first on a
+    clean JVM) timed ``n_runs`` times in this JVM (first run carries
+    codegen/page-cache warm-up for that plan); best + the full run array
+    are both reported, so a regression is attributable (probe-gated host
+    noise vs a real plan change) instead of shrugged off.  Running the
+    full set (VERDICT r3 item 4) means no per-query history is ever
+    missing from the artifact."""
     import __spark_entry__ as entry
 
-    headline = [
-        "violations_documents",
-        "verdicts_by_source",
-        "stats_lineitem",
-        "dup_custkeys_orders",
-        "fk_violations_events",
-        "hist_events_value",
-        "q1_pricing_summary",
-        "revenue_by_segment",
-        "token_counts_documents",
-        "fingerprints_documents",
-        "quality_documents",
-        "jaccard_to_doc0",
-        "cosine_sims_embeddings",
-        "minhash_pairs_documents",
-        "simhash_pairs_documents",
-        "exact_dups_documents",
-        "ann_topk_exact",
-        "ann_lsh_embeddings",
-        "props_json_validation",
-        "props_json_native",
-        "props_json_suite",
-        "multimodal_features",
-        # round-3 pipeline ops
-        "near_dup_clusters",
-        "corpus_curation",
-        "doc_splits",
-        "stratified_sample_documents",
-        "packed_sequences",
-        "contamination_documents",
-    ]
     qs = entry.queries()
     best: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
-    for name in headline:
+    for name, fn in qs.items():
+        if name == "sequences_validation":
+            continue
         rr = []
         for _ in range(n_runs):
             t0 = time.time()
-            df = qs[name](spark, sf_dir)
-            df.count()
+            fn(spark, sf_dir).count()
             rr.append(round(time.time() - t0, 3))
         runs[name] = rr
         best[name] = min(rr)
     return best, runs
+
+
+def _next_round_file() -> str:
+    """BENCH/rNN.json for the CURRENT round: one past the largest
+    driver-recorded BENCH_r*.json at the repo root."""
+    import re
+
+    n = 0
+    for fn in os.listdir(REPO):
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", fn)
+        if m:
+            n = max(n, int(m.group(1)))
+    return os.path.join(REPO, "BENCH", f"r{n + 1:02d}.json")
+
+
+def _probed_seq_runs(run_once, *, n_runs: int = 3, quiet: float = 1.65,
+                     max_total: int = 7, max_discard: int = 3):
+    """Probe- AND spread-gated flagship timing (VERDICT r3 item 8).
+
+    Two pollution detectors, because they catch different noise: a
+    single-thread probe before+after each attempt catches sustained CPU
+    steal (> ``quiet`` sec), and the best-3 spread catches the mid-run
+    many-core steal the single-thread probe misses (observed: a 77 s run
+    with a 1.0 s quiet probe next to 7.5 s repeats of the same job).
+    Probe-polluted attempts are discarded and re-run; while the three
+    FASTEST accepted attempts still spread more than 2× the loop tops up
+    extra attempts (bounded by ``max_total``).
+
+    Returns (runs, all_attempts, probes, n_discarded, noisy): ``runs`` is
+    the best-3 window (what best-of selection uses), ``all_attempts``
+    keeps every accepted raw timing so nothing is hidden, ``noisy`` marks
+    a window that stayed polluted through every retry — the recorded
+    numbers are then explicit lower bounds on engine speed."""
+    attempts, probes, discarded = [], [], 0
+
+    def _best():
+        return sorted(attempts)[:n_runs]
+
+    def _spread_bad():
+        b = _best()
+        return len(b) >= n_runs and b[0] > 0 and b[-1] / b[0] > 2.0
+
+    while len(attempts) < n_runs or (len(attempts) < max_total
+                                     and _spread_bad()):
+        p0 = _noise_probe()
+        _, dt = run_once()
+        p1 = _noise_probe()
+        pm = max(p0, p1)
+        if pm > quiet and discarded < max_discard:
+            discarded += 1
+            continue
+        attempts.append(round(dt, 3))
+        probes.append(round(pm, 3))
+    noisy = _spread_bad() or all(p > quiet for p in probes)
+    return _best(), attempts, probes, discarded, noisy
 
 
 def _one_run(cores: int, seq_path: str) -> dict:
@@ -423,15 +451,14 @@ table above) make window quality visible in every future measurement.
     t0 = time.time()
     # the north-rule number FIRST, on a fresh JVM: validation pass over
     # PRE-WRITTEN parquet (generation fully separated from validation),
-    # warm-up + best-of-3, all raw timings reported.  Running it after the
-    # headline suite instead contaminates the measurement (pandas-UDF
-    # worker pools + GC pressure from 20 prior queries — observed 11 s →
-    # 101 s swings with a QUIET host probe).
-    validate_sequences(spark, seq_path)  # warm-up: codegen + page cache
-    seq_runs = []
-    for _ in range(3):
-        n_seq, s = validate_sequences(spark, seq_path)
-        seq_runs.append(round(s, 3))
+    # warm-up + probe-gated best-of-3, all raw timings reported.  Running
+    # it after the headline suite instead contaminates the measurement
+    # (pandas-UDF worker pools + GC pressure from 40 prior queries —
+    # observed 11 s → 101 s swings with a QUIET host probe).
+    n_seq, _ = validate_sequences(spark, seq_path)  # warm-up: codegen+cache
+    (seq_runs, seq_attempts, seq_probes, seq_discarded,
+     seq_noisy) = _probed_seq_runs(
+        lambda: validate_sequences(spark, seq_path))
     seq_sec = min(seq_runs)
     probe_mid = _noise_probe()
     queries, query_runs = run_headline(spark, sf_dir)
@@ -447,11 +474,18 @@ table above) make window quality visible in every future measurement.
         "unit": "sec",
         "wall_sec_all_runs": round(total, 3),
         "queries": queries,
-        "query_runs": query_runs,
         "sf": float(sf_name.replace("sf", "") or 0.1),
         "seq_rows": n_seq,
         "seq_validate_sec": round(seq_sec, 3),
+        # best-3 window of the accepted attempts (spread-gated ≤ 2×
+        # unless seq_window_noisy); every raw attempt is in seq_attempts
         "seq_runs": seq_runs,
+        "seq_attempts": seq_attempts,
+        # per accepted attempt: max(probe before, probe after); attempts
+        # whose probes exceeded the quiet threshold were discarded + re-run
+        "seq_run_probes": seq_probes,
+        "seq_attempts_discarded": seq_discarded,
+        "seq_window_noisy": seq_noisy,
         "seq_per_sec": round(n_seq / seq_sec, 1),
         "cores": cores,
         # host-noise context: quiet ≈ 1.3 s, noisy 1.9 s+ (single-thread
@@ -460,6 +494,17 @@ table above) make window quality visible in every future measurement.
         "noise_probe_sec": [probe_before, probe_mid, probe_after],
     }
     spark.stop()
+    # the FULL artifact (incl. every per-query run array) goes to a file —
+    # stdout tail-capture truncated it in round 3 (VERDICT item 4); the
+    # printed line stays compact enough to always parse
+    full = dict(out, query_runs=query_runs)
+    round_file = _next_round_file()
+    os.makedirs(os.path.dirname(round_file), exist_ok=True)
+    for path in (round_file, os.path.join(REPO, "BENCH",
+                                          "headline_latest.json")):
+        with open(path, "w") as f:
+            json.dump(full, f, indent=1)
+    out["full_json"] = os.path.relpath(round_file, REPO)
     print(json.dumps(out))
     return 0
 
