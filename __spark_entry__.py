@@ -621,6 +621,45 @@ def _q_packed_sequences(spark: SparkSession, sf: str) -> DataFrame:
              "pack_span")
 
 
+def _pii_augmented(text: F.Column, doc_id: F.Column) -> F.Column:
+    """Deterministic PII plants: every 7th doc gets an email + IPv4 +
+    phone suffix derived from doc_id, so the redaction paths are
+    exercised on real rows (the synthetic corpus contains no natural
+    PII).  The DuckDB oracle builds the IDENTICAL augmented text."""
+    return F.when(
+        doc_id % 7 == 0,
+        F.concat(
+            text,
+            F.lit(" contact u"), doc_id.cast("string"),
+            F.lit("@ex.com from 10.0."),
+            (doc_id % 256).cast("string"),
+            F.lit(".1 or call 555-867-"),
+            F.lpad((doc_id % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(text)
+
+
+def _q_redacted_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """PII scrub (functions/redact.py): typed placeholder replacement +
+    per-kind removal counts, fully native regexp.  Emits md5 of the
+    redacted text so the oracle checks the full string content without
+    shipping it."""
+    from go_jsonschema_spark.functions.redact import redact_pii
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        _pii_augmented(F.col("text"), F.col("doc_id")).alias("t"),
+    )
+    cols = redact_pii(F.col("t"))
+    return d.select(
+        "doc_id",
+        cols["n_email"].alias("n_email"),
+        cols["n_ipv4"].alias("n_ipv4"),
+        cols["n_phone"].alias("n_phone"),
+        F.md5(cols["text"]).alias("fp"),
+    )
+
+
 def _q_packed_greedy(spark: SparkSession, sf: str) -> DataFrame:
     """Greedy no-straddle packing (operators/packing.py pack_greedy):
     per-source applyInPandas recurrence, docs never split.  The DuckDB
@@ -840,6 +879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_documents": _q_stratified_sample_documents,
         "packed_sequences": _q_packed_sequences,
         "packed_greedy": _q_packed_greedy,
+        "redacted_documents": _q_redacted_documents,
         "contamination_documents": _q_contamination_documents,
         "sequences_validation": _q_sequences_validation,
         "column_stats_full": _q_column_stats_full,
@@ -982,6 +1022,34 @@ def _stats_oracle() -> str:
           AND s.q95 BETWEEN ex.q95_lo AND ex.q95_hi
           AND s.q99 BETWEEN ex.q99_lo AND ex.q99_hi
     """
+
+
+def _redact_oracle() -> str:
+    """DuckDB side of _q_redacted_documents: identical augmentation,
+    identical patterns (interpolated from the SAME PII_PATTERNS
+    constants), identical email→ipv4→phone order on the intermediate
+    strings; md5 of the final text checks full content."""
+    from go_jsonschema_spark.functions.redact import PII_PATTERNS
+
+    aug = ("CASE WHEN doc_id % 7 = 0 THEN text || ' contact u' || doc_id "
+           "|| '@ex.com from 10.0.' || (doc_id % 256) || '.1 or call "
+           "555-867-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') "
+           "ELSE text END")
+    sql = f"WITH s0 AS (SELECT doc_id, {aug} AS t0 FROM documents)"
+    carried: list[str] = []
+    for i, (kind, pat, repl) in enumerate(PII_PATTERNS, 1):
+        keep = "".join(f", {c}" for c in carried)
+        sql += (
+            f", s{i} AS (SELECT doc_id{keep}, "
+            f"CAST(len(regexp_extract_all(t{i-1}, '{pat}')) AS INT) "
+            f"AS n_{kind}, "
+            f"regexp_replace(t{i-1}, '{pat}', '{repl}', 'g') AS t{i} "
+            f"FROM s{i-1})"
+        )
+        carried.append(f"n_{kind}")
+    n = len(PII_PATTERNS)
+    return (sql + f" SELECT doc_id, {', '.join(carried)}, "
+                  f"md5(t{n}) AS fp FROM s{n}")
 
 
 def _ann_approx_oracle(kind: str, *, recall_floor: float = 0.8) -> str:
@@ -1459,6 +1527,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # greedy no-straddle: the applyInPandas recurrence replayed from
         # scratch as a recursive CTE (one step per doc rank within source)
+        "redacted_documents": _redact_oracle(),
         "packed_greedy": f"""
             WITH RECURSIVE t AS (
                 SELECT d.doc_id, d.source, CAST(tc.n_tok AS BIGINT) AS n_tok,

@@ -153,6 +153,30 @@ def test_pack_greedy_whole_table_single_group(spark):
     assert "__g__" not in pack_greedy(df, budget=100).columns
 
 
+# -- PII redaction -----------------------------------------------------------
+
+def test_redact_pii(spark):
+    from go_jsonschema_spark.functions.redact import redact_documents
+
+    df = spark.createDataFrame(
+        [(0, "mail a.b+c@ex-1.org or b@c.io, host 10.0.0.1, "
+              "call 555-867-5309 or +1-555.867.5309"),
+         (1, "no pii here, just 1.2 numbers and v1.2.3.4.5 dots"),
+         (2, None)],
+        "doc_id int, text string")
+    out = {r["doc_id"]: r for r in redact_documents(df).collect()}
+    r0 = out[0]
+    assert (r0["n_email"], r0["n_ipv4"], r0["n_phone"]) == (2, 1, 2)
+    assert r0["text_redacted"] == (
+        "mail <EMAIL> or <EMAIL>, host <IP>, call <PHONE> or <PHONE>")
+    r1 = out[1]
+    # "v1.2.3.4.5": leftmost \b start is at the "2" → "2.3.4.5" redacts
+    # (over-redaction by design; a scrubber over-redacts rather than leaks)
+    assert (r1["n_email"], r1["n_ipv4"], r1["n_phone"]) == (0, 1, 0)
+    assert r1["text_redacted"].endswith("v1.<IP> dots")
+    assert out[2]["text_redacted"] is None
+
+
 # -- ANN recall floor: a quality collapse must flip the oracle red -----------
 
 def test_ann_recall_floor_flips_red(spark):
