@@ -660,6 +660,24 @@ def _q_redacted_documents(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_gopher_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style corpus-filter metrics (functions/text.py
+    gopher_metrics): duplicate-bigram / top-word / symbol-word fractions,
+    mean word length, composed keep rule over the rounded metrics."""
+    from go_jsonschema_spark.functions.text import gopher_metrics
+
+    m = gopher_metrics(F.col("text"))
+    return _t(spark, sf, "documents").select(
+        "doc_id",
+        m["n_words"].alias("n_words"),
+        m["frac_dup_2gram"].alias("frac_dup_2gram"),
+        m["top_word_frac"].alias("top_word_frac"),
+        m["symbol_word_frac"].alias("symbol_word_frac"),
+        m["mean_word_len"].alias("mean_word_len"),
+        m["keep"].alias("keep"),
+    )
+
+
 def _q_packed_greedy(spark: SparkSession, sf: str) -> DataFrame:
     """Greedy no-straddle packing (operators/packing.py pack_greedy):
     per-source applyInPandas recurrence, docs never split.  The DuckDB
@@ -880,6 +898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packed_sequences": _q_packed_sequences,
         "packed_greedy": _q_packed_greedy,
         "redacted_documents": _q_redacted_documents,
+        "gopher_quality_documents": _q_gopher_quality,
         "contamination_documents": _q_contamination_documents,
         "sequences_validation": _q_sequences_validation,
         "column_stats_full": _q_column_stats_full,
@@ -1528,6 +1547,71 @@ def oracle_sql() -> dict[str, str]:
         # greedy no-straddle: the applyInPandas recurrence replayed from
         # scratch as a recursive CTE (one step per doc rank within source)
         "redacted_documents": _redact_oracle(),
+        # Gopher filter metrics: every stage recomputed relationally
+        # (unnest + group by for word counts, generate_series for
+        # bigrams); keep rule applied to the ROUNDED metrics both sides
+        "gopher_quality_documents": r"""
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(
+                           regexp_split_to_array(lower(trim(text)), '\s+'),
+                           x -> len(x) > 0) AS ws
+                FROM documents
+            ),
+            base AS (SELECT doc_id, ws, len(ws) AS nw FROM w),
+            u AS (SELECT doc_id, unnest(ws) AS wd FROM base),
+            tc AS (
+                SELECT doc_id, max(c) AS topc
+                FROM (SELECT doc_id, wd, count(*) AS c
+                      FROM u GROUP BY doc_id, wd)
+                GROUP BY doc_id
+            ),
+            bg AS (
+                SELECT doc_id,
+                       CASE WHEN nw >= 2 THEN nw - 1 ELSE 0 END AS n_big,
+                       CASE WHEN nw >= 2 THEN len(list_distinct(
+                           list_transform(ws[1:nw - 1],
+                               (x, i) -> x || ' ' || ws[i + 1])))
+                            ELSE 0 END AS n_dist
+                FROM base
+            ),
+            sym AS (
+                SELECT doc_id,
+                       count(*) FILTER (
+                           WHERE NOT regexp_matches(wd, '[a-z0-9]'))
+                           AS nsym,
+                       sum(len(wd)) AS totlen
+                FROM u GROUP BY doc_id
+            ),
+            m AS (
+                SELECT b.doc_id,
+                       CAST(b.nw AS INT) AS n_words,
+                       round(CASE WHEN coalesce(bg.n_big, 0) > 0
+                             THEN 1.0 - bg.n_dist / bg.n_big
+                             ELSE 0 END, 6) AS frac_dup_2gram,
+                       round(CASE WHEN b.nw > 0
+                             THEN tc.topc / b.nw ELSE 0 END, 6)
+                           AS top_word_frac,
+                       round(CASE WHEN b.nw > 0
+                             THEN coalesce(sym.nsym, 0) / b.nw
+                             ELSE 0 END, 6) AS symbol_word_frac,
+                       round(CASE WHEN b.nw > 0
+                             THEN sym.totlen / b.nw ELSE 0 END, 6)
+                           AS mean_word_len,
+                       b.nw AS nw
+                FROM base b
+                LEFT JOIN tc ON b.doc_id = tc.doc_id
+                LEFT JOIN bg ON b.doc_id = bg.doc_id
+                LEFT JOIN sym ON b.doc_id = sym.doc_id
+            )
+            SELECT doc_id, n_words, frac_dup_2gram, top_word_frac,
+                   symbol_word_frac, mean_word_len,
+                   (frac_dup_2gram <= 0.2 AND top_word_frac <= 0.3
+                    AND symbol_word_frac <= 0.1
+                    AND mean_word_len BETWEEN 3.0 AND 10.0
+                    AND nw > 0) AS keep
+            FROM m
+        """,
         "packed_greedy": f"""
             WITH RECURSIVE t AS (
                 SELECT d.doc_id, d.source, CAST(tc.n_tok AS BIGINT) AS n_tok,

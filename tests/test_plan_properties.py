@@ -144,3 +144,29 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
     finally:
         spark.sql("DROP DATABASE IF EXISTS bdb CASCADE")
+
+
+def test_redact_is_fully_native(spark):
+    """PII redaction must stay JVM-side: regexp chains, no Python eval."""
+    from go_jsonschema_spark.functions.redact import redact_documents
+
+    df = spark.createDataFrame([(0, "a@b.co")], "doc_id int, text string")
+    plan = _plan(redact_documents(df))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_lsh_multi_one_arrow_pass_and_takeordered(spark):
+    """topk_cosine_lsh_multi: exactly ONE Arrow-vectorized candidate
+    filter (the 256-plane matmul) and a TakeOrderedAndProject ranking —
+    never a row-at-a-time Python eval or a full sort."""
+    from go_jsonschema_spark.operators.ann import topk_cosine_lsh_multi
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qv = [float(x)
+          for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    plan = _plan(topk_cosine_lsh_multi(e, qv, k=10))
+    # tree occurrence (node-id form) — the detail section repeats the name
+    assert plan.count("ArrowEvalPython (") == 1
+    assert "BatchEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan  # no full sort, heap-select only

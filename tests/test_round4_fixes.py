@@ -153,6 +153,39 @@ def test_pack_greedy_whole_table_single_group(spark):
     assert "__g__" not in pack_greedy(df, budget=100).columns
 
 
+# -- Gopher quality metrics --------------------------------------------------
+
+def test_gopher_metrics(spark):
+    from go_jsonschema_spark.functions.text import gopher_metrics
+
+    df = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog today ok"),
+         (1, "spam spam spam spam spam spam spam spam"),
+         (2, "a b a b a b a b a b"),
+         (3, "!! ?? ## $$ %% ^^"),
+         (4, ""), (5, None)],
+        "doc_id int, text string")
+    m = gopher_metrics(F.col("text"))
+    out = {r["doc_id"]: r for r in df.select(
+        "doc_id", *[m[k].alias(k) for k in
+                    ("n_words", "frac_dup_2gram", "top_word_frac",
+                     "symbol_word_frac", "mean_word_len", "keep")]
+    ).collect()}
+    ok = out[0]
+    assert ok["n_words"] == 11 and ok["keep"] is True
+    assert ok["top_word_frac"] == round(2 / 11, 6)  # "the" twice
+    spam = out[1]
+    assert spam["top_word_frac"] == 1.0
+    assert spam["frac_dup_2gram"] == round(1 - 1 / 7, 6)
+    assert spam["keep"] is False
+    ab = out[2]
+    assert ab["frac_dup_2gram"] == round(1 - 2 / 9, 6)
+    assert ab["keep"] is False
+    sym = out[3]
+    assert sym["symbol_word_frac"] == 1.0 and sym["keep"] is False
+    assert out[4]["n_words"] == 0 and out[4]["keep"] is False
+
+
 # -- PII redaction -----------------------------------------------------------
 
 def test_redact_pii(spark):
