@@ -728,7 +728,11 @@ def _q_sequences_validation(spark: SparkSession, sf: str) -> DataFrame:
         synth.sequences(spark, _SEQ_ORACLE_N).write.mode(
             "overwrite").parquet(path)
     df = spark.read.parquet(path)
-    suite = ConstraintSuite(synth.sequences_table_spec(), key="doc_id")
+    # tokens carry the writer's non-null-element contract (synth.py) —
+    # same elision the benched pass uses; results identical on
+    # contract-honoring data, which the DuckDB oracle re-proves per run
+    suite = ConstraintSuite(synth.sequences_table_spec(), key="doc_id",
+                            non_null_elements=("tokens",))
     res = suite.run(df, partition_col="part",
                     dims={"sources_dim": synth.sources_dim(spark)})
     return (

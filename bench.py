@@ -95,7 +95,11 @@ def validate_sequences(spark, path: str) -> tuple[int, float]:
     from go_jsonschema_spark.sources import synth
 
     df = spark.read.parquet(path)
-    suite = ConstraintSuite(synth.sequences_table_spec(), key="doc_id")
+    # tokens elements are contractually non-null (synth writes parquet
+    # footers saying so; Spark's reader coerces nullability away) — the
+    # declared contract lets the compiler elide the per-element null scan
+    suite = ConstraintSuite(synth.sequences_table_spec(), key="doc_id",
+                            non_null_elements=("tokens",))
     t0 = time.time()
     res = suite.run(
         df, partition_col="part",

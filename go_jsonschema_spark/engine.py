@@ -162,9 +162,21 @@ class ConstraintSuite:
     ``register(name, spec)`` adds named specs for ``$ref`` reuse
     (AddSchema analogue, /root/reference/schema_refs.go:118-129)."""
 
-    def __init__(self, table_spec: TableSpec, *, key: str = "doc_id") -> None:
+    def __init__(self, table_spec: TableSpec, *, key: str = "doc_id",
+                 non_null_elements: tuple[str, ...] = ()) -> None:
         self.spec = table_spec
         self.key = key
+        # storage-contract hint: array columns whose ELEMENTS are
+        # guaranteed non-null by the table's storage schema (parquet
+        # footers write `element: int32 not null`, Iceberg tracks
+        # `required` elements) — Spark's file reader coerces everything
+        # back to nullable, so the trusted contract is re-declared here.
+        # The compiler then elides per-element null scans (≈ half the
+        # flagship predicate pass at 16M rows, compile.py).  Trusting a
+        # wrong contract skips null detection for that column — only
+        # declare it for columns the WRITER guarantees (tokenizers never
+        # emit null tokens).
+        self.non_null_elements = tuple(non_null_elements)
         self.registry: dict[str, Any] = {}
 
     def register(self, name: str, spec: Any) -> None:
@@ -182,6 +194,9 @@ class ConstraintSuite:
                 raise KeyError(f"spec column {name!r} not in DataFrame")
             col = F.col(name)
             dt = dtypes[name]
+            if (name in self.non_null_elements
+                    and isinstance(dt, T.ArrayType) and dt.containsNull):
+                dt = T.ArrayType(dt.elementType, False)
             if isinstance(schema, dict) and schema.get("kind") == "json":
                 # dynamic JSON string column → json_column_predicate_auto
                 # picks the zero-Python native path (from_json + typed

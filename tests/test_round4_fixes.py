@@ -153,6 +153,30 @@ def test_pack_greedy_whole_table_single_group(spark):
     assert "__g__" not in pack_greedy(df, budget=100).columns
 
 
+# -- non_null_elements storage contract --------------------------------------
+
+def test_non_null_elements_contract(spark):
+    """The declared storage contract elides the per-element null scan
+    (~half the flagship predicate pass): WITHOUT it a null token is a
+    violation; WITH it the scan is provably-vacuous-by-contract and
+    skipped — trusting a wrong contract is the documented tradeoff."""
+    import go_jsonschema_spark as gjs
+
+    df = spark.createDataFrame(
+        [(0, [1, 2]), (1, [1, None])],
+        "doc_id int, tokens array<int>")
+    spec = gjs.TableSpec(columns={"tokens": {
+        "type": "array",
+        "items": {"type": "integer", "minimum": 0}}})
+    flagged = (gjs.ConstraintSuite(spec, key="doc_id")
+               .run(df).violations.collect())
+    assert {r["doc_id"] for r in flagged} == {"1"}
+    elided = (gjs.ConstraintSuite(spec, key="doc_id",
+                                  non_null_elements=("tokens",))
+              .run(df).violations.collect())
+    assert elided == []
+
+
 # -- Gopher quality metrics --------------------------------------------------
 
 def test_gopher_metrics(spark):
