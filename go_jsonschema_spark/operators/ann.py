@@ -215,16 +215,25 @@ def ivf_write_index(
     *,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    n_assign: int = 1,
 ) -> None:
     """Materialize the IVF index: the table written partitioned by its
     coarse-quantizer cell.  This is the deployment shape the inline
     :func:`topk_cosine_ivf` docstring promises — after this one narrow
     pass, every query's ``n_probe`` cell filter is PARTITION PRUNING at
     the scan (``PartitionFilters`` in the plan; unprobed cells are never
-    read from storage), which is what makes IVF pay at 10^12 rows."""
-    cell = assign_centroid(F.col(vec_col), centroids)
+    read from storage), which is what makes IVF pay at 10^12 rows.
+
+    ``n_assign > 1`` writes each vector into its ``n_assign`` nearest
+    cell partitions ("spilled posting lists": n_assign× storage for the
+    same recall lift the inline path gets) — the reader dedups by id."""
+    if n_assign <= 1:
+        cells = F.array(assign_centroid(F.col(vec_col), centroids))
+    else:
+        cells = assign_centroids_multi(F.col(vec_col), centroids, n_assign)
     (
-        df.select(F.col(id_col), F.col(vec_col), cell.alias("cell"))
+        df.select(F.col(id_col), F.col(vec_col),
+                  F.explode(cells).alias("cell"))
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(path)
@@ -241,20 +250,27 @@ def topk_cosine_ivf_indexed(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     n_probe: int = 4,
+    n_assign: int = 1,
 ) -> DataFrame:
     """Query a materialized IVF index (:func:`ivf_write_index`): pick the
     ``n_probe`` nearest centroids driver-side, scan ONLY those cell
     partitions, exact-rank the survivors.  Identical results to the
-    inline :func:`topk_cosine_ivf` for the same centroids/probe set."""
+    inline :func:`topk_cosine_ivf` for the same centroids/probe/assign
+    settings.  Pass the index's ``n_assign`` so the reader knows whether
+    an id-dedup (one small shuffle over the PROBED cells only) is
+    needed; the single-assign path stays shuffle-free."""
     import numpy as np
 
     q = np.asarray(query, dtype=float)
     d2 = ((np.asarray(centroids) - q[None, :]) ** 2).sum(1)
     probe = [int(i) for i in d2.argsort()[:n_probe]]
+    scan = spark.read.parquet(path).filter(F.col("cell").isin(probe))
+    if n_assign > 1:
+        # a multi-assigned index can hold a vector in several probed
+        # cells — dedup by id before ranking
+        scan = scan.dropDuplicates([id_col])
     return (
-        spark.read.parquet(path)
-        .filter(F.col("cell").isin(probe))
-        .select(
+        scan.select(
             F.col(id_col),
             F.round(cosine_to(F.col(vec_col), query), 6).alias("cosine"),
         )

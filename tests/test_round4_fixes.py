@@ -153,6 +153,33 @@ def test_pack_greedy_whole_table_single_group(spark):
     assert "__g__" not in pack_greedy(df, budget=100).columns
 
 
+# -- IVF multi-assigned materialized index -----------------------------------
+
+def test_ivf_indexed_multi_assign_matches_inline(spark, tmp_path):
+    """The spilled-posting-list index (each vector in its 2 nearest cell
+    partitions) must return exactly the inline multi-assign results; the
+    reader dedups by id only when told the index is multi-assigned."""
+    from go_jsonschema_spark.operators.ann import (
+        ivf_write_index, kmeans_centroids, topk_cosine_ivf,
+        topk_cosine_ivf_indexed,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qv = [float(x)
+          for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    cent = kmeans_centroids(e, n_centroids=8)
+    path = str(tmp_path / "ivfidx2")
+    ivf_write_index(e, path, cent, n_assign=2)
+    idx = topk_cosine_ivf_indexed(
+        spark, path, qv, cent, k=10, n_probe=3, n_assign=2).collect()
+    inline = topk_cosine_ivf(
+        e, qv, k=10, n_probe=3, n_assign=2, centroids=cent).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in idx] \
+        == [(r["vec_id"], r["cosine"]) for r in inline]
+    # no duplicate ids despite vectors living in 2 probed partitions
+    assert len({r["vec_id"] for r in idx}) == len(idx) == 10
+
+
 # -- non_null_elements storage contract --------------------------------------
 
 def test_non_null_elements_contract(spark):
