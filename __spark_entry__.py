@@ -100,6 +100,44 @@ def _q_streaming_violations(spark: SparkSession, sf: str) -> DataFrame:
     return spark.table(qname)
 
 
+def _q_streaming_windowed_verdicts(spark: SparkSession, sf: str) -> DataFrame:
+    """The STATEFUL streaming surface in the gate: event-time-windowed
+    verdict counts (streaming/validate.py windowed_verdicts) over an
+    AvailableNow run in complete mode — every window emits, so the
+    result equals the batch per-hour aggregation the DuckDB oracle
+    computes.  Complements `streaming_violations`, which locks the
+    stateless row path."""
+    from go_jsonschema_spark.engine import ConstraintSuite
+    from go_jsonschema_spark.spec import TableSpec
+    from go_jsonschema_spark.streaming.validate import windowed_verdicts
+
+    qname = "streaming_windowed_mem"
+    try:
+        spark.catalog.dropTempView(qname)
+    except Exception:
+        pass
+    schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+        .filter(F.col("ts").isNotNull())
+    )
+    suite = ConstraintSuite(
+        TableSpec(columns={"event_type": {"enum": EVENT_TYPES}}),
+        key="event_id")
+    q = (
+        windowed_verdicts(suite, stream, ts_col="ts", window="1 hour")
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    return spark.table(qname).select(
+        F.col("window.start").cast("string").alias("window_start"),
+        "n_rows", "n_pass", "n_fail",
+    )
+
+
 def _q_verdicts_by_source(spark: SparkSession, sf: str) -> DataFrame:
     res = _documents_suite().run(_t(spark, sf, "documents"),
                                  partition_col="source")
@@ -865,6 +903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "violations_documents": _q_violations_documents,
         "streaming_violations": _q_streaming_violations,
+        "streaming_windowed_verdicts": _q_streaming_windowed_verdicts,
         "verdicts_by_source": _q_verdicts_by_source,
         "stats_lineitem": _q_stats_lineitem,
         "dup_custkeys_orders": _q_dup_custkeys_orders,
@@ -1718,4 +1757,13 @@ def oracle_sql() -> dict[str, str]:
     # stream/batch agreement lock: the AvailableNow violations stream is
     # batch-equivalent by construction, so it shares the batch oracle
     out["streaming_violations"] = out["violations_documents"]
+    out["streaming_windowed_verdicts"] = f"""
+        SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start,
+               count(*) AS n_rows,
+               CAST(sum(CASE WHEN event_type IN ({_ETYPES_SQL})
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+               CAST(sum(CASE WHEN event_type IN ({_ETYPES_SQL})
+                        THEN 0 ELSE 1 END) AS BIGINT) AS n_fail
+        FROM events WHERE ts IS NOT NULL GROUP BY 1
+    """
     return out
