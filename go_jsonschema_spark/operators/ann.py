@@ -234,6 +234,13 @@ def ivf_write_index(
     (
         df.select(F.col(id_col), F.col(vec_col),
                   F.explode(cells).alias("cell"))
+        # cluster by cell before the partitioned write: without this,
+        # every input partition writes a sliver into every cell —
+        # input_partitions × n_centroids small files — and the per-file
+        # open tax erases the pruning win at query time (measured at 1M
+        # rows: 2048 files → pruned query no faster than brute force).
+        # One shuffle at BUILD time, amortized over every query after.
+        .repartition("cell")
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(path)
