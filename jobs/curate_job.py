@@ -10,7 +10,7 @@ their own split).
     spark-submit --py-files dist/go_jsonschema_spark.zip \\
         jobs/curate_job.py --input <docs.parquet> --out <kept-dir> \\
         [--threshold 0.9] [--quality-floor 0.5] [--langs en,de,fr,es] \\
-        [--budget 2048]
+        [--budget 2048] [--gopher] [--redact] [--pack greedy|chunks]
 
 Prints one JSON summary line (rows in/kept, drop counts per stage).
 """
@@ -34,6 +34,17 @@ def main() -> int:
     ap.add_argument("--langs", default="en,es,de,fr")
     ap.add_argument("--budget", type=int, default=2048,
                     help="pack budget (tokens per training window)")
+    ap.add_argument("--redact", action="store_true",
+                    help="scrub emails/IPs/phones into typed placeholders "
+                         "(functions/redact.py) before packing")
+    ap.add_argument("--gopher", action="store_true",
+                    help="apply the Gopher repetition/shape keep-rule "
+                         "(functions/text.py gopher_metrics) after the "
+                         "quality floor")
+    ap.add_argument("--pack", choices=["chunks", "greedy"],
+                    default="chunks",
+                    help="concat-and-chunk (pretraining) or greedy "
+                         "no-straddle (SFT/eval) packing")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession, functions as F
@@ -70,13 +81,37 @@ def main() -> int:
         docs.join(drops, docs[idc] == F.col("k"), "left_anti")
         .withColumn("pred_lang", lang_id(F.col(txt)))
         .withColumn("q", quality_score(F.col(txt)))
-        .withColumn("n_tok", token_count(F.col(txt)).cast("long"))
         .filter(F.col("q") >= args.quality_floor)
         .filter(F.col("pred_lang").isin(args.langs.split(",")))
     )
+    n_gopher_drop = 0
+    if args.gopher:
+        from go_jsonschema_spark.functions.text import gopher_metrics
+
+        before = kept.count()
+        kept = kept.filter(gopher_metrics(F.col(txt))["keep"])
+        n_gopher_drop = before - kept.count()
+    if args.redact:
+        from go_jsonschema_spark.functions.redact import redact_pii
+
+        red = redact_pii(F.col(txt))
+        kept = kept.select(
+            *[c for c in kept.columns if c != txt],
+            red["text"].alias(txt),
+            (red["n_email"] + red["n_ipv4"] + red["n_phone"])
+            .alias("n_pii_redacted"),
+        )
+    # token counts AFTER redaction (placeholders count as one token)
+    kept = kept.withColumn("n_tok", token_count(F.col(txt)).cast("long"))
     kept = hash_split(kept, idc)
-    kept = pack_chunks(kept, token_col="n_tok", key=idc,
-                       budget=args.budget, group_col="split")
+    if args.pack == "greedy":
+        from go_jsonschema_spark.operators.packing import pack_greedy
+
+        kept = pack_greedy(kept, token_col="n_tok", key=idc,
+                           budget=args.budget, group_col="split")
+    else:
+        kept = pack_chunks(kept, token_col="n_tok", key=idc,
+                           budget=args.budget, group_col="split")
     kept.write.mode("overwrite").partitionBy("split").parquet(args.out)
 
     out = spark.read.parquet(args.out)
@@ -84,6 +119,7 @@ def main() -> int:
     summary = {
         "rows_in": n_in,
         "dups_dropped": n_dup,
+        "gopher_dropped": n_gopher_drop,
         "rows_kept": n_kept,
         "tokens_kept": out.agg(F.sum("n_tok")).first()[0],
         "splits": {r["split"]: r["n"] for r in out.groupBy("split")
