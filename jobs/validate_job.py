@@ -52,6 +52,13 @@ def main() -> int:
                     "ck.db.checkpoints) instead of the --checkpoint "
                     "directory; needs the iceberg-spark-runtime jar + a "
                     "spark.sql.catalog.<name> conf")
+    ap.add_argument("--trust-non-null-elements", default="",
+                    help="comma-separated array columns whose ELEMENTS "
+                    "the writer guarantees non-null (parquet footer / "
+                    "Iceberg required element) — elides per-element "
+                    "null scans, ~22%% of the 16M flagship pass; "
+                    "trusting a wrong contract skips null detection "
+                    "for those columns")
     ap.add_argument("--input-format", default="parquet",
                     choices=["parquet", "iceberg"],
                     help="read --input as a parquet path or an Iceberg "
@@ -94,7 +101,8 @@ def main() -> int:
         store = IcebergCheckpointStore(spark, args.iceberg_table)
     else:
         store = CheckpointStore(args.checkpoint)
-    suite = ConstraintSuite(ts, key="doc_id")
+    nne = tuple(c for c in args.trust_non_null_elements.split(",") if c)
+    suite = ConstraintSuite(ts, key="doc_id", non_null_elements=nne)
     rv = ResumableValidation(
         suite, store,
         partition_col=args.partition_col, batch_size=args.batch_size,
