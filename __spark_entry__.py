@@ -331,6 +331,18 @@ def _q_cosine_sims_embeddings(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_embedding_pairs_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact all-pairs cosine ≥ 0.4 (operators/dedup.py
+    cosine_pairs_exact) — the O(n²) baseline that oracle-checks the
+    embedding pair math; the LSH-bucketed embedding_cosine_pairs is the
+    scale path (its approximate family carries the ann.py recall-floor
+    oracles)."""
+    from go_jsonschema_spark.operators.dedup import cosine_pairs_exact
+
+    return cosine_pairs_exact(
+        _t(spark, sf, "embeddings"), threshold=0.4)
+
+
 def _q_lang_id_documents(spark: SparkSession, sf: str) -> DataFrame:
     from go_jsonschema_spark.functions.text import lang_id
 
@@ -924,6 +936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_documents": _q_quality_documents,
         "jaccard_to_doc0": _q_jaccard_to_doc0,
         "cosine_sims_embeddings": _q_cosine_sims_embeddings,
+        "embedding_pairs_exact": _q_embedding_pairs_exact,
         "lang_id_documents": _q_lang_id_documents,
         "minhash_pairs_documents": _q_minhash_pairs_documents,
         "simhash_pairs_documents": _q_simhash_pairs_documents,
@@ -1428,6 +1441,16 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(embedding::DOUBLE[], qv), 4) AS cos
             FROM embeddings, q
             WHERE round(list_cosine_similarity(embedding::DOUBLE[], qv), 4) >= 0.75
+        """,
+        "embedding_pairs_exact": """
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   round(list_cosine_similarity(
+                       a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4)
+                       AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(
+                      a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4)
+                  >= 0.4
         """,
         "exact_dups_documents": _EXACT_DUPS_ORACLE,
         "lang_id_documents": _LANG_ID_ORACLE,

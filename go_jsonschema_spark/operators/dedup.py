@@ -36,6 +36,7 @@ __all__ = [
     "jaccard",
     "duplicate_clusters",
     "embedding_cosine_pairs",
+    "cosine_pairs_exact",
 ]
 
 
@@ -604,6 +605,36 @@ def _dot(a: Column, b: Column) -> Column:
 
 def _norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_pairs_exact(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold: one self-join on ``id < id``
+    (broadcast nested-loop for dimension-sized tables), exact cosine on
+    every pair.  O(n²) by construction — the correctness BASELINE that
+    oracle-checks the pair math; :func:`embedding_cosine_pairs` (LSH
+    buckets, one equi-join) is the scale path, whose approximate family
+    carries the recall-floor oracles in ann.py."""
+    dv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    b = df.select(F.col(id_col).alias("id"), dv.alias("v"))
+    cos = _dot(F.col("l.v"), F.col("rt.v")) / (
+        _norm(F.col("l.v")) * _norm(F.col("rt.v"))
+    )
+    return (
+        b.alias("l")
+        .join(b.alias("rt"), F.col("l.id") < F.col("rt.id"))
+        .select(
+            F.col("l.id").alias("a"),
+            F.col("rt.id").alias("b"),
+            F.round(cos, 4).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
 
 
 def embedding_cosine_pairs(
