@@ -115,7 +115,10 @@ def pack_greedy(
         pdf = pdf.sort_values(key, kind="mergesort").reset_index(drop=True)
         packs, offsets = [], []
         pack = used = 0
-        for n in pdf[token_col].astype("int64"):
+        # null token counts pack as 0-length docs instead of crashing
+        # the int64 cast (arbitrary input tables; the driver-contract
+        # query feeds a never-null token_count)
+        for n in pdf[token_col].fillna(0).astype("int64"):
             n = int(n)
             if used + n <= budget:
                 offsets.append(used)

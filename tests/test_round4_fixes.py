@@ -291,3 +291,14 @@ def test_ann_recall_floor_flips_red(spark):
         snap.write.mode("overwrite").parquet(entry._ann_snapshot_path(kind))
         got = con.execute(entry._ann_approx_oracle(kind)).fetchall()
         assert len(got) == want, (kind, got)
+
+
+def test_pack_greedy_null_tokens(spark):
+    from go_jsonschema_spark.operators.packing import pack_greedy
+
+    df = spark.createDataFrame(
+        [(0, 60), (1, None), (2, 50)], "doc_id int, n_tok long")
+    out = {r["doc_id"]: (r["pack_id"], r["pack_offset"])
+           for r in pack_greedy(df, budget=100).collect()}
+    # null packs as a 0-length doc: stays in pack 0 at offset 60
+    assert out == {0: (0, 0), 1: (0, 60), 2: (1, 0)}
