@@ -305,7 +305,7 @@ class ConstraintSuite:
                         # a single-element list degrades to the plain column
                         tc["columns"] if "columns" in tc else tc["column"],
                         constraint_id=tc["id"],
-                        salt_buckets=tc.get("salt_buckets", 64),
+                        salt_buckets=tc.get("salt_buckets"),
                     )
                 )
             elif kind == "foreign_key":

@@ -36,37 +36,50 @@ def _key_col(key: str | list[str]):
 
 
 def duplicate_keys(
-    df: DataFrame, key: str | list[str], *, salt_buckets: int = 64
+    df: DataFrame, key: str | list[str], *, salt_buckets: int | None = None
 ) -> DataFrame:
     """Keys occurring more than once, with their counts: ``(key, n_dup)``.
     ``key`` may be one column name or a list (composite key → struct).
 
-    Two-phase salted aggregation: phase 1 groups on ``(key, salt)`` where
-    the salt is a cheap per-row counter hash (NOT a hash of row content —
-    hashing a 1 KB tokens array per row would dominate the pass, and
-    identical duplicate rows would collapse onto one salt, defeating the
-    spread), so a hot key fans out over ``salt_buckets`` reduce tasks;
-    phase 2 sums the per-salt partial counts per key."""
+    Default is a SINGLE count aggregation.  Skew is already handled:
+    Spark's hash aggregation is partial+final, so a hot key collapses to
+    ONE partial row per map task before the shuffle — the reduce side
+    receives at most #map-tasks rows for it, never 5% of the table.
+    Explicit salting (``salt_buckets=N``: phase 1 on ``(key, salt)``,
+    phase 2 re-aggregating per key) pays a SECOND full shuffle of the
+    distinct-key set, which an interleaved A/B at 16M rows measured at
+    1.8× the single-phase cost (2.80 s vs 1.56 s, identical output).
+    Reach for the salt only when partial aggregation cannot reduce
+    map-side — high-cardinality intermediate state per key
+    (``collect_list``, exact distinct), not ``count``."""
     kcol, _ = _key_col(key)
-    salted = df.select(
-        kcol.alias("key"),
-        F.pmod(
-            F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets)
-        ).alias("__salt__"),
-    )
-    partial = salted.groupBy("key", "__salt__").agg(
-        F.count(F.lit(1)).alias("__c__")
-    )
+    if salt_buckets:
+        salted = df.select(
+            kcol.alias("key"),
+            F.pmod(
+                F.xxhash64(F.monotonically_increasing_id()),
+                F.lit(salt_buckets),
+            ).alias("__salt__"),
+        )
+        partial = salted.groupBy("key", "__salt__").agg(
+            F.count(F.lit(1)).alias("__c__")
+        )
+        return (
+            partial.groupBy("key")
+            .agg(F.sum("__c__").alias("n_dup"))
+            .filter(F.col("n_dup") > 1)
+        )
     return (
-        partial.groupBy("key")
-        .agg(F.sum("__c__").alias("n_dup"))
+        df.select(kcol.alias("key"))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n_dup"))
         .filter(F.col("n_dup") > 1)
     )
 
 
 def uniqueness_violations(
     df: DataFrame, key: str | list[str], *, constraint_id: str | None = None,
-    salt_buckets: int = 64,
+    salt_buckets: int | None = None,
 ) -> DataFrame:
     """Violation rows ``(doc_id, constraint_id, observed)`` for duplicate
     keys — ``observed`` is the duplicate count as a string.  Composite keys

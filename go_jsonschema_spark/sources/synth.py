@@ -11,7 +11,7 @@ Planted violations (each exercises one engine check; expected counts are
 exact closed-form functions of the plant rates):
 
 - duplicate ``doc_id`` — a HOT key (``doc_hot``) on ~5% of rows (skew
-  exercise for the salted uniqueness agg) + scattered pairwise dups
+  exercise for the uniqueness agg's partial combine) + scattered pairwise dups
 - out-of-dimension ``source`` values (referential anti-join hits)
 - ``n_tok != size(tokens)`` rows (shape row-check)
 - out-of-range tokens (``>= VOCAB``; items/forall check,
@@ -192,8 +192,7 @@ def sequences_table_spec():
             }
         ],
         table_checks=[
-            {"kind": "unique", "id": "unique:doc_id", "columns": ["doc_id"],
-             "salt_buckets": 64},
+            {"kind": "unique", "id": "unique:doc_id", "columns": ["doc_id"]},
             {"kind": "foreign_key", "id": "fk:source", "column": "source",
              "dim": "sources_dim"},
             {"kind": "stats", "columns": ["n_tok"]},
