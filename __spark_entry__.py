@@ -653,6 +653,37 @@ def _q_stratified_sample_documents(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id", "lang")
 
 
+def _q_capped_by_source(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group quota (operators/sampling.py cap_per_group): at most 20
+    docs per source, chosen by hash rank — the data-mixing primitive.
+    Same snapshot pattern as the stratified oracle: the per-doc hash is
+    snapshotted and DuckDB re-ranks per source, reproducing the exact
+    kept set."""
+    from go_jsonschema_spark.operators.sampling import (
+        cap_per_group, hash_bucket,
+    )
+
+    docs = _t(spark, sf, "documents")
+    docs.select(
+        "doc_id", hash_bucket(F.col("doc_id"), "cap").alias("b")
+    ).write.mode("overwrite").parquet(_oracle_snap("cap_hash"))
+    return cap_per_group(docs, "source", 20).select("doc_id", "source")
+
+
+def _q_doc_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    """Overlapping token-window chunk grid (operators/packing.py
+    chunk_grid): size 64, stride 48 over per-doc token counts — pure
+    arithmetic + explode, replayed exactly by the DuckDB oracle via
+    unnest(range(n_chunks))."""
+    from go_jsonschema_spark.functions.text import token_count
+    from go_jsonschema_spark.operators.packing import chunk_grid
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("n_tok"))
+    return chunk_grid(docs, size=64, stride=48).select(
+        "doc_id", "n_tok", "chunk_id", "chunk_start", "chunk_end")
+
+
 def _q_packed_sequences(spark: SparkSession, sf: str) -> DataFrame:
     """Concat-and-chunk sequence packing (operators/packing.py): window
     cumsum per source over doc_id order — pure SQL arithmetic, so the
@@ -951,6 +982,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation": _q_corpus_curation,
         "doc_splits": _q_doc_splits,
         "stratified_sample_documents": _q_stratified_sample_documents,
+        "capped_by_source": _q_capped_by_source,
+        "doc_chunks": _q_doc_chunks,
         "packed_sequences": _q_packed_sequences,
         "packed_greedy": _q_packed_greedy,
         "redacted_documents": _q_redacted_documents,
@@ -1588,6 +1621,41 @@ def oracle_sql() -> dict[str, str]:
                   ON d.doc_id = s.doc_id
             )
             SELECT doc_id, lang FROM r WHERE rk <= 25
+        """,
+        "capped_by_source": f"""
+            WITH r AS (
+                SELECT d.doc_id, d.source,
+                       row_number() OVER (
+                           PARTITION BY d.source ORDER BY s.b, d.doc_id
+                       ) AS rk
+                FROM documents d
+                JOIN read_parquet('{_oracle_snap("cap_hash")}/*.parquet') s
+                  ON d.doc_id = s.doc_id
+            )
+            SELECT doc_id, source FROM r WHERE rk <= 20
+        """,
+        "doc_chunks": f"""
+            WITH t AS (
+                SELECT d.doc_id, CAST(tc.n_tok AS BIGINT) AS n
+                FROM documents d JOIN ({_TOKEN_COUNTS_ORACLE}) tc
+                  ON d.doc_id = tc.doc_id
+                WHERE tc.n_tok > 0
+            ),
+            c AS (
+                SELECT doc_id, n,
+                       CASE WHEN n > 64 THEN (n - 64 + 47) // 48 + 1
+                            ELSE 1 END AS nc
+                FROM t
+            ),
+            u AS (
+                SELECT doc_id, n AS n_tok,
+                       unnest(range(nc)) AS chunk_id
+                FROM c
+            )
+            SELECT doc_id, n_tok, chunk_id,
+                   chunk_id * 48 AS chunk_start,
+                   least(chunk_id * 48 + 64, n_tok) AS chunk_end
+            FROM u
         """,
         "packed_sequences": f"""
             WITH t AS (

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql import types as T
 
-__all__ = ["pack_chunks", "pack_greedy", "pack_summary"]
+__all__ = ["pack_chunks", "pack_greedy", "pack_summary", "chunk_grid"]
 
 
 def pack_chunks(
@@ -149,4 +149,48 @@ def pack_summary(
     return packed.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").alias("tokens_started"),
+    )
+
+
+def chunk_grid(
+    df: DataFrame,
+    *,
+    token_col: str = "n_tok",
+    key: str = "doc_id",
+    size: int = 512,
+    stride: int | None = None,
+) -> DataFrame:
+    """Overlapping token-window chunk grid per document — the
+    context-window splitter for RAG indexing / long-doc training.  For a
+    doc of ``n`` tokens, windows start at ``0, stride, 2·stride, …`` while
+    ``start < n``; each spans ``[start, min(start+size, n))``.  Pure
+    per-row arithmetic + one ``explode`` (narrow, no shuffle); the chunk
+    COUNT per doc is ``ceil(max(n - size, 0) / stride) + 1`` for n > 0.
+    Empty docs yield no chunks.
+
+    Returns the input row per chunk with ``chunk_id`` / ``chunk_start`` /
+    ``chunk_end`` (token offsets; the caller slices its token array or
+    text with them)."""
+    if size <= 0:
+        raise ValueError("size must be positive")
+    stride = int(stride or size)
+    if stride <= 0:
+        raise ValueError("stride must be positive")
+    n = F.col(token_col).cast("long")
+    n_chunks = F.expr(
+        f"CASE WHEN {token_col} > {size} "
+        f"THEN (CAST({token_col} AS BIGINT) - {size} + {stride} - 1) "
+        f"div {stride} + 1 ELSE 1 END"
+    )
+    # filter BEFORE the explode: sequence(0, -1) would generate a
+    # DESCENDING [0, -1] for empty docs, not an empty list
+    return (
+        df.filter(n > 0)
+        .withColumn(
+            "chunk_id",
+            F.explode(F.sequence(
+                F.lit(0).cast("long"), n_chunks.cast("long") - 1)),
+        )
+        .withColumn("chunk_start", F.col("chunk_id") * stride)
+        .withColumn("chunk_end", F.least(F.col("chunk_start") + size, n))
     )

@@ -22,7 +22,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["hash_split", "hash_sample", "stratified_sample", "hash_bucket"]
+__all__ = ["hash_split", "hash_sample", "stratified_sample", "hash_bucket",
+           "cap_per_group"]
 
 _BUCKETS = 1_000_000
 
@@ -89,5 +90,32 @@ def stratified_sample(
     return (
         df.withColumn("__rk__", F.row_number().over(w))
         .filter(F.col("__rk__") <= n_per_stratum)
+        .drop("__rk__")
+    )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    cap: int,
+    *,
+    key: str = "doc_id",
+    salt: str = "cap",
+) -> DataFrame:
+    """Deterministic per-group quota: keep at most ``cap`` rows per
+    ``group_col``, chosen by hash rank (ties by key) — the data-mixing
+    primitive that stops one over-represented source from dominating a
+    training mix.  Hash-ranking (not "first N") makes the kept subset a
+    uniform, REPRODUCIBLE sample of each group, independent of input
+    order, partitioning and cluster size.
+
+    One shuffle on the group key; groups below the cap pass through
+    unchanged.  The per-group sort is rank-truncated (window + filter),
+    so reduce-side state is the group's rows, not global."""
+    w = Window.partitionBy(group_col).orderBy(
+        hash_bucket(F.col(key), salt), F.col(key))
+    return (
+        df.withColumn("__rk__", F.row_number().over(w))
+        .filter(F.col("__rk__") <= cap)
         .drop("__rk__")
     )

@@ -302,3 +302,41 @@ def test_pack_greedy_null_tokens(spark):
            for r in pack_greedy(df, budget=100).collect()}
     # null packs as a 0-length doc: stays in pack 0 at offset 60
     assert out == {0: (0, 0), 1: (0, 60), 2: (1, 0)}
+
+
+def test_chunk_grid(spark):
+    from go_jsonschema_spark.operators.packing import chunk_grid
+
+    df = spark.createDataFrame(
+        [(0, 100), (1, 64), (2, 65), (3, 10), (4, 0)],
+        "doc_id int, n_tok long")
+    out = {}
+    for r in chunk_grid(df, size=64, stride=48).collect():
+        out.setdefault(r["doc_id"], []).append(
+            (r["chunk_id"], r["chunk_start"], r["chunk_end"]))
+    assert out[0] == [(0, 0, 64), (1, 48, 100)]
+    assert out[1] == [(0, 0, 64)]
+    assert out[2] == [(0, 0, 64), (1, 48, 65)]
+    assert out[3] == [(0, 0, 10)]
+    assert 4 not in out  # empty docs yield no chunks (not a [0,-1] seq)
+    # every token covered; ends monotone
+    for d, chunks in out.items():
+        assert chunks[-1][2] == {0: 100, 1: 64, 2: 65, 3: 10}[d]
+
+
+def test_cap_per_group(spark):
+    from go_jsonschema_spark.operators.sampling import cap_per_group
+
+    rows = [(i, "big" if i < 80 else "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id int, source string")
+    out = cap_per_group(df, "source", 30, key="doc_id").collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["source"], set()).add(r["doc_id"])
+    assert len(by["big"]) == 30        # capped
+    assert len(by["small"]) == 20      # under cap: untouched
+    # determinism: same input, same kept set
+    again = {r["doc_id"] for r in
+             cap_per_group(df, "source", 30, key="doc_id").collect()
+             if r["source"] == "big"}
+    assert again == by["big"]
