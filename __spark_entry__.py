@@ -60,6 +60,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries
 # ---------------------------------------------------------------------------
 
+def _await_stream(q, sec: int) -> None:
+    """AvailableNow runs terminate on their own; a False return from
+    ``awaitTermination`` means the timeout elapsed with the query still
+    running — reading the memory table then would hand the oracle a
+    PARTIAL result and leak the stream.  Stop it and fail loudly."""
+    if not q.awaitTermination(sec):
+        q.stop()
+        raise TimeoutError(
+            f"streaming query {q.name!r} still running after {sec}s; "
+            "refusing to read a partial memory-sink table")
+
+
 def _q_violations_documents(spark: SparkSession, sf: str) -> DataFrame:
     return (
         _documents_suite()
@@ -96,7 +108,7 @@ def _q_streaming_violations(spark: SparkSession, sf: str) -> DataFrame:
         .writeStream.format("memory").queryName(qname)
         .outputMode("append").trigger(availableNow=True).start()
     )
-    q.awaitTermination(300)
+    _await_stream(q, 300)
     return spark.table(qname)
 
 
@@ -131,7 +143,7 @@ def _q_streaming_windowed_verdicts(spark: SparkSession, sf: str) -> DataFrame:
         .writeStream.format("memory").queryName(qname)
         .outputMode("complete").trigger(availableNow=True).start()
     )
-    q.awaitTermination(300)
+    _await_stream(q, 300)
     return spark.table(qname).select(
         F.col("window.start").cast("string").alias("window_start"),
         "n_rows", "n_pass", "n_fail",

@@ -166,52 +166,91 @@ def _git_head() -> str:
         return "unknown"
 
 
+def _quick_probe() -> float:
+    """Per-query noise probe: the 20M-iteration ``_noise_probe`` costs
+    too much to bracket every attempt of 47 queries, so the suite loop
+    uses a 5M-iteration version (~0.16 s quiet on this host, scaled
+    quiet threshold ``QUICK_QUIET`` = _probed default 1.65 / 4)."""
+    t0 = time.time()
+    x = 0
+    for i in range(5_000_000):
+        x += i
+    return round(time.time() - t0, 3)
+
+
+QUICK_QUIET = 0.45
+
+
 def run_headline(spark, sf_dir: str, *, n_runs: int = 3) -> tuple[
-        dict[str, float], dict[str, list[float]]]:
+        dict[str, float], dict[str, list[float]], dict[str, list[float]],
+        dict[str, int], list[str]]:
     """EVERY queries() entry (except the flagship, which runs first on a
-    clean JVM) timed ``n_runs`` times in this JVM (first run carries
-    codegen/page-cache warm-up for that plan); best + the full run array
-    are both reported, so a regression is attributable (probe-gated host
-    noise vs a real plan change) instead of shrugged off.  Running the
-    full set (VERDICT r3 item 4) means no per-query history is ever
-    missing from the artifact."""
+    clean JVM) timed under the SAME probe+spread gating as the flagship
+    (VERDICT r4 item 1: the r4 minhash/simhash 2.3-2.6× "regression" was
+    recorded in a window only the flagship's gate could have rejected):
+    each attempt is bracketed by quick probes, probe-polluted attempts
+    are discarded and re-run, and a >2× best-3 spread tops up extra
+    attempts.  Best + every raw attempt + per-attempt probes land in the
+    artifact, so any future delta is attributable to plan vs host."""
     import __spark_entry__ as entry
 
     qs = entry.queries()
     best: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
+    probes: dict[str, list[float]] = {}
+    discarded: dict[str, int] = {}
+    noisy: list[str] = []
     for name, fn in qs.items():
         if name == "sequences_validation":
             continue
-        rr = []
-        for _ in range(n_runs):
+
+        def _once(fn=fn):
             t0 = time.time()
             fn(spark, sf_dir).count()
-            rr.append(round(time.time() - t0, 3))
-        runs[name] = rr
-        best[name] = min(rr)
-    return best, runs
+            return time.time() - t0
+
+        b3, attempts, pr, disc, bad = _probed_runs(
+            _once, n_runs=n_runs, probe=_quick_probe, quiet=QUICK_QUIET,
+            max_total=6, max_discard=2)
+        best[name] = b3[0]
+        runs[name] = attempts
+        probes[name] = pr
+        if disc:
+            discarded[name] = disc
+        if bad:
+            noisy.append(name)
+    return best, runs, probes, discarded, noisy
 
 
 def _next_round_file() -> str:
-    """BENCH/rNN.json for the CURRENT round: one past the largest
-    driver-recorded BENCH_r*.json at the repo root."""
+    """BENCH/rNN.json for the CURRENT round: one past the largest of the
+    driver-recorded root markers (BENCH_r*.json) AND the BENCH/rNN.json
+    artifacts bench.py itself wrote — so a missing root marker can never
+    make two runs clobber the same artifact (ADVICE r4); repeated runs
+    within one round produce distinct files, and
+    BENCH/headline_latest.json always names the freshest."""
     import re
 
     n = 0
-    for fn in os.listdir(REPO):
-        m = re.fullmatch(r"BENCH_r(\d+)\.json", fn)
-        if m:
-            n = max(n, int(m.group(1)))
-    return os.path.join(REPO, "BENCH", f"r{n + 1:02d}.json")
+    bench_dir = os.path.join(REPO, "BENCH")
+    for d, rx in ((REPO, r"BENCH_r(\d+)\.json"), (bench_dir, r"r(\d+)\.json")):
+        if not os.path.isdir(d):
+            continue
+        for fn in os.listdir(d):
+            m = re.fullmatch(rx, fn)
+            if m:
+                n = max(n, int(m.group(1)))
+    return os.path.join(bench_dir, f"r{n + 1:02d}.json")
 
 
-def _probed_seq_runs(run_once, *, n_runs: int = 3, quiet: float = 1.65,
-                     max_total: int = 7, max_discard: int = 3):
-    """Probe- AND spread-gated flagship timing (VERDICT r3 item 8).
+def _probed_runs(run_once, *, n_runs: int = 3, probe=_noise_probe,
+                 quiet: float = 1.65, max_total: int = 7,
+                 max_discard: int = 3):
+    """Probe- AND spread-gated timing (VERDICT r3 item 8, generalized to
+    every suite query in r5 — VERDICT r4 item 1).
 
     Two pollution detectors, because they catch different noise: a
-    single-thread probe before+after each attempt catches sustained CPU
+    single-thread probe bracketing each attempt catches sustained CPU
     steal (> ``quiet`` sec), and the best-3 spread catches the mid-run
     many-core steal the single-thread probe misses (observed: a 77 s run
     with a 1.0 s quiet probe next to 7.5 s repeats of the same job).
@@ -219,11 +258,12 @@ def _probed_seq_runs(run_once, *, n_runs: int = 3, quiet: float = 1.65,
     FASTEST accepted attempts still spread more than 2× the loop tops up
     extra attempts (bounded by ``max_total``).
 
-    Returns (runs, all_attempts, probes, n_discarded, noisy): ``runs`` is
-    the best-3 window (what best-of selection uses), ``all_attempts``
-    keeps every accepted raw timing so nothing is hidden, ``noisy`` marks
-    a window that stayed polluted through every retry — the recorded
-    numbers are then explicit lower bounds on engine speed."""
+    ``run_once`` returns the attempt's wall seconds.  Returns (runs,
+    all_attempts, probes, n_discarded, noisy): ``runs`` is the best-3
+    window (what best-of selection uses), ``all_attempts`` keeps every
+    accepted raw timing so nothing is hidden, ``noisy`` marks a window
+    that stayed polluted through every retry — the recorded numbers are
+    then explicit lower bounds on engine speed."""
     attempts, probes, discarded = [], [], 0
 
     def _best():
@@ -235,9 +275,9 @@ def _probed_seq_runs(run_once, *, n_runs: int = 3, quiet: float = 1.65,
 
     while len(attempts) < n_runs or (len(attempts) < max_total
                                      and _spread_bad()):
-        p0 = _noise_probe()
-        _, dt = run_once()
-        p1 = _noise_probe()
+        p0 = probe()
+        dt = run_once()
+        p1 = probe()
         pm = max(p0, p1)
         if pm > quiet and discarded < max_discard:
             discarded += 1
@@ -461,11 +501,12 @@ table above) make window quality visible in every future measurement.
     # observed 11 s → 101 s swings with a QUIET host probe).
     n_seq, _ = validate_sequences(spark, seq_path)  # warm-up: codegen+cache
     (seq_runs, seq_attempts, seq_probes, seq_discarded,
-     seq_noisy) = _probed_seq_runs(
-        lambda: validate_sequences(spark, seq_path))
+     seq_noisy) = _probed_runs(
+        lambda: validate_sequences(spark, seq_path)[1])
     seq_sec = min(seq_runs)
     probe_mid = _noise_probe()
-    queries, query_runs = run_headline(spark, sf_dir)
+    (queries, query_runs, query_probes, query_discarded,
+     noisy_queries) = run_headline(spark, sf_dir)
     total = time.time() - t0
     queries["sequences_validation"] = round(seq_sec, 3)
     query_runs["sequences_validation"] = seq_runs
@@ -496,12 +537,17 @@ table above) make window quality visible in every future measurement.
         # python loop), sampled before the seq pass / between seq and the
         # suite / after; scale per-query judgments accordingly
         "noise_probe_sec": [probe_before, probe_mid, probe_after],
+        # per-query gating summary (full per-attempt arrays in full_json):
+        # queries whose attempts were discarded for probe pollution, and
+        # queries whose window stayed noisy through every retry
+        "query_attempts_discarded": query_discarded,
+        "noisy_queries": noisy_queries,
     }
     spark.stop()
     # the FULL artifact (incl. every per-query run array) goes to a file —
     # stdout tail-capture truncated it in round 3 (VERDICT item 4); the
     # printed line stays compact enough to always parse
-    full = dict(out, query_runs=query_runs)
+    full = dict(out, query_runs=query_runs, query_probes=query_probes)
     round_file = _next_round_file()
     os.makedirs(os.path.dirname(round_file), exist_ok=True)
     for path in (round_file, os.path.join(REPO, "BENCH",

@@ -639,6 +639,18 @@ def cosine_pairs_exact(
             f"cosine_pairs_exact is the O(n²) baseline for dimension-"
             f"sized tables (> {max_rows} rows); use "
             f"embedding_cosine_pairs / ann.py for large tables")
+    if not rows:
+        # np.linalg.norm(axis=1) on a 0-row matrix would raise; an empty
+        # input simply has no pairs
+        return df.sparkSession.createDataFrame(
+            [], "a long, b long, cosine double")
+    bad = [r[id_col] for r in rows
+           if r[vec_col] is None or any(x is None for x in r[vec_col])]
+    if bad:
+        raise ValueError(
+            f"cosine_pairs_exact: null {vec_col} or null element for "
+            f"{id_col} in {bad[:5]!r}{'…' if len(bad) > 5 else ''} — "
+            "filter or impute nulls before the all-pairs baseline")
     all_ids = np.asarray([r[id_col] for r in rows])
     X = np.asarray([list(map(float, r[vec_col])) for r in rows])
     norms = np.linalg.norm(X, axis=1)

@@ -162,11 +162,15 @@ def chunk_grid(
 ) -> DataFrame:
     """Overlapping token-window chunk grid per document — the
     context-window splitter for RAG indexing / long-doc training.  For a
-    doc of ``n`` tokens, windows start at ``0, stride, 2·stride, …`` while
-    ``start < n``; each spans ``[start, min(start+size, n))``.  Pure
-    per-row arithmetic + one ``explode`` (narrow, no shuffle); the chunk
-    COUNT per doc is ``ceil(max(n - size, 0) / stride) + 1`` for n > 0.
-    Empty docs yield no chunks.
+    doc of ``n`` tokens, windows start at ``0, stride, 2·stride, …`` and
+    STOP at the first window whose end (``start + size``) reaches ``n`` —
+    coverage semantics: every token lands in ≥1 window and no window
+    starts after the doc is already covered (n=112, size=64, stride=48
+    → 2 chunks, starts 0 and 48; NOT a third at 96).  Each window spans
+    ``[start, min(start+size, n))``.  Pure per-row arithmetic + one
+    ``explode`` (narrow, no shuffle); the chunk COUNT per doc is
+    ``ceil(max(n - size, 0) / stride) + 1`` for n > 0.  Empty docs yield
+    no chunks.
 
     Returns the input row per chunk with ``chunk_id`` / ``chunk_start`` /
     ``chunk_end`` (token offsets; the caller slices its token array or

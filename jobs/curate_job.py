@@ -88,9 +88,15 @@ def main() -> int:
     if args.gopher:
         from go_jsonschema_spark.functions.text import gopher_metrics
 
-        before = kept.count()
-        kept = kept.filter(gopher_metrics(F.col(txt))["keep"])
-        n_gopher_drop = before - kept.count()
+        # one aggregation over the keep flag instead of two count()
+        # actions — before/after counts would each re-materialize the
+        # whole upstream pipeline (dedup anti-join + quality/lang
+        # filters) just for a summary field (ADVICE r4)
+        # null keep counts as dropped — filter(keep) drops null too
+        keep = gopher_metrics(F.col(txt))["keep"]
+        n_gopher_drop = kept.agg(
+            F.sum(F.when(keep, 0).otherwise(1))).first()[0] or 0
+        kept = kept.filter(keep)
     if args.redact:
         from go_jsonschema_spark.functions.redact import redact_pii
 
