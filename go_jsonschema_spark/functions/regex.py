@@ -14,16 +14,60 @@ Arrow-batched pandas UDF running the interpreter's ECMA shim
 
 The routed predicate is a documented slow path: one pattern per UDF, batch
 evaluation, regex compiled once per worker — never per row.
+
+Dialect classes (``\\w \\W \\d \\D \\s \\S \\b \\B``) compile in BOTH
+dialects but diverge on non-ASCII input: ``java.util.regex`` evaluates
+them ASCII-only by default, while ECMA-facing engines are Unicode-aware —
+the reference rewrites them to Unicode classes before compiling
+(``\\w``→``\\pL`` etc., /root/reference/helpers.go:69-86), and the
+interpreter's Python ``re`` shim is Unicode-aware natively.  Because the
+rewrite costs the JVM-native ``rlike`` fast path, routing patterns that
+merely CONTAIN these classes through the shim is opt-in:
+``set_unicode_class_routing(True)`` (or env
+``GJS_UNICODE_REGEX_CLASSES=1``).  Off by default, the divergence matches
+the reference's own documented ecmascript-regex skip surface
+(validate_test.go:261-263); on, ``café`` matches ``^\\w+$`` exactly as
+the reference's converted pattern does.
 """
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 from pyspark.sql import Column, functions as F, types as T
 
-__all__ = ["java_regex_ok", "ecma_rlike", "ecma_pattern_predicate"]
+__all__ = ["java_regex_ok", "ecma_rlike", "ecma_pattern_predicate",
+           "has_dialect_classes", "set_unicode_class_routing"]
 
 _JAVA_OK_CACHE: dict[str, bool] = {}
+
+_UNICODE_CLASS_ROUTING = (
+    os.environ.get("GJS_UNICODE_REGEX_CLASSES", "0") == "1")
+
+
+def set_unicode_class_routing(enabled: bool) -> None:
+    """Route patterns containing dialect classes (``\\w``/``\\d``/…)
+    through the Unicode-aware ECMA shim even when Java would accept them.
+    Costs the native ``rlike`` fast path for those patterns only."""
+    global _UNICODE_CLASS_ROUTING
+    _UNICODE_CLASS_ROUTING = bool(enabled)
+
+
+def has_dialect_classes(pattern: str) -> bool:
+    """True if ``pattern`` contains a ``\\w \\W \\d \\D \\s \\S \\b \\B``
+    escape TOKEN (a literal ``\\\\w`` — escaped backslash then ``w`` — is
+    not one), the classes the two dialects evaluate differently on
+    non-ASCII input."""
+    i, n = 0, len(pattern)
+    while i < n - 1:
+        if pattern[i] == "\\":
+            if pattern[i + 1] in "wWdDsSbB":
+                return True
+            i += 2  # consume the escape pair (incl. an escaped backslash)
+        else:
+            i += 1
+    return False
 
 
 def java_regex_ok(pattern: str) -> bool:
@@ -81,7 +125,13 @@ def ecma_rlike(col: Column, pattern: str) -> Column:
 
 def ecma_pattern_predicate(col: Column, pattern: str) -> Column:
     """``pattern`` keyword predicate with dialect routing: native ``rlike``
-    when Java accepts the pattern, the ECMA batch UDF otherwise."""
+    when Java accepts the pattern, the ECMA batch UDF otherwise.  With
+    :func:`set_unicode_class_routing` on, patterns containing dialect
+    classes (``\\w``/``\\d``/``\\s``/``\\b`` …) also take the shim so
+    non-ASCII input is classified the way the reference's converted
+    patterns classify it (helpers.go:69-86)."""
+    if _UNICODE_CLASS_ROUTING and has_dialect_classes(pattern):
+        return ecma_rlike(col, pattern)
     if java_regex_ok(pattern):
         return col.rlike(pattern)
     return ecma_rlike(col, pattern)

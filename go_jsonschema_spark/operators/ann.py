@@ -20,6 +20,8 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = [
     "topk_cosine",
+    "topk_cosine_many",
+    "topk_cosine_many_ivf_indexed",
     "topk_cosine_lsh",
     "topk_cosine_lsh_multi",
     "hyperplane_bucket",
@@ -69,6 +71,180 @@ def topk_cosine(
         )
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
+    )
+
+
+def _query_matrix(queries: DataFrame, q_id_col: str, q_vec_col: str,
+                  max_queries: int):
+    """Collect the bounded query set driver-side and return
+    ``(query_ids, normalized_query_matrix.T)`` for closure broadcast —
+    the cosine_pairs_exact shape: 10k × 64 floats ≈ 2.5 MB."""
+    import numpy as np
+
+    rows = queries.select(q_id_col, q_vec_col).limit(max_queries + 1).collect()
+    if len(rows) > max_queries:
+        raise ValueError(
+            f"topk_cosine_many broadcasts the query matrix to every task; "
+            f"> {max_queries} queries is a self-join, not a query batch — "
+            "use cosine_pairs_exact / embedding_cosine_pairs instead")
+    if not rows:
+        raise ValueError("topk_cosine_many: empty query set")
+    bad = [r[q_id_col] for r in rows
+           if r[q_vec_col] is None or any(x is None for x in r[q_vec_col])]
+    if bad:
+        raise ValueError(
+            f"topk_cosine_many: null query vector or element for "
+            f"{q_id_col} in {bad[:5]!r}")
+    qids = np.asarray([r[q_id_col] for r in rows])
+    Q = np.asarray([list(map(float, r[q_vec_col])) for r in rows])
+    qn = np.linalg.norm(Q, axis=1)
+    qn[qn == 0] = 1.0
+    return qids, Q, (Q / qn[:, None]).T  # ids, raw (m, dim), normᵀ (dim, m)
+
+
+def topk_cosine_many(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    q_vec_col: str | None = None,
+    q_id_col: str | None = None,
+    max_queries: int = 10_000,
+) -> DataFrame:
+    """Exact cosine top-k for a BATCH of query vectors in ONE scan of the
+    table (VERDICT r4 item 5 — a curation pipeline scores thousands of
+    queries; one :func:`topk_cosine` job per query rescans the table m
+    times).
+
+    Execution: the normalized query matrix is closure-broadcast and every
+    Arrow batch does ONE BLAS matmul ``(batch, dim) @ (dim, m)`` inside
+    ``mapInPandas``, keeping a per-batch per-query top-k with the exact
+    final tie-break ``(cosine desc, id asc)`` — any global top-k row is
+    necessarily in its batch's top-k under the same order, so the final
+    ``row_number`` re-rank shuffles only ``k·m·n_partitions`` candidate
+    rows, never the table.  Returns ``(query_id, id_col, cosine, rank)``
+    with rank 1..k per query; cosines rounded to 6 like
+    :func:`topk_cosine`."""
+    import numpy as np
+    from pyspark.sql import Window
+
+    qids, _, QnT = _query_matrix(queries, q_id_col or id_col,
+                                 q_vec_col or vec_col, max_queries)
+    m = len(qids)
+    kk = k
+
+    def partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            M = np.asarray([list(map(float, v)) for v in pdf[vec_col]])
+            mn = np.linalg.norm(M, axis=1)
+            mn[mn == 0] = 1.0
+            C = np.round((M / mn[:, None]) @ QnT, 6)  # (n, m)
+            top = min(kk, len(ids))
+            qcol, icol, ccol = [], [], []
+            for j in range(m):
+                order = np.lexsort((ids, -C[:, j]))[:top]
+                qcol.append(np.full(top, qids[j]))
+                icol.append(ids[order])
+                ccol.append(C[order, j])
+            yield pd.DataFrame({
+                "query_id": np.concatenate(qcol),
+                id_col: np.concatenate(icol),
+                "cosine": np.concatenate(ccol),
+            })
+
+    part = df.select(id_col, vec_col).mapInPandas(
+        partials, f"query_id long, {id_col} long, cosine double")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col(id_col))
+    return (
+        part.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def topk_cosine_many_ivf_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    centroids,
+    k: int = 10,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    q_vec_col: str | None = None,
+    q_id_col: str | None = None,
+    n_probe: int = 4,
+    n_assign: int = 1,
+    max_queries: int = 10_000,
+) -> DataFrame:
+    """Batch-query ANN over a materialized IVF index
+    (:func:`ivf_write_index`): scan the UNION of every query's ``n_probe``
+    cells ONCE (partition pruning — unprobed cells are never read), score
+    each candidate row only against the queries whose probe set contains
+    its cell (a per-batch boolean mask over the same single matmul), and
+    re-rank the per-batch partials exactly as :func:`topk_cosine_many`.
+    With ``n_assign > 1`` a vector can surface from several probed cells
+    for the same query — identical candidate rows the final step dedups
+    before ranking.  Output shape matches :func:`topk_cosine_many`."""
+    import numpy as np
+    from pyspark.sql import Window
+
+    qids, Qraw, QnT = _query_matrix(queries, q_id_col or id_col,
+                                    q_vec_col or vec_col, max_queries)
+    m = len(qids)
+    cent = np.asarray(centroids, dtype=float)
+    # probe selection matches the single-query path: squared distance of
+    # the RAW query vector to each centroid
+    d2 = ((Qraw[:, None, :] - cent[None, :, :]) ** 2).sum(-1)  # (m, C)
+    probe = d2.argsort(1)[:, :n_probe]                         # (m, n_probe)
+    allow = np.zeros((len(cent), m), dtype=bool)
+    for j in range(m):
+        allow[probe[j], j] = True
+    union = sorted({int(c) for j in range(m) for c in probe[j]})
+
+    kk = k
+
+    def partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            cells = pdf["cell"].to_numpy().astype(int)
+            M = np.asarray([list(map(float, v)) for v in pdf[vec_col]])
+            mn = np.linalg.norm(M, axis=1)
+            mn[mn == 0] = 1.0
+            C = np.round((M / mn[:, None]) @ QnT, 6)  # (n, m)
+            C = np.where(allow[cells], C, -2.0)  # mask unprobed pairs
+            top = min(kk, len(ids))
+            qcol, icol, ccol = [], [], []
+            for j in range(m):
+                order = np.lexsort((ids, -C[:, j]))[:top]
+                keep = C[order, j] > -1.5
+                qcol.append(np.full(int(keep.sum()), qids[j]))
+                icol.append(ids[order][keep])
+                ccol.append(C[order, j][keep])
+            yield pd.DataFrame({
+                "query_id": np.concatenate(qcol),
+                id_col: np.concatenate(icol),
+                "cosine": np.concatenate(ccol),
+            })
+
+    scan = spark.read.parquet(path).filter(
+        F.col("cell").isin([int(c) for c in union]))
+    part = scan.select(id_col, vec_col, "cell").mapInPandas(
+        partials, f"query_id long, {id_col} long, cosine double")
+    if n_assign > 1:
+        part = part.dropDuplicates(["query_id", id_col])
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col(id_col))
+    return (
+        part.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
     )
 
 

@@ -9,10 +9,17 @@ batch and streaming (the reference has no streaming at all, SURVEY.md
 * :func:`windowed_verdicts` — event-time-windowed pass/fail aggregation
   with a watermark for late data.
 
-Dataset-level checks (uniqueness, referential, drift) are NOT streamed —
-global exactness over unbounded input needs either state that grows with
-keys (``applyInPandasWithState``, roadmap) or periodic batch reconciliation
-over the sink table, which is the recommended pattern at 10^12 scale.
+Dataset-level checks over unbounded input need key-scoped state:
+
+* :func:`stream_duplicate_keys` — running duplicate-key counts via
+  ``applyInPandasWithState`` (duplicate EMISSION, not suppression).
+* :func:`dedup_stream` — watermark-bounded duplicate SUPPRESSION.
+* :func:`stream_fk_violations` — stateless stream-static anti-join.
+
+Exact global uniqueness over a truly unbounded key domain still grows
+state with distinct keys (one counter per key here); at 10^12 scale the
+recommended pattern remains periodic batch reconciliation over the sink
+table, with the streaming check as the low-latency early warning.
 """
 
 from __future__ import annotations
@@ -176,6 +183,50 @@ def stateful_group_verdicts_tws(
         outputStructType="group string, n_rows long, n_fail long",
         outputMode="Update",
         timeMode="None",
+    )
+
+
+def stream_duplicate_keys(
+    stream: DataFrame,
+    key: str,
+    *,
+    min_count: int = 2,
+) -> DataFrame:
+    """Streaming dataset-level uniqueness: running per-key occurrence
+    counts across micro-batches, EMITTING ``(key, n_dup)`` whenever a
+    key's lifetime count reaches ``min_count`` — the streaming twin of
+    :func:`~go_jsonschema_spark.operators.uniqueness.duplicate_keys`
+    (update mode: a key re-emits with its new running total each batch it
+    grows, so the latest row per key is the current count; fold with
+    ``max(n_dup)`` when a sink may hold several updates).
+
+    Scale shape: only the key column is shuffled per micro-batch (id-only,
+    like the batch operator), and state is one long per distinct key —
+    the same O(#keys) a batch count aggregation holds transiently, kept
+    resident instead.  For an unbounded key domain, pair with periodic
+    batch reconciliation (module docstring)."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ktype = {f.name: f.dataType.simpleString()
+             for f in stream.schema.fields}[key]
+    slim = stream.select(key)
+
+    def update(k, pdfs, state: GroupState):
+        (n,) = state.get if state.exists else (0,)
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        if n >= min_count:
+            yield pd.DataFrame({"key": [k[0]], "n_dup": [n]})
+
+    return slim.groupBy(key).applyInPandasWithState(
+        update,
+        outputStructType=f"key {ktype}, n_dup long",
+        stateStructType="n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
 

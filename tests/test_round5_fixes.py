@@ -63,6 +63,141 @@ def test_next_round_file_numbers_off_both_sources(tmp_path, monkeypatch):
 
 # -- probe-gated per-query timing (VERDICT r4 item 1) -----------------------
 
+# -- batch-query ANN (VERDICT r4 item 5) ------------------------------------
+
+def _toy_vectors(spark, n=80, dim=8):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.standard_normal(dim)])
+            for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_topk_cosine_many_matches_single_query(spark):
+    from go_jsonschema_spark.operators.ann import topk_cosine, topk_cosine_many
+
+    df = _toy_vectors(spark).repartition(4)  # force multi-partition merge
+    qs = df.filter(F.col("vec_id") % 20 == 0)
+    got = {(r["query_id"], r["rank"]): (r["vec_id"], r["cosine"])
+           for r in topk_cosine_many(df, qs, k=5).collect()}
+    assert len(got) == 4 * 5
+    for qid in (0, 20, 40, 60):
+        qv = [float(x) for x in
+              df.filter(F.col("vec_id") == qid).first()["embedding"]]
+        for rank, r in enumerate(topk_cosine(df, qv, k=5).collect(), 1):
+            assert got[(qid, rank)] == (r["vec_id"], r["cosine"]), (qid, rank)
+
+
+def test_topk_cosine_many_ivf_indexed_matches_single(spark, tmp_path):
+    from go_jsonschema_spark.operators.ann import (
+        ivf_write_index, kmeans_centroids, topk_cosine_ivf_indexed,
+        topk_cosine_many_ivf_indexed)
+
+    df = _toy_vectors(spark, n=120)
+    cent = kmeans_centroids(df, n_centroids=4, sample=120)
+    idx = str(tmp_path / "ivf")
+    ivf_write_index(df, idx, cent, n_assign=2)
+    qs = df.filter(F.col("vec_id") % 40 == 0)
+    got = {(r["query_id"], r["rank"]): (r["vec_id"], r["cosine"])
+           for r in topk_cosine_many_ivf_indexed(
+               spark, idx, qs, cent, k=5, n_probe=2, n_assign=2).collect()}
+    for qid in (0, 40, 80):
+        qv = [float(x) for x in
+              df.filter(F.col("vec_id") == qid).first()["embedding"]]
+        single = topk_cosine_ivf_indexed(
+            spark, idx, qv, cent, k=5, n_probe=2, n_assign=2).collect()
+        for rank, r in enumerate(single, 1):
+            assert got[(qid, rank)] == (r["vec_id"], r["cosine"]), (qid, rank)
+
+
+def test_topk_cosine_many_ivf_scan_is_partition_pruned(spark, tmp_path):
+    """The union-of-probes filter must reach the scan as PartitionFilters
+    — unprobed cells never read (the property that pays at 10^12 rows)."""
+    from go_jsonschema_spark.operators.ann import (
+        ivf_write_index, kmeans_centroids, topk_cosine_many_ivf_indexed)
+
+    df = _toy_vectors(spark, n=120)
+    cent = kmeans_centroids(df, n_centroids=8, sample=120)
+    idx = str(tmp_path / "ivf_pruned")
+    ivf_write_index(df, idx, cent, n_assign=1)
+    qs = df.filter(F.col("vec_id") == 0)
+    out = topk_cosine_many_ivf_indexed(
+        spark, idx, qs, cent, k=5, n_probe=2, n_assign=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+
+
+def test_topk_cosine_many_contracts(spark):
+    from go_jsonschema_spark.operators.ann import topk_cosine_many
+
+    df = _toy_vectors(spark, n=10)
+    with pytest.raises(ValueError, match="empty query set"):
+        topk_cosine_many(df, df.filter(F.col("vec_id") < 0))
+    with pytest.raises(ValueError, match="query batch"):
+        topk_cosine_many(df, df, max_queries=5)
+    nullq = spark.createDataFrame(
+        [(1, None)], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="null query vector"):
+        topk_cosine_many(df, nullq)
+
+
+# -- streaming dataset-level uniqueness (VERDICT r4 item 4) -----------------
+
+def test_stream_duplicate_keys_across_microbatches(spark, tmp_path):
+    """The running count must ACCUMULATE across micro-batches: key 7
+    appears once per file, so only the stateful path (not per-batch
+    aggregation) reports it as a duplicate."""
+    from go_jsonschema_spark.streaming.validate import stream_duplicate_keys
+
+    src = str(tmp_path / "src")
+    # three files; key 7 once in each, key 1 twice in file0, key 2 unique
+    spark.createDataFrame([(7,), (1,), (1,), (2,)], "k long") \
+        .coalesce(1).write.mode("overwrite").parquet(src + "/f0")
+    spark.createDataFrame([(7,), (3,)], "k long") \
+        .coalesce(1).write.mode("overwrite").parquet(src + "/f1")
+    spark.createDataFrame([(7,), (4,)], "k long") \
+        .coalesce(1).write.mode("overwrite").parquet(src + "/f2")
+
+    stream = (spark.readStream.schema("k long")
+              .option("maxFilesPerTrigger", "1")
+              .parquet(src + "/*"))
+    q = (stream_duplicate_keys(stream, "k")
+         .writeStream.format("memory").queryName("dupkeys_mb")
+         .outputMode("update").trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+    final = {r["key"]: r["n_dup"] for r in
+             spark.table("dupkeys_mb").groupBy("key")
+             .agg(F.max("n_dup").alias("n_dup")).collect()}
+    assert final == {7: 3, 1: 2}
+    # update mode re-emits key 7 as its count grows across batches
+    sevens = sorted(r["n_dup"] for r in
+                    spark.table("dupkeys_mb").filter("key = 7").collect())
+    assert sevens[-1] == 3 and len(sevens) >= 2
+    spark.catalog.dropTempView("dupkeys_mb")
+
+
+def test_stream_duplicate_keys_matches_batch_operator(spark, tmp_path):
+    from go_jsonschema_spark.operators.uniqueness import duplicate_keys
+    from go_jsonschema_spark.streaming.validate import stream_duplicate_keys
+
+    src = str(tmp_path / "one")
+    df = spark.range(0, 200).select((F.col("id") % 60).alias("k"))
+    df.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("k bigint").parquet(src)
+    q = (stream_duplicate_keys(stream, "k")
+         .writeStream.format("memory").queryName("dupkeys_one")
+         .outputMode("update").trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+    got = {r["key"]: r["n_dup"] for r in
+           spark.table("dupkeys_one").groupBy("key")
+           .agg(F.max("n_dup").alias("n_dup")).collect()}
+    want = {r["key"]: r["n_dup"]
+            for r in duplicate_keys(spark.read.parquet(src), "k").collect()}
+    assert got == want and len(want) == 60
+    spark.catalog.dropTempView("dupkeys_one")
+
+
 def test_probed_runs_discards_polluted_attempts():
     import bench
 
@@ -76,6 +211,69 @@ def test_probed_runs_discards_polluted_attempts():
     assert best == [1.0, 1.1, 1.2]
     assert 50.0 not in attempts
     assert not noisy
+
+
+def test_has_dialect_classes():
+    from go_jsonschema_spark.functions.regex import has_dialect_classes
+
+    assert has_dialect_classes(r"^\w+$")
+    assert has_dialect_classes(r"a\d{2}")
+    assert has_dialect_classes(r"x\b")
+    assert has_dialect_classes(r"[\s\S]*")
+    assert not has_dialect_classes(r"^[a-z]+$")
+    assert not has_dialect_classes("\\\\w")   # escaped backslash, then w
+    assert not has_dialect_classes("plain")
+    assert has_dialect_classes("\\\\\\w")     # escaped backslash THEN \w
+
+
+def test_unicode_class_routing_divergence(spark):
+    """VERDICT r4 item 3: `^\\w+$` compiles in BOTH dialects but Java
+    evaluates `\\w` ASCII-only while the reference rewrites it to a
+    Unicode class (helpers.go:69-86).  Pin both routing modes on
+    non-ASCII input."""
+    from go_jsonschema_spark.functions import regex as rx
+
+    df = spark.createDataFrame([("café",), ("abc",), ("straße",)],
+                               "s string")
+    pat = r"^\w+$"
+
+    def run():
+        col = rx.ecma_pattern_predicate(F.col("s"), pat)
+        return {r["s"]: r["m"]
+                for r in df.select("s", col.alias("m")).collect()}
+
+    # default: native rlike, Java ASCII-only \w — non-ASCII rejected
+    assert run() == {"café": False, "abc": True, "straße": False}
+
+    rx.set_unicode_class_routing(True)
+    try:
+        # routed through the ECMA shim: Unicode-aware, like the
+        # reference's converted pattern
+        assert run() == {"café": True, "abc": True, "straße": True}
+    finally:
+        rx.set_unicode_class_routing(False)
+
+    # the interpreter agrees with the unicode mode natively
+    from go_jsonschema_spark.interp import compile_ecma_regex
+
+    m = compile_ecma_regex(pat)
+    assert bool(m.search("café")) and bool(m.search("straße"))
+
+
+def test_unicode_routing_plain_patterns_stay_native(spark):
+    """The flag must not move class-free patterns off the rlike fast
+    path: the compiled plan for a plain pattern contains no pythonUDF."""
+    from go_jsonschema_spark.functions import regex as rx
+
+    df = spark.createDataFrame([("abc",)], "s string")
+    rx.set_unicode_class_routing(True)
+    try:
+        plan = df.filter(
+            rx.ecma_pattern_predicate(F.col("s"), r"^[a-z]+$"))._jdf \
+            .queryExecution().executedPlan().toString()
+    finally:
+        rx.set_unicode_class_routing(False)
+    assert "pythonUDF" not in plan and "ArrowEvalPython" not in plan
 
 
 def test_probed_runs_spread_gate_tops_up():
