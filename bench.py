@@ -292,33 +292,32 @@ def _one_run(cores: int, seq_path: str) -> dict:
     probe = _noise_probe()
     spark = _session(cores)
     spark.sparkContext.setLogLevel("ERROR")
-    # warm the JVM/codegen/page cache, then take the best of 3 steady-state
-    # runs (local-mode timings are noisy: GC, disk, AQE re-plans)
-    validate_sequences(spark, seq_path)
-    best = None
-    runs = []
-    for _ in range(3):
-        n, dt = validate_sequences(spark, seq_path)
-        runs.append(round(dt, 3))
-        best = dt if best is None or dt < best else best
+    # warm the JVM/codegen/page cache, then probe+spread-gated best-of-3
+    # (r5: the ladder bands now use the same gating as the suite — an
+    # ungated band recorded a 69 s local[32] run next to 11 s repeats and
+    # published a noise-floor efficiency)
+    n, _ = validate_sequences(spark, seq_path)
+    best3, attempts, run_probes, discarded, noisy = _probed_runs(
+        lambda: validate_sequences(spark, seq_path)[1])
+    best = min(best3)
     # per-band bytes evidence: the pure-scan baseline (same warm-up +
-    # best-of-3 discipline) bounds what ANY job over this table can reach
-    # at this parallelism; token_bytes is the decompressed array volume
-    # the validation pass must stream
-    _scan_only(spark, seq_path)
-    scan_runs = []
-    n_tok = 0
-    for _ in range(3):
-        n_tok, sdt = _scan_only(spark, seq_path)
-        scan_runs.append(round(sdt, 3))
-    scan_sec = min(scan_runs)
+    # gated best-of-3 discipline) bounds what ANY job over this table can
+    # reach at this parallelism; token_bytes is the decompressed array
+    # volume the validation pass must stream
+    n_tok, _ = _scan_only(spark, seq_path)
+    sbest3, sattempts, sprobes, sdiscarded, snoisy = _probed_runs(
+        lambda: _scan_only(spark, seq_path)[1])
+    scan_sec = min(sbest3)
     token_bytes = n_tok * 4  # int32 tokens
     parquet_bytes = _dir_bytes(seq_path)
     spark.stop()
     return {"cores": cores, "rows": n, "sec": round(best, 3),
-            "runs": runs, "probe_sec": probe,
+            "runs": attempts, "probe_sec": probe,
+            "run_probes": run_probes, "runs_discarded": discarded,
+            "window_noisy": bool(noisy or snoisy),
             "rows_per_sec": round(n / best, 1),
-            "scan_sec": round(scan_sec, 3), "scan_runs": scan_runs,
+            "scan_sec": round(scan_sec, 3), "scan_runs": sattempts,
+            "scan_run_probes": sprobes, "scan_runs_discarded": sdiscarded,
             "parquet_bytes": parquet_bytes, "token_bytes": token_bytes,
             "scan_token_gbps": round(token_bytes / scan_sec / 1e9, 2),
             "validate_token_gbps": round(token_bytes / best / 1e9, 2)}
@@ -393,10 +392,11 @@ Same job (full constraint-validation pass over the identical
 {r8['rows']:,}-row synthetic sequences parquet: compiled row predicates →
 violation rows, per-partition verdicts derived from the violation set,
 salted two-phase uniqueness, broadcast-anti-join referential check) at
-three parallelism levels, one fresh JVM each, warm-up run + best of 3
-steady-state runs measured:
+three parallelism levels, one fresh JVM each, warm-up run + probe- and
+spread-gated best-of-3 steady-state runs (polluted attempts discarded
+and re-run; every accepted raw timing shown):
 
-| parallelism | wall sec (best of {len(r8['runs'])}) | all runs | noise probe | validated sequences/sec |
+| parallelism | wall sec (gated best-of-3) | accepted runs | noise probe | validated sequences/sec |
 |---|---|---|---|---|
 | local[2]  | {r2['sec']} | {r2['runs']} | {r2['probe_sec']} | {r2['rows_per_sec']:,} |
 | local[8]  | {r8['sec']} | {r8['runs']} | {r8['probe_sec']} | {r8['rows_per_sec']:,} |
@@ -423,7 +423,7 @@ constraint evaluation at all) at each band, same warm-up + best-of-3
 discipline.  Parquet on disk: {r8['parquet_bytes']/1e9:.2f} GB; decoded
 token volume the pass must stream: {r8['token_bytes']/1e9:.2f} GB.
 
-| parallelism | pure-scan sec (best of 3) | all runs | scan token-GB/s | full-validation token-GB/s |
+| parallelism | pure-scan sec (gated best-of-3) | accepted runs | scan token-GB/s | full-validation token-GB/s |
 |---|---|---|---|---|
 | local[2]  | {r2['scan_sec']} | {r2['scan_runs']} | {r2['scan_token_gbps']} | {r2['validate_token_gbps']} |
 | local[8]  | {r8['scan_sec']} | {r8['scan_runs']} | {r8['scan_token_gbps']} | {r8['validate_token_gbps']} |

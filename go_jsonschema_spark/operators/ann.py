@@ -140,7 +140,11 @@ def topk_cosine_many(
             if not len(pdf):
                 continue
             ids = pdf[id_col].to_numpy()
-            M = np.asarray([list(map(float, v)) for v in pdf[vec_col]])
+            # Arrow hands array<float> rows as numpy arrays — stacking is
+            # a C-speed copy (a per-element float() loop here would
+            # dominate the whole scan at 10^7+ rows); nulls raise rather
+            # than corrupt
+            M = np.asarray(pdf[vec_col].to_list(), dtype=np.float64)
             mn = np.linalg.norm(M, axis=1)
             mn[mn == 0] = 1.0
             C = np.round((M / mn[:, None]) @ QnT, 6)  # (n, m)
@@ -190,7 +194,16 @@ def topk_cosine_many_ivf_indexed(
     re-rank the per-batch partials exactly as :func:`topk_cosine_many`.
     With ``n_assign > 1`` a vector can surface from several probed cells
     for the same query — identical candidate rows the final step dedups
-    before ranking.  Output shape matches :func:`topk_cosine_many`."""
+    before ranking.  Output shape matches :func:`topk_cosine_many`.
+
+    Design boundary (measured at 10M rows, BENCH/ann_scale.json): the
+    pruning win exists only while the UNION of the batch's probed cells
+    stays well under ``n_centroids`` — random queries cover
+    ``~C·(1-(1-n_probe/C)^m)`` cells, so a large diverse batch
+    degenerates to a full scan plus mask overhead and
+    :func:`topk_cosine_many` wins outright.  Prefer this variant for
+    small or clustered query batches (shared probe cells), or raise
+    ``n_centroids`` so the union stays sparse."""
     import numpy as np
     from pyspark.sql import Window
 
@@ -215,7 +228,7 @@ def topk_cosine_many_ivf_indexed(
                 continue
             ids = pdf[id_col].to_numpy()
             cells = pdf["cell"].to_numpy().astype(int)
-            M = np.asarray([list(map(float, v)) for v in pdf[vec_col]])
+            M = np.asarray(pdf[vec_col].to_list(), dtype=np.float64)
             mn = np.linalg.norm(M, axis=1)
             mn[mn == 0] = 1.0
             C = np.round((M / mn[:, None]) @ QnT, 6)  # (n, m)

@@ -68,6 +68,10 @@ def main() -> int:
     ap.add_argument("--probe", type=int, default=8)
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--batch-queries", type=int, nargs="*", default=[64],
+                    help="query-batch sizes for the topk_cosine_many "
+                         "section (several sizes expose the IVF pruning "
+                         "crossover; empty disables)")
     args = ap.parse_args()
 
     import bench
@@ -75,7 +79,8 @@ def main() -> int:
 
     from go_jsonschema_spark.operators.ann import (
         ivf_write_index, kmeans_centroids, topk_cosine,
-        topk_cosine_ivf_indexed,
+        topk_cosine_ivf_indexed, topk_cosine_many,
+        topk_cosine_many_ivf_indexed,
     )
 
     spark = bench._session(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
@@ -113,10 +118,13 @@ def main() -> int:
 
     # bytes evidence: probed partitions vs whole index on disk
     def _bytes(root, probed=None):
+        # exact segment match — a substring test would count cell=57
+        # toward probe cell 5 and overstate the pruned fraction
+        allowed = (None if probed is None
+                   else {f"cell={int(p)}" for p in probed})
         total = 0
         for r, _d, files in os.walk(root):
-            if probed is not None and not any(
-                    f"cell={p}" in r for p in probed):
+            if allowed is not None and os.path.basename(r) not in allowed:
                 continue
             total += sum(os.path.getsize(os.path.join(r, f))
                          for f in files if f.endswith(".parquet"))
@@ -146,6 +154,53 @@ def main() -> int:
         "bytes_fraction_scanned": round(probed_bytes / index_bytes, 4),
         "partition_pruning_in_plan": pruned,
     }
+
+    # -- batch-query section (VERDICT r4 item 5): m queries, ONE scan ----
+    # Several batch sizes expose the IVF boundary: pruning pays while the
+    # UNION of the batch's probed cells stays well under n_centroids;
+    # random queries cover ~C·(1-(1-p/C)^m) cells, so large random
+    # batches degenerate to a full scan + mask overhead and the exact
+    # batch matmul wins outright.
+    out["batch"] = []
+    for m in args.batch_queries:
+        qdf = e.filter(F.col("vec_id") < m)
+
+        bexact_rows, bexact_sec, bexact_runs = best(
+            lambda: topk_cosine_many(e, qdf, k=args.k).collect())
+        bivf_rows, bivf_sec, bivf_runs = best(
+            lambda: topk_cosine_many_ivf_indexed(
+                spark, idx_path, qdf, cent, k=args.k,
+                n_probe=args.probe).collect())
+
+        # mean recall of the batch IVF vs the batch exact, per query
+        by_q_exact = {}
+        for r in bexact_rows:
+            by_q_exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+        by_q_ivf = {}
+        for r in bivf_rows:
+            by_q_ivf.setdefault(r["query_id"], set()).add(r["vec_id"])
+        recalls = [len(by_q_exact[q] & by_q_ivf.get(q, set())) / args.k
+                   for q in by_q_exact]
+        Q = np.asarray([list(map(float, r["embedding"]))
+                        for r in qdf.select("embedding").collect()])
+        qd2 = ((Q[:, None, :] - np.asarray(cent)[None, :, :]) ** 2).sum(-1)
+        union_cells = sorted({int(c) for j in range(m)
+                              for c in qd2[j].argsort()[:args.probe]})
+        out["batch"].append({
+            "n_queries": m,
+            "exact_one_scan_sec": bexact_sec,
+            "exact_runs": bexact_runs,
+            "exact_per_query_equiv_sec": round(exact_sec * m, 1),
+            "exact_amortization": round(exact_sec * m / bexact_sec, 1),
+            "ivf_one_scan_sec": bivf_sec,
+            "ivf_runs": bivf_runs,
+            "ivf_per_query_equiv_sec": round(ivf_sec * m, 1),
+            "ivf_amortization": round(ivf_sec * m / bivf_sec, 1),
+            "ivf_mean_recall_at_k": round(sum(recalls) / len(recalls), 3),
+            "ivf_union_cells_scanned": len(union_cells),
+            "ivf_union_bytes_fraction": round(
+                _bytes(idx_path, union_cells) / index_bytes, 4),
+        })
     spark.stop()
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "ann_scale.json"), "w") as f:
