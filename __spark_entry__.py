@@ -182,6 +182,44 @@ def _q_streaming_dup_keys(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_streaming_drift_psi(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming drift surface (r5): per-hour binned histograms streamed
+    via ONE windowed aggregation (stream_histogram, complete-mode
+    AvailableNow), then PSI per window against the full-table baseline
+    histogram as a native batch transform over the sink (psi_per_window)
+    — chained streaming aggs are not expressible, and the histogram sink
+    (windows × bins rows) is the replayable artifact anyway.  DuckDB
+    recomputes every per-window PSI from scratch."""
+    from go_jsonschema_spark.operators.drift import histogram, psi_per_window
+    from go_jsonschema_spark.streaming.validate import stream_histogram
+
+    qname = "streaming_drift_mem"
+    try:
+        spark.catalog.dropTempView(qname)
+    except Exception:
+        pass
+    schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    q = (
+        stream_histogram(stream, "value", ts_col="ts", window="1 hour",
+                         bucket_width=50.0)
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    _await_stream(q, 300)
+    hist = spark.table(qname).select(
+        F.col("window.start").cast("string").alias("window_start"),
+        "bucket", "count",
+    )
+    base = histogram(_t(spark, sf, "events"), "value", bucket_width=50.0)
+    return psi_per_window(hist, base).select(
+        "window_start", "n_rows", F.round("psi", 4).alias("psi"))
+
+
 def _q_verdicts_by_source(spark: SparkSession, sf: str) -> DataFrame:
     res = _documents_suite().run(_t(spark, sf, "documents"),
                                  partition_col="source")
@@ -534,6 +572,22 @@ def _q_ann_batch_embeddings(spark: SparkSession, sf: str) -> DataFrame:
     qs = e.filter(F.col("vec_id") % 100 == 0)
     return topk_cosine_many(e, qs, k=10).select(
         "query_id", "vec_id", F.round("cosine", 4).alias("cos"), "rank")
+
+
+def _q_semantic_contamination(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-space decontamination (r5): every 100th vector plays the
+    benchmark/probe set, the rest the corpus; a corpus vector is flagged
+    when its cosine to ANY probe reaches 0.25.  DuckDB brute-forces all
+    corpus×probe cosines and re-derives every (hit, best probe, score)
+    row — the paraphrase-leakage complement of the n-gram
+    `contamination_documents` check."""
+    from go_jsonschema_spark.operators.decontam import semantic_contamination
+
+    e = _t(spark, sf, "embeddings")
+    probes = e.filter(F.col("vec_id") % 100 == 0)
+    corpus = e.filter(F.col("vec_id") % 100 != 0)
+    return semantic_contamination(corpus, probes, threshold=0.25).select(
+        "vec_id", "top_probe", F.round("cosine", 4).alias("cos"))
 
 
 def _q_props_json_validation(spark: SparkSession, sf: str) -> DataFrame:
@@ -1007,6 +1061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_violations": _q_streaming_violations,
         "streaming_windowed_verdicts": _q_streaming_windowed_verdicts,
         "streaming_dup_keys": _q_streaming_dup_keys,
+        "streaming_drift_psi": _q_streaming_drift_psi,
         "verdicts_by_source": _q_verdicts_by_source,
         "stats_lineitem": _q_stats_lineitem,
         "dup_custkeys_orders": _q_dup_custkeys_orders,
@@ -1037,6 +1092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_embeddings": _q_ann_lsh_embeddings,
         "ann_ivf_embeddings": _q_ann_ivf_embeddings,
         "ann_batch_embeddings": _q_ann_batch_embeddings,
+        "semantic_contamination": _q_semantic_contamination,
         "props_json_validation": _q_props_json_validation,
         "props_json_native": _q_props_json_native,
         "props_json_suite": _q_props_json_suite,
@@ -1616,6 +1672,25 @@ def oracle_sql() -> dict[str, str]:
                   FROM s)
             SELECT query_id, vec_id, cos, rank FROM r WHERE rank <= 10
         """,
+        # embedding decontamination: all corpus×probe cosines brute-forced,
+        # best probe per corpus vector (ties -> smallest probe id), kept
+        # when the best score reaches the threshold
+        "semantic_contamination": """
+            WITH p AS (SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pv
+                       FROM embeddings WHERE vec_id % 100 = 0),
+            c AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                  FROM embeddings WHERE vec_id % 100 <> 0),
+            s AS (SELECT c.vec_id, p.probe_id,
+                         round(list_cosine_similarity(c.v, p.pv), 6) AS c6
+                  FROM c, p),
+            r AS (SELECT vec_id, probe_id, c6,
+                         row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY c6 DESC, probe_id)
+                             AS rn
+                  FROM s)
+            SELECT vec_id, probe_id AS top_probe, round(c6, 4) AS cos
+            FROM r WHERE rn = 1 AND c6 >= 0.25
+        """,
         # multimodal: payload = ASCII hex of sha256(id); DuckDB reproduces
         # the crc32 checksum (recursive-CTE zlib polynomial, cross-checked
         # against zlib.crc32) and the byte-histogram features exactly
@@ -1939,4 +2014,39 @@ def oracle_sql() -> dict[str, str]:
     # the stateful running-count stream folded to final counts equals the
     # batch duplicate-key aggregation — same oracle by construction
     out["streaming_dup_keys"] = out["dup_custkeys_orders"]
+    # streaming drift: DuckDB rebuilds the per-hour histograms AND the
+    # full-table baseline, aligns buckets per window over the union
+    # (missing mass clamped to eps on either side, mirroring psi()),
+    # and recomputes every per-window PSI from scratch
+    out["streaming_drift_psi"] = """
+        WITH cur AS (
+            SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start,
+                   CAST(floor(value / 50.0) AS BIGINT) AS bucket,
+                   count(*) AS c
+            FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+            GROUP BY 1, 2
+        ), base AS (
+            SELECT CAST(floor(value / 50.0) AS BIGINT) AS bucket,
+                   count(*)::DOUBLE /
+                       (SELECT count(*) FROM events
+                        WHERE value IS NOT NULL) AS pb
+            FROM events WHERE value IS NOT NULL GROUP BY 1
+        ), wins AS (SELECT DISTINCT window_start FROM cur),
+        skel AS (SELECT w.window_start, b.bucket, b.pb
+                 FROM wins w CROSS JOIN base b),
+        j AS (
+            SELECT coalesce(s.window_start, c.window_start) AS window_start,
+                   coalesce(s.pb, 0.0) AS pb,
+                   coalesce(c.c, 0) AS c
+            FROM skel s FULL OUTER JOIN cur c
+              ON s.window_start = c.window_start AND s.bucket = c.bucket
+        ), n AS (SELECT window_start, CAST(sum(c) AS BIGINT) AS n
+                 FROM j GROUP BY 1)
+        SELECT j.window_start, n.n AS n_rows,
+               round(sum((greatest(j.c / n.n, 1e-6) - greatest(j.pb, 1e-6))
+                         * ln(greatest(j.c / n.n, 1e-6)
+                              / greatest(j.pb, 1e-6))), 4) AS psi
+        FROM j JOIN n USING (window_start)
+        GROUP BY j.window_start, n.n
+    """
     return out

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from go_jsonschema_spark.functions.text import word_shingles
 
-__all__ = ["contamination_hits", "probe_ngrams"]
+__all__ = ["contamination_hits", "probe_ngrams", "semantic_contamination"]
 
 
 def probe_ngrams(
@@ -45,6 +45,60 @@ def probe_ngrams(
             f"probe set yields >{max_probe_ngrams} n-grams; raise "
             "max_probe_ngrams or pre-reduce the probe set")
     return [r["v"] for r in rows]
+
+
+def semantic_contamination(
+    docs: DataFrame,
+    probes: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.35,
+    max_probes: int = 10_000,
+) -> DataFrame:
+    """EMBEDDING-space decontamination (r5): flag corpus vectors whose
+    cosine to ANY probe/benchmark embedding reaches ``threshold`` —
+    catches paraphrased benchmark leakage the n-gram form
+    (:func:`contamination_hits`) cannot see.
+
+    Same corpus-never-shuffled discipline: the probe side is small by
+    nature, so its normalized matrix is closure-broadcast (bounded by
+    ``max_probes``, same contract shape as
+    :func:`~go_jsonschema_spark.operators.ann.topk_cosine_many`) and
+    every Arrow batch does ONE BLAS matmul + row-wise argmax inside
+    ``mapInPandas`` — no join, no shuffle, output is only the hits.
+    Returns ``(id_col, top_probe, cosine)`` where ``top_probe`` is the
+    best-matching probe (ties → smallest probe id) and ``cosine`` its
+    score (rounded to 6)."""
+    import numpy as np
+    import pandas as pd
+
+    from go_jsonschema_spark.operators.ann import _query_matrix
+
+    qids, _, QnT = _query_matrix(probes, id_col, vec_col, max_probes)
+    order = np.argsort(qids)           # argmax tie-break = smallest id
+    qids, QnT = qids[order], QnT[:, order]
+
+    def hits(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            M = np.asarray(pdf[vec_col].to_list(), dtype=np.float64)
+            mn = np.linalg.norm(M, axis=1)
+            mn[mn == 0] = 1.0
+            C = np.round((M / mn[:, None]) @ QnT, 6)
+            best = C.argmax(1)
+            bc = C[np.arange(len(ids)), best]
+            keep = bc >= threshold
+            yield pd.DataFrame({
+                id_col: ids[keep],
+                "top_probe": qids[best[keep]],
+                "cosine": bc[keep],
+            })
+
+    return docs.select(id_col, vec_col).mapInPandas(
+        hits, f"{id_col} long, top_probe long, cosine double")
 
 
 def contamination_hits(

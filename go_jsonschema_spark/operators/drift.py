@@ -15,7 +15,8 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["histogram", "DriftReport", "ks_statistic", "psi", "drift_check"]
+__all__ = ["histogram", "DriftReport", "ks_statistic", "psi", "drift_check",
+           "psi_per_window"]
 
 
 def histogram(df: DataFrame, column: str, *, bucket_width: float) -> DataFrame:
@@ -71,6 +72,54 @@ def psi(cur: dict[int, int], base: dict[int, int], *, eps: float = 1e-6) -> floa
         y = max(y, eps)
         total += (x - y) * math.log(x / y)
     return total
+
+
+def psi_per_window(
+    hist: DataFrame,
+    baseline: DataFrame,
+    *,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """PSI per event-time window, fully native — the batch drift pass
+    over a (streamed or batch) per-window histogram sink.
+
+    ``hist``: ``(window_start, bucket, count)`` — e.g. the materialized
+    :func:`~go_jsonschema_spark.streaming.validate.stream_histogram`
+    sink.  ``baseline``: a static ``(bucket, count)`` histogram (tiny —
+    collected once and broadcast as per-bucket probabilities).  Buckets
+    are aligned per window over the UNION of window and baseline buckets
+    (same semantics as :func:`psi`: missing mass clamps to ``eps`` on
+    either side).  Everything is O(windows × bins) — broadcast joins,
+    no shuffle of anything row-scaled.  Returns
+    ``(window_start, n_rows, psi)``."""
+    spark = hist.sparkSession
+    rows = baseline.select("bucket", "count").collect()
+    nb = sum(int(r["count"]) for r in rows) or 1
+    pb = spark.createDataFrame(
+        [(int(r["bucket"]), int(r["count"]) / nb) for r in rows],
+        "bucket long, pb double")
+    wins = hist.select("window_start").distinct()
+    # skeleton: every baseline bucket present in every window, so a
+    # bucket the window never saw still contributes its (eps - pb) term
+    skel = wins.crossJoin(F.broadcast(pb))
+    cur = hist.groupBy("window_start", "bucket").agg(
+        F.sum("count").alias("c"))
+    j = skel.join(cur, ["window_start", "bucket"], "full_outer").select(
+        "window_start",
+        F.coalesce("pb", F.lit(0.0)).alias("pb"),
+        F.coalesce("c", F.lit(0)).alias("c"),
+    )
+    n = j.groupBy("window_start").agg(F.sum("c").alias("n"))
+    jn = j.join(F.broadcast(n), "window_start")
+    pc_e = F.greatest(F.col("c") / F.col("n"), F.lit(eps))
+    pb_e = F.greatest(F.col("pb"), F.lit(eps))
+    term = (pc_e - pb_e) * F.log(pc_e / pb_e)
+    return (
+        jn.groupBy("window_start", "n")
+        .agg(F.sum(term).alias("psi"))
+        .select("window_start", F.col("n").cast("long").alias("n_rows"),
+                "psi")
+    )
 
 
 def drift_check(

@@ -15,6 +15,11 @@ Dataset-level checks over unbounded input need key-scoped state:
   ``applyInPandasWithState`` (duplicate EMISSION, not suppression).
 * :func:`dedup_stream` — watermark-bounded duplicate SUPPRESSION.
 * :func:`stream_fk_violations` — stateless stream-static anti-join.
+* :func:`stream_histogram` — per-window binned histograms; drift (PSI)
+  against a static baseline then runs as a batch transform over the sink
+  (:func:`~go_jsonschema_spark.operators.drift.psi_per_window`) — chained
+  streaming aggregations are not expressible, and the histogram is the
+  right sink granularity anyway (windows × bins rows, replayable).
 
 Exact global uniqueness over a truly unbounded key domain still grows
 state with distinct keys (one counter per key here); at 10^12 scale the
@@ -183,6 +188,37 @@ def stateful_group_verdicts_tws(
         outputStructType="group string, n_rows long, n_fail long",
         outputMode="Update",
         timeMode="None",
+    )
+
+
+def stream_histogram(
+    stream: DataFrame,
+    column: str,
+    *,
+    ts_col: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    bucket_width: float = 50.0,
+) -> DataFrame:
+    """Per-event-time-window binned histogram ``(window, bucket, count)``
+    — the streaming feed for drift detection.  ONE streaming aggregation
+    (map-side combinable; state is windows × bins counters, independent
+    of row volume).  Bucket semantics match the batch
+    :func:`~go_jsonschema_spark.operators.drift.histogram`:
+    ``floor(x / bucket_width)``, nulls excluded."""
+    ts_field = dict((f.name, f.dataType.simpleString())
+                    for f in stream.schema.fields).get(ts_col)
+    if ts_field == "timestamp_ntz":
+        stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        stream.filter(F.col(column).isNotNull() & F.col(ts_col).isNotNull())
+        .withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(F.col(ts_col), window),
+            F.floor(F.col(column) / F.lit(float(bucket_width)))
+            .alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("count"))
     )
 
 

@@ -287,3 +287,79 @@ def test_probed_runs_spread_gate_tops_up():
     assert best == [1.0, 1.05, 1.1]
     assert 10.0 in attempts  # nothing hidden
     assert not noisy
+
+
+# -- streaming drift (r5): stream_histogram + psi_per_window ----------------
+
+def test_psi_per_window_matches_driver_psi(spark):
+    """The native per-window PSI must equal drift.psi() run per window on
+    the same histograms (same union-of-buckets alignment + eps clamps)."""
+    from go_jsonschema_spark.operators.drift import psi, psi_per_window
+
+    hist = spark.createDataFrame(
+        [("w1", 0, 50), ("w1", 1, 50),
+         ("w2", 1, 10), ("w2", 2, 90),
+         ("w3", 5, 7)],                      # bucket 5 absent from baseline
+        "window_start string, bucket long, count long")
+    base = spark.createDataFrame(
+        [(0, 100), (1, 100), (2, 100)], "bucket long, count long")
+    got = {r["window_start"]: (r["n_rows"], r["psi"])
+           for r in psi_per_window(hist, base).collect()}
+    base_d = {0: 100, 1: 100, 2: 100}
+    cur_d = {"w1": {0: 50, 1: 50}, "w2": {1: 10, 2: 90}, "w3": {5: 7}}
+    for w, cur in cur_d.items():
+        n, p = got[w]
+        assert n == sum(cur.values())
+        assert p == pytest.approx(psi(cur, base_d), rel=1e-9), w
+
+
+def test_stream_histogram_matches_batch_across_microbatches(spark, tmp_path):
+    from go_jsonschema_spark.operators.drift import histogram
+    from go_jsonschema_spark.streaming.validate import stream_histogram
+
+    src = str(tmp_path / "ev")
+    rows = [(i, f"2024-01-01 0{i % 3}:15:00", float(10 * i))
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "id long, ts string, value double") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    df.coalesce(2).write.mode("overwrite").parquet(src)
+
+    stream = (spark.readStream.schema(df.schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    q = (stream_histogram(stream, "value", ts_col="ts", window="1 hour",
+                          bucket_width=50.0)
+         .writeStream.format("memory").queryName("hist_mb")
+         .outputMode("complete").trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+    got = {(str(r["window"]["start"]), r["bucket"]): r["count"]
+           for r in spark.table("hist_mb").collect()}
+    want = {}
+    for r in (df.groupBy(F.window("ts", "1 hour").alias("window"),
+                         F.floor(F.col("value") / 50.0).alias("bucket"))
+              .count().collect()):
+        want[(str(r["window"]["start"]), r["bucket"])] = r["count"]
+    assert got == want and len(want) >= 3
+    spark.catalog.dropTempView("hist_mb")
+
+
+# -- semantic (embedding-space) decontamination (r5) ------------------------
+
+def test_semantic_contamination_flags_planted_neighbors(spark):
+    from go_jsonschema_spark.operators.decontam import semantic_contamination
+
+    probes = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0]), (200, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    corpus = spark.createDataFrame(
+        [(1, [0.9, 0.1, 0.0]),      # near probe 100
+         (2, [0.0, 2.0, 0.1]),      # near probe 200 (unnormalized)
+         (3, [0.0, 0.0, 1.0]),      # orthogonal to both
+         (4, [1.0, 1.0, 0.0])],     # cos ~0.707 to BOTH -> tie, keep 100
+        "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: (r["top_probe"], r["cosine"])
+           for r in semantic_contamination(
+               corpus, probes, threshold=0.7).collect()}
+    assert set(got) == {1, 2, 4}
+    assert got[1][0] == 100 and got[2][0] == 200
+    assert got[4][0] == 100          # tie broken toward smallest probe id
+    assert got[1][1] > 0.99 and got[2][1] > 0.99
