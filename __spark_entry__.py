@@ -574,6 +574,17 @@ def _q_ann_batch_embeddings(spark: SparkSession, sf: str) -> DataFrame:
         "query_id", "vec_id", F.round("cosine", 4).alias("cos"), "rank")
 
 
+def _q_inferred_spec_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Spec inference (r5): one-pass per-column profile of the documents
+    table — the statistics infer_table_spec turns into constraints
+    (bounds, enums, lengths, candidate keys).  DuckDB recomputes every
+    statistic including the sorted enum value list; the golden table
+    validating clean against its own inferred spec is pinned by pytest."""
+    from go_jsonschema_spark.infer import profile_table
+
+    return profile_table(_t(spark, sf, "documents"))
+
+
 def _q_semantic_contamination(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-space decontamination (r5): every 100th vector plays the
     benchmark/probe set, the rest the corpus; a corpus vector is flagged
@@ -1093,6 +1104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_embeddings": _q_ann_ivf_embeddings,
         "ann_batch_embeddings": _q_ann_batch_embeddings,
         "semantic_contamination": _q_semantic_contamination,
+        "inferred_spec_documents": _q_inferred_spec_documents,
         "props_json_validation": _q_props_json_validation,
         "props_json_native": _q_props_json_native,
         "props_json_suite": _q_props_json_suite,
@@ -1690,6 +1702,46 @@ def oracle_sql() -> dict[str, str]:
                   FROM s)
             SELECT vec_id, probe_id AS top_probe, round(c6, 4) AS cos
             FROM r WHERE rn = 1 AND c6 >= 0.25
+        """,
+        # spec-inference profile: every statistic recomputed, incl. the
+        # sorted enum value list for low-cardinality string columns
+        # (lang: 5 distinct <= enum_max 16; source: 20 distinct -> length
+        # bounds instead)
+        "inferred_spec_documents": """
+            SELECT 'doc_id' AS column, 'integer' AS jtype,
+                   count(*) AS n_rows,
+                   count(*) - count(doc_id) AS n_null,
+                   count(DISTINCT doc_id) AS n_distinct,
+                   CAST(min(doc_id) AS DOUBLE) AS min_num,
+                   CAST(max(doc_id) AS DOUBLE) AS max_num,
+                   CAST(NULL AS BIGINT) AS min_len,
+                   CAST(NULL AS BIGINT) AS max_len,
+                   CAST(NULL AS VARCHAR) AS enum_csv
+            FROM documents
+            UNION ALL
+            SELECT 'text', 'string', count(*), count(*) - count(text),
+                   count(DISTINCT text), NULL, NULL,
+                   min(length(text)), max(length(text)), NULL
+            FROM documents
+            UNION ALL
+            SELECT 'lang', 'string', count(*), count(*) - count(lang),
+                   count(DISTINCT lang), NULL, NULL,
+                   min(length(lang)), max(length(lang)),
+                   (SELECT string_agg(v, ',' ORDER BY v) FROM
+                    (SELECT DISTINCT lang AS v FROM documents
+                     WHERE lang IS NOT NULL))
+            FROM documents
+            UNION ALL
+            SELECT 'source', 'string', count(*), count(*) - count(source),
+                   count(DISTINCT source), NULL, NULL,
+                   min(length(source)), max(length(source)), NULL
+            FROM documents
+            UNION ALL
+            SELECT 'n_chars', 'integer', count(*),
+                   count(*) - count(n_chars), count(DISTINCT n_chars),
+                   CAST(min(n_chars) AS DOUBLE),
+                   CAST(max(n_chars) AS DOUBLE), NULL, NULL, NULL
+            FROM documents
         """,
         # multimodal: payload = ASCII hex of sha256(id); DuckDB reproduces
         # the crc32 checksum (recursive-CTE zlib polynomial, cross-checked

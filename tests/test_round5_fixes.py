@@ -363,3 +363,62 @@ def test_semantic_contamination_flags_planted_neighbors(spark):
     assert got[1][0] == 100 and got[2][0] == 200
     assert got[4][0] == 100          # tie broken toward smallest probe id
     assert got[1][1] > 0.99 and got[2][1] > 0.99
+
+
+# -- spec inference (r5): profile -> TableSpec -> validate clean ------------
+
+def test_inferred_spec_validates_golden_table_clean(spark):
+    from go_jsonschema_spark.engine import ConstraintSuite
+    from go_jsonschema_spark.infer import infer_table_spec
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    spec, prof = infer_table_spec(docs, key_hint="doc_id")
+    # enum inferred for lang (low cardinality), bounds for the integers
+    assert "enum" in spec.columns["lang"]
+    assert spec.columns["doc_id"]["type"] == "integer"
+    assert {"kind": "unique", "columns": ["doc_id"], "id": "unique:doc_id"} \
+        in spec.table_checks
+    res = ConstraintSuite(spec, key="doc_id").run(docs)
+    assert res.violations.count() == 0  # golden table validates clean
+
+
+def test_inferred_spec_on_arrays_and_catches_drift(spark):
+    from go_jsonschema_spark.engine import ConstraintSuite
+    from go_jsonschema_spark.infer import infer_table_spec
+    from go_jsonschema_spark.sources import synth
+
+    seq = synth.sequences(spark, 500)
+    spec, _ = infer_table_spec(seq, columns=["doc_id", "n_tok", "tokens"],
+                               key_hint="doc_id")
+    s = spec.columns["tokens"]
+    assert s["type"] == "array" and "items" in s
+    assert s["items"]["minimum"] >= 0
+    suite = ConstraintSuite(spec, key="doc_id")
+    assert suite.run(seq).violations.count() == 0
+    # a delivery drifting out of the inferred envelope is caught
+    bad = spark.createDataFrame(
+        [("zz-1", int(s["maxItems"]) + 5,
+          [int(s["items"]["maximum"]) + 1] * (int(s["maxItems"]) + 5))],
+        "doc_id string, n_tok long, tokens array<long>")
+    drifted = seq.select("doc_id", "n_tok", "tokens").unionByName(
+        bad.select("doc_id",
+                   F.col("n_tok").cast("int").alias("n_tok"),
+                   F.col("tokens").cast("array<int>").alias("tokens")))
+    assert suite.run(drifted).violations.count() > 0
+
+
+def test_profile_table_handles_nulls_and_enum_nulls(spark):
+    from go_jsonschema_spark.infer import infer_table_spec, profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (4, "a")],
+        "id long, cat string")
+    prof = {r["column"]: r for r in profile_table(df).collect()}
+    assert prof["cat"]["n_null"] == 1 and prof["cat"]["n_distinct"] == 2
+    assert prof["cat"]["enum_csv"] == "a,b"
+    spec, _ = infer_table_spec(df)
+    # observed nulls join the enum so the golden table stays clean
+    assert spec.columns["cat"]["enum"] == ["a", "b", None]
+    from go_jsonschema_spark.engine import ConstraintSuite
+
+    assert ConstraintSuite(spec, key="id").run(df).violations.count() == 0
