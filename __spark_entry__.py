@@ -574,6 +574,28 @@ def _q_ann_batch_embeddings(spark: SparkSession, sf: str) -> DataFrame:
         "query_id", "vec_id", F.round("cosine", 4).alias("cos"), "rank")
 
 
+def _q_range_join_ship_windows(spark: SparkSession, sf: str) -> DataFrame:
+    """Binned range join (r5): lineitems whose ship date falls in the
+    7-day window opening at each high-value order's date — ONE equi-join
+    shuffle on the day-bucket (plan-asserted: no BroadcastNestedLoop),
+    vs DuckDB's native BETWEEN join."""
+    from go_jsonschema_spark.operators.asof import range_join
+
+    epoch = F.lit("1992-01-01").cast("date")
+    li = _t(spark, sf, "lineitem").select(
+        F.datediff(F.to_date("l_shipdate"), epoch).alias("ship_day"))
+    hi = _t(spark, sf, "orders").filter(
+        F.col("o_totalprice") >= 400000).select(
+        "o_orderkey",
+        F.datediff(F.to_date("o_orderdate"), epoch).alias("start_day"),
+        (F.datediff(F.to_date("o_orderdate"), epoch) + 6).alias("end_day"))
+    rj = range_join(li, hi, left_point="ship_day",
+                    right_start="start_day", right_end="end_day",
+                    bin_width=7)
+    return rj.groupBy("o_orderkey").agg(
+        F.count(F.lit(1)).alias("n_shipped"))
+
+
 def _q_inferred_spec_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Spec inference (r5): one-pass per-column profile of the documents
     table — the statistics infer_table_spec turns into constraints
@@ -1105,6 +1127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_batch_embeddings": _q_ann_batch_embeddings,
         "semantic_contamination": _q_semantic_contamination,
         "inferred_spec_documents": _q_inferred_spec_documents,
+        "range_join_ship_windows": _q_range_join_ship_windows,
         "props_json_validation": _q_props_json_validation,
         "props_json_native": _q_props_json_native,
         "props_json_suite": _q_props_json_suite,
@@ -1742,6 +1765,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(n_chars) AS DOUBLE),
                    CAST(max(n_chars) AS DOUBLE), NULL, NULL, NULL
             FROM documents
+        """,
+        # binned range join: DuckDB's native BETWEEN join re-derives the
+        # per-order count of lineitems shipped inside the 7-day window
+        "range_join_ship_windows": """
+            SELECT o.o_orderkey, count(*) AS n_shipped
+            FROM orders o JOIN lineitem l
+              ON datediff('day', DATE '1992-01-01',
+                          CAST(l.l_shipdate AS DATE))
+                 BETWEEN datediff('day', DATE '1992-01-01',
+                                  CAST(o.o_orderdate AS DATE))
+                     AND datediff('day', DATE '1992-01-01',
+                                  CAST(o.o_orderdate AS DATE)) + 6
+            WHERE o.o_totalprice >= 400000
+            GROUP BY 1
         """,
         # multimodal: payload = ASCII hex of sha256(id); DuckDB reproduces
         # the crc32 checksum (recursive-CTE zlib polynomial, cross-checked

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F, types as T
 
-__all__ = ["asof_join"]
+__all__ = ["asof_join", "range_join"]
 
 
 def asof_join(
@@ -77,3 +77,58 @@ def asof_join(
             ],
         )
     )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_point: str,
+    right_start: str,
+    right_end: str,
+    bin_width: float,
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-interval join as ONE equi-join shuffle (guide §OLAP) —
+    Spark plans a bare ``l.x BETWEEN r.lo AND r.hi`` predicate as a
+    BroadcastNestedLoopJoin, which is O(|L|·|R|) work and a
+    single-executor broadcast: a scale trap the moment the interval side
+    stops being tiny.
+
+    Binned formulation: each interval explodes into every ``bin_width``
+    bucket it overlaps (cost = span/bin_width rows — pick bin_width near
+    the TYPICAL interval span so most intervals land in 1-2 bins), each
+    point takes exactly ONE bucket, and the join is an equi-join on the
+    bucket followed by the exact range filter.  The point's single
+    bucket uniquely locates every candidate pair, so no pair dedup is
+    needed.  Both inputs shuffle once on a uniform integer key —
+    co-partitioned, AQE-skew-splittable, no nested loop anywhere.
+
+    Columns must be numeric (cast timestamps to epoch seconds/days
+    first).  ``how`` supports ``inner`` and ``left`` (``left`` keeps
+    pointless rows via a final anti-join union, still no nested loop)."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"range_join: how={how!r} (inner|left)")
+    w = float(bin_width)
+    lbin = F.floor(F.col(left_point) / w).cast("long")
+    r = right.withColumn(
+        "__bin__",
+        F.explode(F.sequence(
+            F.floor(F.col(right_start) / w).cast("long"),
+            F.floor(F.col(right_end) / w).cast("long"))),
+    )
+    l = left.withColumn("__bin__", lbin)
+    hit = (
+        l.join(r, "__bin__")
+        .filter((F.col(left_point) >= F.col(right_start))
+                & (F.col(left_point) <= F.col(right_end)))
+        .drop("__bin__")
+    )
+    if how == "inner":
+        return hit
+    # left join: append the never-matched left rows with null right cols
+    matched = hit.select(*left.columns)
+    missed = left.join(matched.distinct(), left.columns, "left_anti")
+    for c in right.columns:
+        missed = missed.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
+    return hit.unionByName(missed)

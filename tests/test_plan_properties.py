@@ -195,3 +195,24 @@ def test_null_scan_elision_under_storage_contract(spark, seq_parquet):
 
     assert lambda_nullchecks(()) >= 1          # default: null scan present
     assert lambda_nullchecks(("tokens",)) == 0  # contract: elided
+
+
+def test_range_join_is_equi_join_not_nested_loop(spark):
+    """range_join exists precisely to avoid the BroadcastNestedLoopJoin
+    Spark plans for a bare BETWEEN predicate — assert the binned plan is
+    a hash/sort-merge equi-join on the bucket."""
+    from go_jsonschema_spark.operators.asof import range_join
+
+    pts = spark.range(1000).select(F.col("id").cast("double").alias("x"))
+    ivs = spark.range(200).select(
+        (F.col("id") * 5.0).alias("lo"), (F.col("id") * 5.0 + 9.0).alias("hi"))
+    plan = _plan(range_join(pts, ivs, left_point="x", right_start="lo",
+                            right_end="hi", bin_width=10.0))
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan)
+
+    # the naive formulation really does plan a nested loop (the trap)
+    naive = _plan(pts.join(ivs, (F.col("x") >= F.col("lo"))
+                           & (F.col("x") <= F.col("hi"))))
+    assert "BroadcastNestedLoopJoin" in naive or "CartesianProduct" in naive

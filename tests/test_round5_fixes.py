@@ -422,3 +422,51 @@ def test_profile_table_handles_nulls_and_enum_nulls(spark):
     from go_jsonschema_spark.engine import ConstraintSuite
 
     assert ConstraintSuite(spec, key="id").run(df).violations.count() == 0
+
+
+# -- binned range join (r5) -------------------------------------------------
+
+def test_range_join_matches_naive_between(spark):
+    from go_jsonschema_spark.operators.asof import range_join
+
+    pts = spark.createDataFrame(
+        [(i, float(i)) for i in range(50)], "pid long, x double")
+    ivs = spark.createDataFrame(
+        [(100, 3.0, 9.0), (200, 9.0, 9.0),      # point-sized interval
+         (300, 40.0, 80.0), (400, -5.0, 2.0)],  # spans past the data
+        "iid long, lo double, hi double")
+    got = {(r["pid"], r["iid"]) for r in range_join(
+        pts, ivs, left_point="x", right_start="lo", right_end="hi",
+        bin_width=5.0).collect()}
+    want = {(r["pid"], r["iid"]) for r in pts.crossJoin(ivs).filter(
+        (F.col("x") >= F.col("lo")) & (F.col("x") <= F.col("hi"))).collect()}
+    assert got == want and len(want) > 20
+    # boundary inclusivity both ends
+    assert (9, 100) in got and (3, 100) in got and (9, 200) in got
+
+
+def test_range_join_left_keeps_unmatched_points(spark):
+    from go_jsonschema_spark.operators.asof import range_join
+
+    pts = spark.createDataFrame([(1, 1.0), (2, 100.0)], "pid long, x double")
+    ivs = spark.createDataFrame([(9, 0.0, 5.0)], "iid long, lo double, hi double")
+    rows = range_join(pts, ivs, left_point="x", right_start="lo",
+                      right_end="hi", bin_width=10.0, how="left").collect()
+    by_pid = {r["pid"]: r for r in rows}
+    assert by_pid[1]["iid"] == 9
+    assert by_pid[2]["iid"] is None  # unmatched point kept with null right
+
+
+def test_range_join_negative_coords(spark):
+    """floor-based binning must stay correct below zero (floor division,
+    not truncation)."""
+    from go_jsonschema_spark.operators.asof import range_join
+
+    pts = spark.createDataFrame(
+        [(1, -7.0), (2, -0.5), (3, 0.5)], "pid long, x double")
+    ivs = spark.createDataFrame(
+        [(9, -8.0, -6.0), (8, -1.0, 1.0)], "iid long, lo double, hi double")
+    got = {(r["pid"], r["iid"]) for r in range_join(
+        pts, ivs, left_point="x", right_start="lo", right_end="hi",
+        bin_width=3.0).collect()}
+    assert got == {(1, 9), (2, 8), (3, 8)}
