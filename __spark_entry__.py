@@ -596,6 +596,33 @@ def _q_range_join_ship_windows(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_shipped"))
 
 
+def _q_diversity_sample_embeddings(spark: SparkSession, sf: str) -> DataFrame:
+    """Cluster-balanced sampling (r5): nearest-centroid assignment + per-
+    cell hash-rank cap.  The trained quantizer (centroids with their
+    exact ||c||² literals) and the per-row rank hashes are snapshotted;
+    DuckDB recomputes EVERY assignment with the identical score formula
+    (-2·v·c + ||c||², ties → smallest cell) and replays the capping —
+    a wrong cell or a wrong kept-set is a hash mismatch."""
+    import numpy as np
+
+    from go_jsonschema_spark.operators.ann import kmeans_centroids
+    from go_jsonschema_spark.operators.sampling import (
+        diversity_sample, hash_bucket,
+    )
+
+    e = _t(spark, sf, "embeddings")
+    cent = kmeans_centroids(e, n_centroids=16)
+    spark.createDataFrame(
+        [(i, [float(x) for x in c], float(np.dot(c, c)))
+         for i, c in enumerate(cent)],
+        "cell long, cv array<double>, cc double",
+    ).coalesce(1).write.mode("overwrite").parquet(_oracle_snap("centroids"))
+    e.select(
+        "vec_id", hash_bucket(F.col("vec_id"), "diversity").alias("b")
+    ).write.mode("overwrite").parquet(_oracle_snap("div_hash"))
+    return diversity_sample(e, 25, centroids=cent).select("vec_id", "cell")
+
+
 def _q_inferred_spec_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Spec inference (r5): one-pass per-column profile of the documents
     table — the statistics infer_table_spec turns into constraints
@@ -1128,6 +1155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_contamination": _q_semantic_contamination,
         "inferred_spec_documents": _q_inferred_spec_documents,
         "range_join_ship_windows": _q_range_join_ship_windows,
+        "diversity_sample_embeddings": _q_diversity_sample_embeddings,
         "props_json_validation": _q_props_json_validation,
         "props_json_native": _q_props_json_native,
         "props_json_suite": _q_props_json_suite,
@@ -2103,6 +2131,32 @@ def oracle_sql() -> dict[str, str]:
     # the stateful running-count stream folded to final counts equals the
     # batch duplicate-key aggregation — same oracle by construction
     out["streaming_dup_keys"] = out["dup_custkeys_orders"]
+    # diversity sampling: every nearest-centroid assignment recomputed
+    # from the snapshotted quantizer with the IDENTICAL score formula
+    # (-2·v·c + ||c||², ties → smallest cell), capping replayed from the
+    # hash snapshot
+    out["diversity_sample_embeddings"] = f"""
+        WITH c AS (SELECT cell, cv, cc
+                   FROM read_parquet('{_oracle_snap("centroids")}/*.parquet')),
+        a AS (
+            SELECT e.vec_id, c.cell,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY -2 * list_inner_product(
+                                    e.embedding::DOUBLE[], c.cv) + c.cc,
+                                c.cell) AS rn
+            FROM embeddings e CROSS JOIN c
+        ),
+        asg AS (SELECT vec_id, cell FROM a WHERE rn = 1),
+        r AS (
+            SELECT asg.vec_id, asg.cell,
+                   row_number() OVER (PARTITION BY asg.cell
+                                      ORDER BY s.b, asg.vec_id) AS rk
+            FROM asg JOIN read_parquet(
+                '{_oracle_snap("div_hash")}/*.parquet') s USING (vec_id)
+        )
+        SELECT vec_id, cell FROM r WHERE rk <= 25
+    """
     # streaming drift: DuckDB rebuilds the per-hour histograms AND the
     # full-table baseline, aligns buckets per window over the union
     # (missing mass clamped to eps on either side, mirroring psi()),

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 __all__ = ["hash_split", "hash_sample", "stratified_sample", "hash_bucket",
-           "cap_per_group"]
+           "cap_per_group", "diversity_sample"]
 
 _BUCKETS = 1_000_000
 
@@ -119,3 +119,38 @@ def cap_per_group(
         .filter(F.col("__rk__") <= cap)
         .drop("__rk__")
     )
+
+
+def diversity_sample(
+    df: DataFrame,
+    cap: int,
+    *,
+    vec_col: str = "embedding",
+    key: str = "vec_id",
+    centroids=None,
+    n_clusters: int = 16,
+    seed: int = 42,
+):
+    """Cluster-balanced (diversity) sampling: coarse-quantize every row to
+    its nearest centroid (the IVF quantizer — a native argmin expression,
+    zero extra shuffle) and keep at most ``cap`` rows per cell by hash
+    rank.  Where :func:`cap_per_group` caps over-represented SOURCES,
+    this caps over-dense regions of EMBEDDING space (boilerplate/template
+    clusters) so the kept mix covers the space instead of its densest
+    mode — the standard semantic-diversity lever in corpus curation.
+
+    One shuffle (the per-cell rank window); the kept subset is a
+    reproducible uniform sample of each cell, independent of input order
+    and partitioning.  Returns the input rows + ``cell``.  Pass
+    ``centroids`` to reuse a trained quantizer; otherwise a deterministic
+    driver-side mini-KMeans fits one (ann.kmeans_centroids)."""
+    from go_jsonschema_spark.operators.ann import (
+        assign_centroid, kmeans_centroids,
+    )
+
+    if centroids is None:
+        centroids = kmeans_centroids(
+            df, vec_col=vec_col, id_col=key, n_centroids=n_clusters,
+            seed=seed)
+    out = df.withColumn("cell", assign_centroid(F.col(vec_col), centroids))
+    return cap_per_group(out, "cell", cap, key=key, salt="diversity")

@@ -470,3 +470,27 @@ def test_range_join_negative_coords(spark):
         pts, ivs, left_point="x", right_start="lo", right_end="hi",
         bin_width=3.0).collect()}
     assert got == {(1, 9), (2, 8), (3, 8)}
+
+
+# -- diversity (cluster-balanced) sampling (r5) -----------------------------
+
+def test_diversity_sample_caps_cells_and_is_order_independent(spark):
+    from go_jsonschema_spark.operators.sampling import diversity_sample
+
+    df = _toy_vectors(spark, n=200, dim=8)
+    out = diversity_sample(df, 10, n_clusters=4).select("vec_id", "cell")
+    per_cell = {r["cell"]: r["n"] for r in
+                out.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert per_cell and all(n <= 10 for n in per_cell.values())
+    # reproducible: same kept set regardless of partitioning/input order
+    shuffled = df.repartition(7).sortWithinPartitions(F.col("vec_id").desc())
+    out2 = diversity_sample(shuffled, 10, n_clusters=4).select("vec_id", "cell")
+    assert {tuple(r) for r in out.collect()} == {tuple(r) for r in out2.collect()}
+
+
+def test_diversity_sample_passes_small_cells_through(spark):
+    from go_jsonschema_spark.operators.sampling import diversity_sample
+
+    df = _toy_vectors(spark, n=30, dim=8)
+    out = diversity_sample(df, 1000, n_clusters=4)
+    assert out.count() == 30  # cap above every cell size keeps everything
