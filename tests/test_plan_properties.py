@@ -216,3 +216,30 @@ def test_range_join_is_equi_join_not_nested_loop(spark):
     naive = _plan(pts.join(ivs, (F.col("x") >= F.col("lo"))
                            & (F.col("x") <= F.col("hi"))))
     assert "BroadcastNestedLoopJoin" in naive or "CartesianProduct" in naive
+
+
+def test_diversity_sample_single_exchange_no_python(spark):
+    """Nearest-centroid assignment must stay a native argmin expression:
+    ONE Exchange (the per-cell rank window), no Python eval nodes."""
+    from go_jsonschema_spark.operators.sampling import diversity_sample
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    import numpy as np
+
+    cent = np.asarray([[float(i == j) for j in range(64)] for i in range(4)])
+    plan = _plan(diversity_sample(e, 5, centroids=cent))
+    assert plan.count("Exchange (") == 1
+    assert "EvalPython" not in plan
+
+
+def test_semantic_contamination_zero_shuffle(spark):
+    """The corpus side must never shuffle: one MapInPandas over the scan,
+    no Exchange anywhere (probe matrix travels in the closure)."""
+    from go_jsonschema_spark.operators.decontam import semantic_contamination
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    probes = e.filter(F.col("vec_id") < 3)
+    plan = _plan(semantic_contamination(
+        e.filter(F.col("vec_id") >= 3), probes, threshold=0.25))
+    assert plan.count("Exchange (") == 0
+    assert "MapInPandas" in plan
