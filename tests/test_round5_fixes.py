@@ -494,3 +494,54 @@ def test_diversity_sample_passes_small_cells_through(spark):
     df = _toy_vectors(spark, n=30, dim=8)
     out = diversity_sample(df, 1000, n_clusters=4)
     assert out.count() == 30  # cap above every cell size keeps everything
+
+
+# -- curation filters are stream-capable (r5) -------------------------------
+
+def test_contamination_filters_run_on_streams(spark, tmp_path):
+    """Both decontamination forms are STATELESS plans (literal-array
+    intersect; closure-broadcast matmul in mapInPandas), so the same
+    operators run unchanged over readStream — streaming curation needs
+    no new code.  AvailableNow stream output must equal the batch run."""
+    from go_jsonschema_spark.operators.decontam import (
+        contamination_hits, semantic_contamination)
+
+    src = str(tmp_path / "docs")
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "completely unrelated text with no overlap at all here"),
+         (3, "quick brown fox jumps over the lazy dog again and again")],
+        "doc_id long, text string")
+    docs.write.mode("overwrite").parquet(src)
+    probes = spark.createDataFrame(
+        [(9, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string")
+
+    batch = {r["doc_id"]: r["n_hits"] for r in contamination_hits(
+        spark.read.parquet(src), probes, n=8).collect()}
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = (contamination_hits(stream, probes, n=8)
+         .writeStream.format("memory").queryName("contam_stream")
+         .outputMode("append").trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+    streamed = {r["doc_id"]: r["n_hits"]
+                for r in spark.table("contam_stream").collect()}
+    assert streamed == batch and batch  # non-empty and identical
+    spark.catalog.dropTempView("contam_stream")
+
+    vsrc = str(tmp_path / "vecs")
+    corpus = spark.createDataFrame(
+        [(1, [0.9, 0.1]), (2, [0.0, 1.0])], "vec_id long, embedding array<double>")
+    corpus.write.mode("overwrite").parquet(vsrc)
+    vprobes = spark.createDataFrame(
+        [(7, [1.0, 0.0])], "vec_id long, embedding array<double>")
+    vbatch = {r["vec_id"] for r in semantic_contamination(
+        spark.read.parquet(vsrc), vprobes, threshold=0.8).collect()}
+    vstream = spark.readStream.schema(corpus.schema).parquet(vsrc)
+    q2 = (semantic_contamination(vstream, vprobes, threshold=0.8)
+          .writeStream.format("memory").queryName("sem_stream")
+          .outputMode("append").trigger(availableNow=True).start())
+    assert q2.awaitTermination(120)
+    vstreamed = {r["vec_id"] for r in spark.table("sem_stream").collect()}
+    assert vstreamed == vbatch == {1}
+    spark.catalog.dropTempView("sem_stream")
