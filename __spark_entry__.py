@@ -596,6 +596,24 @@ def _q_range_join_ship_windows(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_shipped"))
 
 
+def _q_dup_ngrams_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher's char-weighted repetition family (r5): duplicate word
+    3-gram fraction + fraction of characters inside duplicated 3-grams,
+    computed natively per row (sorted-run aggregate, no explode).
+    DuckDB rebuilds the raw overlapping 3-gram multiset per doc and
+    re-derives both fractions from group-by counts."""
+    from go_jsonschema_spark.functions.text import dup_ngram_metrics
+
+    m = dup_ngram_metrics(F.col("text"), 3)
+    return (
+        _t(spark, sf, "documents")
+        .select("doc_id", m["n_grams"].alias("n_grams"),
+                m["dup_gram_frac"].alias("dup_gram_frac"),
+                m["dup_char_frac"].alias("dup_char_frac"))
+        .filter(F.col("n_grams") > 0)
+    )
+
+
 def _q_diversity_sample_embeddings(spark: SparkSession, sf: str) -> DataFrame:
     """Cluster-balanced sampling (r5): nearest-centroid assignment + per-
     cell hash-rank cap.  The trained quantizer (centroids with their
@@ -1156,6 +1174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inferred_spec_documents": _q_inferred_spec_documents,
         "range_join_ship_windows": _q_range_join_ship_windows,
         "diversity_sample_embeddings": _q_diversity_sample_embeddings,
+        "dup_ngrams_documents": _q_dup_ngrams_documents,
         "props_json_validation": _q_props_json_validation,
         "props_json_native": _q_props_json_native,
         "props_json_suite": _q_props_json_suite,
@@ -1793,6 +1812,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(n_chars) AS DOUBLE),
                    CAST(max(n_chars) AS DOUBLE), NULL, NULL, NULL
             FROM documents
+        """,
+        # duplicate-3-gram repetition: the raw overlapping gram multiset
+        # rebuilt per doc; both fractions re-derived from group-by counts
+        "dup_ngrams_documents": r"""
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(
+                           lower(trim(text)), '\s+'),
+                           x -> len(x) > 0) AS ws
+                FROM documents WHERE text IS NOT NULL
+            ), g AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           range(1, greatest(len(ws) - 2, 0) + 1),
+                           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+                           AS gram
+                FROM w
+            ), c AS (
+                SELECT doc_id, gram, count(*) AS c, length(gram) AS len
+                FROM g GROUP BY 1, 2
+            )
+            SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+                   round(1.0 - count(*)::DOUBLE / sum(c), 6)
+                       AS dup_gram_frac,
+                   round(sum(CASE WHEN c > 1 THEN c * len ELSE 0 END)::DOUBLE
+                         / sum(c * len), 6) AS dup_char_frac
+            FROM c GROUP BY doc_id
         """,
         # binned range join: DuckDB's native BETWEEN join re-derives the
         # per-order count of lineitems shipped inside the 7-day window

@@ -13,6 +13,7 @@ __all__ = [
     "words",
     "token_count",
     "word_shingles",
+    "dup_ngram_metrics",
     "char_ngrams",
     "punct_ratio",
     "stopword_ratio",
@@ -255,3 +256,64 @@ def fingerprint(text: Column) -> Column:
     """Document fingerprint: md5 of the whitespace-normalized, lowercased
     text — the exact-dedup key (stable across engines, so DuckDB can verify)."""
     return F.md5(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "))
+
+
+def dup_ngram_metrics(text: Column, n: int = 3) -> dict[str, Column]:
+    """Gopher's OTHER repetition family (Rae et al. 2021 app. A):
+    duplicate word-n-gram fraction and the fraction of characters inside
+    duplicated n-grams — :func:`gopher_metrics` covers the 2-gram and
+    top-word signals; this adds the configurable-n char-weighted form
+    that catches long templated spans short n-grams dilute.
+
+    Works over the RAW overlapping n-gram list (``word_shingles``
+    deduplicates — unusable for repetition counting), built with the
+    same zip_with chain.  The char fraction uses one sorted-run
+    aggregate (sort groups equal grams adjacent; a run of length c
+    contributes c·len chars), so the whole computation is native
+    per-row expressions — no explode, no shuffle.  Docs with fewer than
+    ``n`` words have zero grams (callers filter ``n_grams > 0``)."""
+    w = F.filter(words(text), lambda x: F.length(x) > 0)
+    acc = w
+    for k in range(2, n + 1):
+        shifted = F.slice(w, k, F.greatest(F.size(w), F.lit(1)))
+        if k == 2:
+            acc = F.zip_with(w, shifted,
+                             lambda a, b: F.concat_ws(" ", a, b))
+        else:
+            acc = F.zip_with(acc, shifted,
+                             lambda p, c: F.concat(p, F.lit(" "), c))
+    grams = F.slice(acc, 1, F.greatest(F.size(w) - (n - 1), F.lit(0)))
+    ng = F.size(grams)
+    dup_gram_frac = F.when(
+        ng > 0,
+        F.round(F.lit(1.0) - F.size(F.array_distinct(grams)) / ng, 6),
+    ).otherwise(F.lit(0.0))
+
+    def _step(a, x):
+        same = x == a["prev"]
+        run = F.when(same, a["run"] + 1).otherwise(F.lit(1))
+        # a run reaching 2 retroactively claims BOTH occurrences' chars;
+        # each further repeat adds its own
+        add = (
+            F.when(same & (run == 2), F.length(x) * 2)
+            .when(same & (run > 2), F.length(x))
+            .otherwise(F.lit(0))
+        )
+        return F.struct(
+            x.alias("prev"), run.alias("run"),
+            (a["dupc"] + add).alias("dupc"),
+            (a["totc"] + F.length(x)).alias("totc"),
+        )
+
+    fin = F.aggregate(
+        F.array_sort(grams),
+        F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                 F.lit(0).cast("long").alias("dupc"),
+                 F.lit(0).cast("long").alias("totc")),
+        _step,
+    )
+    dup_char_frac = F.when(
+        fin["totc"] > 0, F.round(fin["dupc"] / fin["totc"], 6)
+    ).otherwise(F.lit(0.0))
+    return {"n_grams": ng, "dup_gram_frac": dup_gram_frac,
+            "dup_char_frac": dup_char_frac}

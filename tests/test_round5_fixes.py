@@ -545,3 +545,27 @@ def test_contamination_filters_run_on_streams(spark, tmp_path):
     vstreamed = {r["vec_id"] for r in spark.table("sem_stream").collect()}
     assert vstreamed == vbatch == {1}
     spark.catalog.dropTempView("sem_stream")
+
+
+# -- duplicate n-gram char metrics (r5) -------------------------------------
+
+def test_dup_ngram_metrics_hand_computed(spark):
+    from go_jsonschema_spark.functions.text import dup_ngram_metrics
+
+    # "a b c a b c a b" -> 3-grams: [abc, bca, cab, abc, bca, cab] with
+    # counts {abc:2, bca:2, cab:2} -> every gram duplicated
+    df = spark.createDataFrame(
+        [(1, "a b c a b c a b"),
+         (2, "x y z w"),          # 2 grams, both unique
+         (3, "one two")],         # < 3 words -> zero grams
+        "doc_id long, text string")
+    m = dup_ngram_metrics(F.col("text"), 3)
+    rows = {r["doc_id"]: r for r in df.select(
+        "doc_id", m["n_grams"].alias("n"),
+        m["dup_gram_frac"].alias("dg"),
+        m["dup_char_frac"].alias("dc")).collect()}
+    assert rows[1]["n"] == 6
+    assert rows[1]["dg"] == pytest.approx(0.5)       # 3 distinct of 6
+    assert rows[1]["dc"] == pytest.approx(1.0)       # all chars in dups
+    assert rows[2]["n"] == 2 and rows[2]["dg"] == 0.0 and rows[2]["dc"] == 0.0
+    assert rows[3]["n"] == 0
