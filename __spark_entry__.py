@@ -596,6 +596,28 @@ def _q_range_join_ship_windows(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_shipped"))
 
 
+def _q_resample_purchases(spark: SparkSession, sf: str) -> DataFrame:
+    """Dense-grid resampling with gap fill (r5): hourly purchase events
+    onto a gap-free hour grid — counts zero-filled, the hourly average
+    value forward-filled across empty hours.  DuckDB regenerates the
+    spine with generate_series and replays both fills (coalesce /
+    last_value IGNORE NULLS)."""
+    from go_jsonschema_spark.operators.timeseries import resample
+
+    ev = _t(spark, sf, "events").filter(
+        (F.col("event_type") == "purchase") & F.col("ts").isNotNull())
+    out = resample(
+        ev, ts_col="ts", step_seconds=3600,
+        aggs={
+            "n_purchases": (F.count(F.lit(1)), "zero"),
+            "avg_value_ff": (F.round(F.avg("value"), 4), "prev"),
+        })
+    return out.select(
+        F.col("bucket_ts").cast("string").alias("bucket_ts"),
+        F.col("n_purchases").cast("long").alias("n_purchases"),
+        "avg_value_ff")
+
+
 def _q_dup_ngrams_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Gopher's char-weighted repetition family (r5): duplicate word
     3-gram fraction + fraction of characters inside duplicated 3-grams,
@@ -1175,6 +1197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_ship_windows": _q_range_join_ship_windows,
         "diversity_sample_embeddings": _q_diversity_sample_embeddings,
         "dup_ngrams_documents": _q_dup_ngrams_documents,
+        "resample_purchases": _q_resample_purchases,
         "props_json_validation": _q_props_json_validation,
         "props_json_native": _q_props_json_native,
         "props_json_suite": _q_props_json_suite,
@@ -1812,6 +1835,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(n_chars) AS DOUBLE),
                    CAST(max(n_chars) AS DOUBLE), NULL, NULL, NULL
             FROM documents
+        """,
+        # dense-grid resampling: spine regenerated with generate_series,
+        # zero fill via coalesce, forward fill via last_value IGNORE NULLS
+        "resample_purchases": """
+            WITH src AS (
+                SELECT date_trunc('hour', ts) AS b, value
+                FROM events
+                WHERE event_type = 'purchase' AND ts IS NOT NULL
+            ), a AS (
+                SELECT b, count(*) AS c, round(avg(value), 4) AS av
+                FROM src GROUP BY 1
+            ), bounds AS (SELECT min(b) AS lo, max(b) AS hi FROM src),
+            spine AS (
+                SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS b
+                FROM bounds
+            )
+            SELECT CAST(s.b AS VARCHAR) AS bucket_ts,
+                   coalesce(a.c, 0) AS n_purchases,
+                   CAST(last_value(a.av IGNORE NULLS) OVER (
+                       ORDER BY s.b ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS DOUBLE) AS avg_value_ff
+            FROM spine s LEFT JOIN a ON s.b = a.b
         """,
         # duplicate-3-gram repetition: the raw overlapping gram multiset
         # rebuilt per doc; both fractions re-derived from group-by counts

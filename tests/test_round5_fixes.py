@@ -569,3 +569,59 @@ def test_dup_ngram_metrics_hand_computed(spark):
     assert rows[1]["dc"] == pytest.approx(1.0)       # all chars in dups
     assert rows[2]["n"] == 2 and rows[2]["dg"] == 0.0 and rows[2]["dc"] == 0.0
     assert rows[3]["n"] == 0
+
+
+# -- dense-grid resampling with gap fill (r5) -------------------------------
+
+def test_resample_fills_gaps_all_policies(spark):
+    from go_jsonschema_spark.operators.timeseries import resample
+
+    rows = [("2024-01-01 00:10:00", 10.0), ("2024-01-01 00:40:00", 30.0),
+            # hours 01 and 02 empty
+            ("2024-01-01 03:05:00", 50.0)]
+    df = spark.createDataFrame(rows, "ts string, v double") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {str(r["bucket_ts"]): r for r in resample(
+        df, ts_col="ts", step_seconds=3600,
+        aggs={"n": (F.count(F.lit(1)), "zero"),
+              "avg_ff": (F.avg("v"), "prev"),
+              "avg_lin": (F.avg("v"), "linear"),
+              "avg_raw": (F.avg("v"), "null")},
+    ).collect()}
+    assert len(out) == 4  # dense: hours 00..03 all present
+    h0, h1, h2, h3 = (out[f"2024-01-01 0{i}:00:00"] for i in range(4))
+    assert (h0["n"], h1["n"], h2["n"], h3["n"]) == (2, 0, 0, 1)
+    assert h1["avg_raw"] is None and h2["avg_raw"] is None  # hole visible
+    assert h1["avg_ff"] == h2["avg_ff"] == 20.0             # forward fill
+    # linear between 20.0@00 and 50.0@03 -> 30@01, 40@02
+    assert h1["avg_lin"] == pytest.approx(30.0)
+    assert h2["avg_lin"] == pytest.approx(40.0)
+    assert h3["avg_lin"] == 50.0
+
+
+def test_resample_grouped_shares_one_spine(spark):
+    from go_jsonschema_spark.operators.timeseries import resample
+
+    rows = [("a", "2024-01-01 00:00:00", 1.0),
+            ("a", "2024-01-01 02:00:00", 3.0),
+            ("b", "2024-01-01 01:00:00", 9.0)]
+    df = spark.createDataFrame(rows, "g string, ts string, v double") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    out = resample(df, ts_col="ts", step_seconds=3600, group_col="g",
+                   aggs={"n": (F.count(F.lit(1)), "zero")})
+    per_group = {r["g"]: r["n_buckets"] for r in out.groupBy("g")
+                 .agg(F.count(F.lit(1)).alias("n_buckets")).collect()}
+    # every group covers the full global grid (hours 00-02)
+    assert per_group == {"a": 3, "b": 3}
+
+
+def test_resample_empty_input(spark):
+    from go_jsonschema_spark.operators.timeseries import resample
+
+    df = spark.createDataFrame([], "ts timestamp, v double")
+    out = resample(df, ts_col="ts", step_seconds=60,
+                   aggs={"n": (F.count(F.lit(1)), "zero")})
+    assert out.count() == 0
+    with pytest.raises(ValueError, match="unknown fill"):
+        resample(df, ts_col="ts", step_seconds=60,
+                 aggs={"n": (F.count(F.lit(1)), "bogus")})
