@@ -596,6 +596,19 @@ def _q_range_join_ship_windows(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_shipped"))
 
 
+def _q_latest_event_per_user(spark: SparkSession, sf: str) -> DataFrame:
+    """CDC compaction (r5): latest event per user via one max(struct)
+    aggregation — no per-key sort.  Ties on ts resolve by event_id
+    (unique), matching the oracle's row_number replay exactly."""
+    from go_jsonschema_spark.operators.uniqueness import compact_latest
+
+    ev = _t(spark, sf, "events").filter(F.col("ts").isNotNull()).select(
+        "user_id", "ts", "event_id", "event_type", "value")
+    return compact_latest(ev, "user_id", "ts").select(
+        "user_id", F.col("ts").cast("string").alias("ts"),
+        "event_id", "event_type", F.round("value", 4).alias("value"))
+
+
 def _q_resample_purchases(spark: SparkSession, sf: str) -> DataFrame:
     """Dense-grid resampling with gap fill (r5): hourly purchase events
     onto a gap-free hour grid — counts zero-filled, the hourly average
@@ -1198,6 +1211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diversity_sample_embeddings": _q_diversity_sample_embeddings,
         "dup_ngrams_documents": _q_dup_ngrams_documents,
         "resample_purchases": _q_resample_purchases,
+        "latest_event_per_user": _q_latest_event_per_user,
         "props_json_validation": _q_props_json_validation,
         "props_json_native": _q_props_json_native,
         "props_json_suite": _q_props_json_suite,
@@ -1835,6 +1849,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(n_chars) AS DOUBLE),
                    CAST(max(n_chars) AS DOUBLE), NULL, NULL, NULL
             FROM documents
+        """,
+        # CDC compaction: latest row per key replayed with row_number
+        # (event_id is unique, so the tie chain never goes deeper)
+        "latest_event_per_user": """
+            SELECT user_id, CAST(ts AS VARCHAR) AS ts, event_id,
+                   event_type, round(value, 4) AS value
+            FROM (
+                SELECT user_id, ts, event_id, event_type, value,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events WHERE ts IS NOT NULL
+            ) t WHERE rn = 1
         """,
         # dense-grid resampling: spine regenerated with generate_series,
         # zero fill via coalesce, forward fill via last_value IGNORE NULLS

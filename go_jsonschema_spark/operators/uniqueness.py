@@ -19,7 +19,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["duplicate_keys", "uniqueness_violations", "approx_unique_ratio"]
+__all__ = ["duplicate_keys", "uniqueness_violations", "approx_unique_ratio",
+           "compact_latest"]
 
 
 def _key_col(key: str | list[str]):
@@ -108,3 +109,33 @@ def approx_unique_ratio(df: DataFrame, key: str) -> DataFrame:
         F.approx_count_distinct(key).alias("n_distinct_approx"),
         (F.approx_count_distinct(key) / F.count(key)).alias("unique_ratio"),
     )
+
+
+def compact_latest(
+    df: DataFrame, key: str | list[str], ts_col: str
+) -> DataFrame:
+    """CDC/upsert compaction: the LATEST record per key by ``ts_col`` —
+    the ingest primitive that folds an append-only change log down to
+    current state (and the keep-one resolution for keys
+    :func:`duplicate_keys` flags).
+
+    ONE ``max(struct(ts, payload…))`` aggregation — partial+final with
+    map-side combine (Spark plans the struct-max as SortAggregate,
+    sorted by GROUP KEY only), so a hot key collapses to one partial row
+    per map task and the exchange never carries per-version rows (a
+    ``row_number`` window would shuffle AND sort every version of every
+    key).  Ties on
+    ``ts_col`` resolve deterministically by the remaining columns in
+    DataFrame order (struct comparison is lexicographic); rows with null
+    ``ts_col`` lose to any timestamped row (null-first struct ordering).
+    Output keeps the input column order."""
+    keys = [key] if isinstance(key, str) else list(key)
+    payload = [c for c in df.columns if c not in keys and c != ts_col]
+    packed = F.struct(
+        F.col(ts_col), *[F.col(c) for c in payload])
+    agged = df.groupBy(*keys).agg(F.max(packed).alias("__r__"))
+    return agged.select(*[
+        c if c in keys
+        else F.col(f"__r__.{c}").alias(c)
+        for c in df.columns
+    ])

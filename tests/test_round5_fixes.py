@@ -625,3 +625,56 @@ def test_resample_empty_input(spark):
     with pytest.raises(ValueError, match="unknown fill"):
         resample(df, ts_col="ts", step_seconds=60,
                  aggs={"n": (F.count(F.lit(1)), "bogus")})
+
+
+# -- CDC compaction: latest per key (r5) ------------------------------------
+
+def test_compact_latest_semantics(spark):
+    from go_jsonschema_spark.operators.uniqueness import compact_latest
+
+    rows = [(1, "2024-01-01 00:00:00", "old"),
+            (1, "2024-01-02 00:00:00", "new"),
+            (2, "2024-01-01 00:00:00", "only"),
+            (3, None, "null-ts"),
+            (3, "2024-01-01 00:00:00", "ts-wins")]
+    df = spark.createDataFrame(rows, "k long, ts string, v string") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {r["k"]: r["v"] for r in compact_latest(df, "k", "ts").collect()}
+    assert got == {1: "new", 2: "only", 3: "ts-wins"}
+    # output preserves input column order
+    assert compact_latest(df, "k", "ts").columns == ["k", "ts", "v"]
+
+
+def test_compact_latest_tie_breaks_by_remaining_columns(spark):
+    from go_jsonschema_spark.operators.uniqueness import compact_latest
+
+    rows = [(1, "2024-01-01 00:00:00", 5, "a"),
+            (1, "2024-01-01 00:00:00", 9, "b")]   # same ts -> id 9 wins
+    df = spark.createDataFrame(rows, "k long, ts string, id long, v string") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    [r] = compact_latest(df, "k", "ts").collect()
+    assert (r["id"], r["v"]) == (9, "b")
+
+
+def test_compact_latest_single_exchange(spark):
+    """ONE aggregation shuffle and no Window operator: the shuffle
+    carries one partial max per key per map task (SortAggregate's sort
+    is by GROUP KEY for the struct-max buffer — map-side combine still
+    collapses hot keys before the exchange), unlike a row_number window
+    which ships and sorts every version of every key."""
+    from go_jsonschema_spark.operators.uniqueness import compact_latest
+
+    df = spark.range(1000).select(
+        (F.col("id") % 10).alias("k"),
+        F.timestamp_seconds(F.col("id")).alias("ts"),
+        F.col("id").alias("v"))
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        compact_latest(df, "k", "ts").explain("formatted")
+    plan = buf.getvalue()
+    assert plan.count("Exchange (") == 1
+    assert "Window" not in plan
+    # partial (map-side) aggregation present before the exchange
+    assert plan.index("SortAggregate") < plan.index("Exchange (")
