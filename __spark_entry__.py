@@ -1108,6 +1108,31 @@ def _q_rollup_lineitem(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_cube_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouping sets, full lattice: CUBE adds the per-linestatus margins
+    ROLLUP omits — one Expand + one aggregation, no repeated scans."""
+    li = _t(spark, sf, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def _q_pivot_hourly_event_types(spark: SparkSession, sf: str) -> DataFrame:
+    """Wide aggregation: per-hour event counts pivoted into one column
+    per event type (explicit value list — no extra distinct pass, and
+    the output schema is stable for the oracle)."""
+    all_types = ["click", "error", "purchase", "signup", "view"]
+    ev = _t(spark, sf, "events").filter(F.col("ts").isNotNull())
+    return (
+        ev.groupBy(F.date_trunc("hour", "ts").cast("string")
+                   .alias("hour"))
+        .pivot("event_type", all_types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, all_types)
+    )
+
+
 def _stats_snapshot_path() -> str:
     import os
 
@@ -1190,6 +1215,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_event_counts": _q_hourly_event_counts,
         "rolling_hourly_avg": _q_rolling_hourly_avg,
         "rollup_lineitem": _q_rollup_lineitem,
+        "cube_lineitem": _q_cube_lineitem,
+        "pivot_hourly_event_types": _q_pivot_hourly_event_types,
         "token_counts_documents": _q_token_counts_documents,
         "fingerprints_documents": _q_fingerprints_documents,
         "quality_documents": _q_quality_documents,
@@ -1681,6 +1708,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
             FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "cube_lineitem": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+            FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "pivot_hourly_event_types": """
+            SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour,
+                   CAST(sum(CASE WHEN event_type = 'click' THEN 1
+                            ELSE 0 END) AS BIGINT) AS click,
+                   CAST(sum(CASE WHEN event_type = 'error' THEN 1
+                            ELSE 0 END) AS BIGINT) AS error,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1
+                            ELSE 0 END) AS BIGINT) AS purchase,
+                   CAST(sum(CASE WHEN event_type = 'signup' THEN 1
+                            ELSE 0 END) AS BIGINT) AS signup,
+                   CAST(sum(CASE WHEN event_type = 'view' THEN 1
+                            ELSE 0 END) AS BIGINT) AS view
+            FROM events WHERE ts IS NOT NULL GROUP BY 1
         """,
         "token_counts_documents": _TOKEN_COUNTS_ORACLE,
         "fingerprints_documents": r"""
