@@ -596,6 +596,17 @@ def _q_range_join_ship_windows(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_shipped"))
 
 
+def _q_funnel_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered funnel (r5): view → click → purchase in strict event-time
+    order, computed as a native per-user state machine (one shuffle, no
+    Python).  DuckDB replays the equivalent sequential min-timestamp
+    formulation (strict > between steps makes the two provably equal)."""
+    from go_jsonschema_spark.operators.funnel import funnel_counts
+
+    return funnel_counts(
+        _t(spark, sf, "events"), ["view", "click", "purchase"])
+
+
 def _q_latest_event_per_user(spark: SparkSession, sf: str) -> DataFrame:
     """CDC compaction (r5): latest event per user via one max(struct)
     aggregation — no per-key sort.  Ties on ts resolve by event_id
@@ -1239,6 +1250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_ngrams_documents": _q_dup_ngrams_documents,
         "resample_purchases": _q_resample_purchases,
         "latest_event_per_user": _q_latest_event_per_user,
+        "funnel_events": _q_funnel_events,
         "props_json_validation": _q_props_json_validation,
         "props_json_native": _q_props_json_native,
         "props_json_suite": _q_props_json_suite,
@@ -1895,6 +1907,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(n_chars) AS DOUBLE),
                    CAST(max(n_chars) AS DOUBLE), NULL, NULL, NULL
             FROM documents
+        """,
+        # ordered funnel: sequential min-timestamp replay (strict > between
+        # steps == the engine's greedy state machine, see funnel.py)
+        "funnel_events": """
+            WITH s1 AS (
+                SELECT user_id, min(ts) AS t
+                FROM events
+                WHERE event_type = 'view' AND ts IS NOT NULL
+                GROUP BY 1
+            ), s2 AS (
+                SELECT e.user_id, min(e.ts) AS t
+                FROM events e JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = 'click' AND e.ts > s1.t
+                GROUP BY 1
+            ), s3 AS (
+                SELECT e.user_id, min(e.ts) AS t
+                FROM events e JOIN s2 ON e.user_id = s2.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > s2.t
+                GROUP BY 1
+            )
+            SELECT 1 AS step_idx, 'view' AS step,
+                   (SELECT count(*) FROM s1) AS n_users
+            UNION ALL
+            SELECT 2, 'click', (SELECT count(*) FROM s2)
+            UNION ALL
+            SELECT 3, 'purchase', (SELECT count(*) FROM s3)
         """,
         # CDC compaction: latest row per key replayed with row_number
         # (event_id is unique, so the tie chain never goes deeper)

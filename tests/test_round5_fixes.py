@@ -678,3 +678,48 @@ def test_compact_latest_single_exchange(spark):
     assert "Window" not in plan
     # partial (map-side) aggregation present before the exchange
     assert plan.index("SortAggregate") < plan.index("Exchange (")
+
+
+# -- ordered funnel (r5) ----------------------------------------------------
+
+def test_funnel_hand_cases(spark):
+    from go_jsonschema_spark.operators.funnel import funnel_counts, funnel_users
+
+    rows = [
+        # u1 completes all three in order
+        (1, "00:01", "view"), (1, "00:02", "click"), (1, "00:03", "purchase"),
+        # u2: purchase BEFORE click -> depth 1 only... view then purchase
+        (2, "00:01", "view"), (2, "00:02", "purchase"),
+        # u3: click first, view later, no click after the view -> depth 1
+        (3, "00:01", "click"), (3, "00:02", "view"),
+        # u4: equal timestamps must NOT chain (strict >)
+        (4, "00:01", "view"), (4, "00:01", "click"),
+        # u5: no funnel events at all -> depth 0 (excluded from counts)
+        (5, "00:01", "error"),
+    ]
+    df = spark.createDataFrame(
+        [(u, f"2024-01-01 {t}:00", e) for u, t, e in rows],
+        "user_id long, ts string, event_type string") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    depths = {r["user_id"]: r["n_steps"] for r in funnel_users(
+        df, ["view", "click", "purchase"]).collect()}
+    assert depths == {1: 3, 2: 1, 3: 1, 4: 1}  # u5 filtered (no steps)
+    counts = {r["step"]: r["n_users"] for r in funnel_counts(
+        df, ["view", "click", "purchase"]).collect()}
+    assert counts == {"view": 4, "click": 1, "purchase": 1}
+
+
+def test_funnel_is_native_single_user_shuffle(spark):
+    from go_jsonschema_spark.operators.funnel import funnel_users
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "view")],
+        "user_id long, ts string, event_type string") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        funnel_users(df, ["view", "click"]).explain("formatted")
+    plan = buf.getvalue()
+    assert "EvalPython" not in plan  # the state machine stays JVM-side
