@@ -596,6 +596,35 @@ def _q_range_join_ship_windows(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_shipped"))
 
 
+def _q_retention_cohorts(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort retention (r5): users grouped by first-seen day, activity
+    counted per day offset — the standard growth-analytics matrix, fully
+    native (two aggregations + one broadcast-able join of per-user
+    firsts against distinct (user, day) activity pairs)."""
+    ev = _t(spark, sf, "events").filter(F.col("ts").isNotNull())
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day"))
+    active = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    return (
+        active.join(firsts, "user_id")
+        .groupBy(
+            F.col("cohort_day").cast("string").alias("cohort_day"),
+            F.datediff("d", "cohort_day").cast("long")
+            .alias("offset_days"))
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
+def _q_unpivot_hourly_event_types(spark: SparkSession, sf: str) -> DataFrame:
+    """Unpivot/melt (r5): the pivoted wide hourly table folded back to
+    long form via DataFrame.unpivot — round-trips the pivot surface;
+    DuckDB replays it as a plain (hour, type) aggregation."""
+    wide = _q_pivot_hourly_event_types(spark, sf)
+    types = ["click", "error", "purchase", "signup", "view"]
+    return wide.unpivot(
+        "hour", types, "event_type", "n").filter(F.col("n") > 0)
+
+
 def _q_funnel_events(spark: SparkSession, sf: str) -> DataFrame:
     """Ordered funnel (r5): view → click → purchase in strict event-time
     order, computed as a native per-user state machine (one shuffle, no
@@ -1251,6 +1280,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_purchases": _q_resample_purchases,
         "latest_event_per_user": _q_latest_event_per_user,
         "funnel_events": _q_funnel_events,
+        "retention_cohorts": _q_retention_cohorts,
+        "unpivot_hourly_event_types": _q_unpivot_hourly_event_types,
         "props_json_validation": _q_props_json_validation,
         "props_json_native": _q_props_json_native,
         "props_json_suite": _q_props_json_suite,
@@ -1907,6 +1938,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(n_chars) AS DOUBLE),
                    CAST(max(n_chars) AS DOUBLE), NULL, NULL, NULL
             FROM documents
+        """,
+        # cohort retention: first-seen day x activity-day offsets
+        "retention_cohorts": """
+            WITH firsts AS (
+                SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+                FROM events WHERE ts IS NOT NULL GROUP BY 1
+            ), active AS (
+                SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+                FROM events WHERE ts IS NOT NULL
+            )
+            SELECT CAST(f.cohort_day AS VARCHAR) AS cohort_day,
+                   datediff('day', f.cohort_day, a.d) AS offset_days,
+                   count(*) AS n_active
+            FROM active a JOIN firsts f USING (user_id)
+            GROUP BY 1, 2
+        """,
+        # unpivot round-trip: the long form is just the per-(hour, type)
+        # count aggregation
+        "unpivot_hourly_event_types": """
+            SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour,
+                   event_type, count(*) AS n
+            FROM events WHERE ts IS NOT NULL
+            GROUP BY 1, 2
         """,
         # ordered funnel: sequential min-timestamp replay (strict > between
         # steps == the engine's greedy state machine, see funnel.py)
