@@ -109,6 +109,13 @@ def range_join(
     pointless rows via a final anti-join union, still no nested loop)."""
     if how not in ("inner", "left"):
         raise ValueError(f"range_join: how={how!r} (inner|left)")
+    overlap = set(left.columns) & set(right.columns)
+    if overlap:
+        # a shared name would silently produce duplicate-named output
+        # columns that only fail (ambiguously) at first reference
+        raise ValueError(
+            f"range_join: column name(s) {sorted(overlap)} exist on both "
+            "sides; rename before joining")
     w = float(bin_width)
     lbin = F.floor(F.col(left_point) / w).cast("long")
     r = right.withColumn(

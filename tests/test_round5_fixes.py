@@ -686,8 +686,11 @@ def test_funnel_hand_cases(spark):
     from go_jsonschema_spark.operators.funnel import funnel_counts, funnel_users
 
     rows = [
-        # u1 completes all three in order
+        # u1 completes all three in order, with trailing step events
+        # AFTER full completion (the state machine must not walk past
+        # the step list — pins element_at bounds safety under ANSI)
         (1, "00:01", "view"), (1, "00:02", "click"), (1, "00:03", "purchase"),
+        (1, "00:04", "view"), (1, "00:05", "purchase"),
         # u2: purchase BEFORE click -> depth 1 only... view then purchase
         (2, "00:01", "view"), (2, "00:02", "purchase"),
         # u3: click first, view later, no click after the view -> depth 1
@@ -723,3 +726,13 @@ def test_funnel_is_native_single_user_shuffle(spark):
         funnel_users(df, ["view", "click"]).explain("formatted")
     plan = buf.getvalue()
     assert "EvalPython" not in plan  # the state machine stays JVM-side
+
+
+def test_range_join_rejects_overlapping_columns(spark):
+    from go_jsonschema_spark.operators.asof import range_join
+
+    a = spark.createDataFrame([(1, 1.0)], "id long, x double")
+    b = spark.createDataFrame([(2, 0.0, 5.0)], "id long, lo double, hi double")
+    with pytest.raises(ValueError, match="both"):
+        range_join(a, b, left_point="x", right_start="lo",
+                   right_end="hi", bin_width=5.0)
