@@ -64,6 +64,27 @@ def profile_table(
     min_len/max_len and integral-element bounds under min_num/max_num
     (feeding minItems/maxItems + items bounds in
     :func:`infer_table_spec`)."""
+    rows, enums = _profile_rows(df, columns, enum_max=enum_max,
+                                approx=approx)
+    out = [r[:-1] + (",".join(enums[r[0]]) if r[0] in enums else None,)
+           for r in rows]
+    return df.sparkSession.createDataFrame(out, PROFILE_SCHEMA)
+
+
+def _profile_rows(
+    df: DataFrame,
+    columns: list[str] | None,
+    *,
+    enum_max: int,
+    approx: bool,
+):
+    """Shared profiling core.  Returns ``(rows, enums)`` where ``rows``
+    are PROFILE_SCHEMA tuples with a None placeholder in the enum slot
+    and ``enums`` maps qualifying string columns to their SORTED VALUE
+    LISTS — :func:`infer_table_spec` consumes the lists directly, so an
+    enum value containing a comma can never corrupt the generated spec
+    (the comma-joined form exists only for the display/oracle
+    DataFrame)."""
     dtypes = {f.name: f.dataType for f in df.schema.fields}
     cols = columns or list(dtypes)
 
@@ -99,25 +120,24 @@ def profile_table(
         if isinstance(dtypes[c], T.StringType)
         and int(row[f"{c}__nd"]) <= enum_max
     ]
-    enums: dict[str, str] = {}
+    enums: dict[str, list[str]] = {}
     if enum_cols:
         erow = df.agg(*[F.collect_set(F.col(c)).alias(c)
                         for c in enum_cols]).first()
         for c in enum_cols:
-            enums[c] = ",".join(sorted(erow[c]))
+            enums[c] = sorted(erow[c])
 
-    out = []
+    d = row.asDict()
+    rows = []
     for c in cols:
-        out.append((
+        rows.append((
             c, _jtype(dtypes[c]), int(row["__n__"]),
             int(row[f"{c}__null"]), int(row[f"{c}__nd"]),
-            row[f"{c}__min"] if f"{c}__min" in row.asDict() else None,
-            row[f"{c}__max"] if f"{c}__max" in row.asDict() else None,
-            row[f"{c}__minl"] if f"{c}__minl" in row.asDict() else None,
-            row[f"{c}__maxl"] if f"{c}__maxl" in row.asDict() else None,
-            enums.get(c),
+            d.get(f"{c}__min"), d.get(f"{c}__max"),
+            d.get(f"{c}__minl"), d.get(f"{c}__maxl"),
+            None,
         ))
-    return df.sparkSession.createDataFrame(out, PROFILE_SCHEMA)
+    return rows, enums
 
 
 def infer_table_spec(
@@ -138,8 +158,14 @@ def infer_table_spec(
     its own inferred spec by construction."""
     from go_jsonschema_spark.spec import TableSpec
 
-    prof = profile_table(df, columns, enum_max=enum_max, approx=approx)
-    rows = {r["column"]: r for r in prof.collect()}
+    raw, enums = _profile_rows(df, columns, enum_max=enum_max,
+                               approx=approx)
+    prof = df.sparkSession.createDataFrame(
+        [r[:-1] + (",".join(enums[r[0]]) if r[0] in enums else None,)
+         for r in raw], PROFILE_SCHEMA)
+    names = ["column", "jtype", "n_rows", "n_null", "n_distinct",
+             "min_num", "max_num", "min_len", "max_len", "enum_csv"]
+    rows = {r[0]: dict(zip(names, r)) for r in raw}
     specs: dict[str, Any] = {}
     table_checks: list[dict[str, Any]] = []
     for c, r in rows.items():
@@ -152,9 +178,10 @@ def infer_table_spec(
                 s["minimum"] = int(s["minimum"])
                 s["maximum"] = int(s["maximum"])
         elif jt == "string":
-            if r["enum_csv"] is not None:
-                vals: list[Any] = r["enum_csv"].split(",") if r["enum_csv"] \
-                    else []
+            if c in enums:
+                # the VALUE LIST, not the display csv — a value containing
+                # a comma must not split into bogus enum members
+                vals: list[Any] = list(enums[c])
                 if nn:
                     vals.append(None)
                 s = {"enum": vals}

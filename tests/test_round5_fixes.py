@@ -736,3 +736,16 @@ def test_range_join_rejects_overlapping_columns(spark):
     with pytest.raises(ValueError, match="both"):
         range_join(a, b, left_point="x", right_start="lo",
                    right_end="hi", bin_width=5.0)
+
+
+def test_inferred_enum_values_with_commas_survive(spark):
+    """An enum value containing a comma must reach the spec intact —
+    only the profile DataFrame's display column is comma-joined."""
+    from go_jsonschema_spark.engine import ConstraintSuite
+    from go_jsonschema_spark.infer import infer_table_spec
+
+    df = spark.createDataFrame(
+        [(1, "a,b"), (2, "c"), (3, "a,b")], "id long, cat string")
+    spec, prof = infer_table_spec(df)
+    assert spec.columns["cat"]["enum"] == ["a,b", "c"]
+    assert ConstraintSuite(spec, key="id").run(df).violations.count() == 0
