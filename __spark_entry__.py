@@ -596,6 +596,44 @@ def _q_range_join_ship_windows(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_shipped"))
 
 
+def _q_weighted_sample_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Importance sampling (r5): per-row keep probability = the doc's
+    quality score, decided by the same pure-hash uniform as every other
+    sampling op.  The per-doc hash is snapshotted; DuckDB recomputes the
+    quality score from scratch (the existing replica) and replays every
+    keep decision."""
+    from go_jsonschema_spark.functions.text import quality_score
+    from go_jsonschema_spark.operators.sampling import (
+        hash_bucket, weighted_sample,
+    )
+
+    docs = _t(spark, sf, "documents")
+    docs.select(
+        "doc_id", hash_bucket(F.col("doc_id"), "wsample").alias("b")
+    ).write.mode("overwrite").parquet(_oracle_snap("wsample_hash"))
+    return weighted_sample(
+        docs, quality_score(F.col("text")), key="doc_id"
+    ).select("doc_id", "source")
+
+
+def _q_completeness_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """The engine's completeness metric surface (r5: oracle-paired —
+    previously pytest-only): per-column null ratios vs a threshold, one
+    column-pruned aggregation pass."""
+    from go_jsonschema_spark.engine import ConstraintSuite
+    from go_jsonschema_spark.spec import TableSpec
+
+    cols = ["doc_id", "text", "lang", "source"]
+    suite = ConstraintSuite(TableSpec(table_checks=[{
+        "kind": "completeness", "id": "comp", "columns": cols,
+        "max_null_ratio": 0.05}]), key="doc_id")
+    m = suite.metrics(_t(spark, sf, "documents"))["comp"]
+    return spark.createDataFrame(
+        [(c, round(v["null_ratio"], 6), bool(v["passed"]))
+         for c, v in m.items()],
+        "column string, null_ratio double, passed boolean")
+
+
 def _q_retention_cohorts(spark: SparkSession, sf: str) -> DataFrame:
     """Cohort retention (r5): users grouped by first-seen day, activity
     counted per day offset — the standard growth-analytics matrix, fully
@@ -1281,6 +1319,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_event_per_user": _q_latest_event_per_user,
         "funnel_events": _q_funnel_events,
         "retention_cohorts": _q_retention_cohorts,
+        "weighted_sample_documents": _q_weighted_sample_documents,
+        "completeness_documents": _q_completeness_documents,
         "unpivot_hourly_event_types": _q_unpivot_hourly_event_types,
         "props_json_validation": _q_props_json_validation,
         "props_json_native": _q_props_json_native,
@@ -2387,6 +2427,41 @@ def oracle_sql() -> dict[str, str]:
     # the stateful running-count stream folded to final counts equals the
     # batch duplicate-key aggregation — same oracle by construction
     out["streaming_dup_keys"] = out["dup_custkeys_orders"]
+    # importance sampling: DuckDB recomputes the quality weight from
+    # scratch and replays keep-iff-hash-uniform-below-weight; Spark's
+    # long cast and SQL floor agree because both truncate the identical
+    # IEEE double product toward zero for non-negative weights
+    out["weighted_sample_documents"] = f"""
+        SELECT d.doc_id, d.source
+        FROM documents d
+        JOIN read_parquet('{_oracle_snap("wsample_hash")}/*.parquet') s
+          ON s.doc_id = d.doc_id
+        JOIN ({_QUALITY_ORACLE}) q ON q.doc_id = d.doc_id
+        WHERE s.b < CAST(floor(least(greatest(q.q, 0.0), 1.0) * 1000000)
+                         AS BIGINT)
+    """
+    # completeness metric: per-column null ratios + threshold verdicts
+    out["completeness_documents"] = """
+        SELECT 'doc_id' AS column,
+               round((count(*) - count(doc_id))::DOUBLE / count(*), 6)
+                   AS null_ratio,
+               ((count(*) - count(doc_id))::DOUBLE / count(*)) <= 0.05
+                   AS passed
+        FROM documents
+        UNION ALL
+        SELECT 'text', round((count(*) - count(text))::DOUBLE / count(*), 6),
+               ((count(*) - count(text))::DOUBLE / count(*)) <= 0.05
+        FROM documents
+        UNION ALL
+        SELECT 'lang', round((count(*) - count(lang))::DOUBLE / count(*), 6),
+               ((count(*) - count(lang))::DOUBLE / count(*)) <= 0.05
+        FROM documents
+        UNION ALL
+        SELECT 'source',
+               round((count(*) - count(source))::DOUBLE / count(*), 6),
+               ((count(*) - count(source))::DOUBLE / count(*)) <= 0.05
+        FROM documents
+    """
     # diversity sampling: every nearest-centroid assignment recomputed
     # from the snapshotted quantizer with the IDENTICAL score formula
     # (-2·v·c + ||c||², ties → smallest cell), capping replayed from the

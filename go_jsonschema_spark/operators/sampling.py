@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 __all__ = ["hash_split", "hash_sample", "stratified_sample", "hash_bucket",
-           "cap_per_group", "diversity_sample"]
+           "cap_per_group", "diversity_sample", "weighted_sample"]
 
 _BUCKETS = 1_000_000
 
@@ -119,6 +119,27 @@ def cap_per_group(
         .filter(F.col("__rk__") <= cap)
         .drop("__rk__")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight: Column,
+    *,
+    key: str = "doc_id",
+    salt: str = "wsample",
+) -> DataFrame:
+    """Per-ROW keep probability (importance sampling): keep a row iff its
+    deterministic hash-uniform falls below ``weight`` (any Column
+    expression, clamped to [0, 1]) — e.g. ``quality_score(text)`` to
+    upsample high-quality documents fractionally instead of a hard
+    threshold.  Same discipline as :func:`hash_sample`: pure-hash
+    decision keyed on ``key``, so the kept set is reproducible across
+    partitioning, cluster size and re-runs, and the filter is a zero-
+    shuffle narrow pass.  Null weights drop the row (explicit beats a
+    silent coin flip)."""
+    w = F.least(F.greatest(weight.cast("double"), F.lit(0.0)), F.lit(1.0))
+    u = hash_bucket(F.col(key), salt)
+    return df.filter(w.isNotNull() & (u < (w * _BUCKETS).cast("long")))
 
 
 def diversity_sample(

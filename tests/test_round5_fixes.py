@@ -749,3 +749,25 @@ def test_inferred_enum_values_with_commas_survive(spark):
     spec, prof = infer_table_spec(df)
     assert spec.columns["cat"]["enum"] == ["a,b", "c"]
     assert ConstraintSuite(spec, key="id").run(df).violations.count() == 0
+
+
+# -- weighted (importance) sampling (r5) ------------------------------------
+
+def test_weighted_sample_extremes_and_determinism(spark):
+    from go_jsonschema_spark.operators.sampling import weighted_sample
+
+    df = spark.range(2000).select(F.col("id").alias("doc_id"))
+    # weight 1 keeps everything; weight 0 (and nulls) keep nothing
+    assert weighted_sample(df, F.lit(1.0), key="doc_id").count() == 2000
+    assert weighted_sample(df, F.lit(0.0), key="doc_id").count() == 0
+    assert weighted_sample(
+        df, F.lit(None).cast("double"), key="doc_id").count() == 0
+    # out-of-range weights clamp instead of misbehaving
+    assert weighted_sample(df, F.lit(7.5), key="doc_id").count() == 2000
+    # ~half kept at weight 0.5, deterministic across partitionings
+    half = weighted_sample(df, F.lit(0.5), key="doc_id")
+    n = half.count()
+    assert 850 <= n <= 1150
+    again = weighted_sample(df.repartition(7), F.lit(0.5), key="doc_id")
+    assert {r["doc_id"] for r in half.collect()} == \
+        {r["doc_id"] for r in again.collect()}
