@@ -304,7 +304,18 @@ def simhash_pairs_from_hashes(
 ) -> DataFrame:
     """Signature → 16-bit block banding → equi-join → exact-hamming verify,
     over pre-computed feature hashes ``(id, hs)`` (see
-    :func:`simhash_dup_pairs` for the plan rationale)."""
+    :func:`simhash_dup_pairs` for the plan rationale).
+
+    Pair dedup is FREE here (r5): a pair sharing several blocks surfaces
+    once per shared block, but both full signatures already travel
+    through the join for the hamming verify — so keeping each pair only
+    at its FIRST shared block (a pure expression over the two sigs)
+    replaces the ``dropDuplicates(a, b)`` exchange, measured 2.3-3.6 s →
+    1.9-2.1 s on the sf0.1 stage with identical output.  Interaction
+    with ``max_bucket``: a truncated bucket now also loses pairs whose
+    only SURVIVING shared block is a later one — the same recall
+    tradeoff bucket capping already makes, and absent entirely when no
+    bucket overflows (the testdata case, where outputs are identical)."""
     sig = hashed.select("id", simhash(F.col("hs")).alias("sig"))
     blocks = sig.select(
         "id",
@@ -325,16 +336,26 @@ def simhash_pairs_from_hashes(
     ).select("id", "sig", "e.blk", "e.bv")
     blocks = _cap_buckets(blocks, ["blk", "bv"], max_bucket)
     ham = F.bit_count(F.col("l.sig").bitwiseXOR(F.col("rt.sig")))
+
+    def _blk(c, i):
+        return F.shiftright(c, i * 16).bitwiseAND(F.lit(0xFFFF))
+
+    first_shared = (
+        F.when(_blk(F.col("l.sig"), 0) == _blk(F.col("rt.sig"), 0), 0)
+        .when(_blk(F.col("l.sig"), 1) == _blk(F.col("rt.sig"), 1), 1)
+        .when(_blk(F.col("l.sig"), 2) == _blk(F.col("rt.sig"), 2), 2)
+        .otherwise(3)
+    )
     return (
         blocks.alias("l")
         .join(blocks.alias("rt"), on=["blk", "bv"])
-        .filter(F.col("l.id") < F.col("rt.id"))
+        .filter((F.col("l.id") < F.col("rt.id"))
+                & (F.col("blk") == first_shared))
         .select(
             F.col("l.id").alias("a"),
             F.col("rt.id").alias("b"),
             ham.alias("hamming"),
         )
-        .dropDuplicates(["a", "b"])
         .filter(F.col("hamming") <= max_hamming)
     )
 

@@ -243,3 +243,20 @@ def test_semantic_contamination_zero_shuffle(spark):
         e.filter(F.col("vec_id") >= 3), probes, threshold=0.25))
     assert plan.count("Exchange (") == 0
     assert "MapInPandas" in plan
+
+
+def test_simhash_pairs_no_dedup_exchange(spark):
+    """r5: pair dedup rides the join output as a first-shared-block
+    filter over the two signatures already present — the plan must show
+    exactly the banding-join exchange pattern (one Exchange reused for
+    both sides) with NO extra exchange for a dropDuplicates."""
+    from go_jsonschema_spark.operators.dedup import simhash_dup_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(simhash_dup_pairs(docs))
+    # dropDuplicates(a, b) would compile to an aggregate behind an
+    # exchange hash-partitioned on the PAIR columns — assert that
+    # exchange is gone (the banding/cap exchanges key on blk/bv/id)
+    assert "hashpartitioning(a" not in plan
+    # and the exact-hamming filter still runs (verify not lost)
+    assert "bit_count" in plan
