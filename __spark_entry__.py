@@ -727,6 +727,20 @@ def _q_dup_ngrams_documents(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_segment_dedup_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-corpus segment-level dedup (CCNet paragraph-dedup shape):
+    3-word segments counted corpus-wide by distinct-document frequency;
+    segments seen in >2 documents are stripped and the survivors
+    reassembled in order.  DuckDB replays segmentation, the distinct
+    count, and the ordered reassembly relationally."""
+    from go_jsonschema_spark.operators.dedup import segment_dedup
+
+    return segment_dedup(
+        _t(spark, sf, "documents"), id_col="doc_id", text_col="text",
+        seg_words=3, max_docs=2,
+    )
+
+
 def _q_diversity_sample_embeddings(spark: SparkSession, sf: str) -> DataFrame:
     """Cluster-balanced sampling (r5): nearest-centroid assignment + per-
     cell hash-rank cap.  The trained quantizer (centroids with their
@@ -1315,6 +1329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_ship_windows": _q_range_join_ship_windows,
         "diversity_sample_embeddings": _q_diversity_sample_embeddings,
         "dup_ngrams_documents": _q_dup_ngrams_documents,
+        "segment_dedup_documents": _q_segment_dedup_documents,
         "resample_purchases": _q_resample_purchases,
         "latest_event_per_user": _q_latest_event_per_user,
         "funnel_events": _q_funnel_events,
@@ -2089,6 +2104,38 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(CASE WHEN c > 1 THEN c * len ELSE 0 END)::DOUBLE
                          / sum(c * len), 6) AS dup_char_frac
             FROM c GROUP BY doc_id
+        """,
+        # segment dedup: segmentation, corpus-wide distinct-doc counts,
+        # and ordered reassembly replayed relationally
+        "segment_dedup_documents": r"""
+            WITH base AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(
+                           lower(trim(text)), '\s+'),
+                           x -> len(x) > 0) AS w
+                FROM documents WHERE text IS NOT NULL
+            ), seg AS (
+                SELECT doc_id, CAST(t.i AS INT) AS pos,
+                       array_to_string(list_slice(
+                           w, CAST(t.i*3+1 AS BIGINT),
+                           CAST(t.i*3+3 AS BIGINT)), ' ') AS seg
+                FROM base,
+                     UNNEST(range(CAST(ceil(len(w)/3.0) AS BIGINT))) AS t(i)
+            ), counts AS (
+                SELECT seg, count(DISTINCT doc_id) AS n_docs
+                FROM seg GROUP BY seg
+            ), tagged AS (
+                SELECT s.doc_id, s.pos, s.seg, (c.n_docs > 2) AS dup
+                FROM seg s JOIN counts c ON s.seg = c.seg
+            )
+            SELECT doc_id,
+                   CASE WHEN count(*) FILTER (WHERE NOT dup) > 0
+                        THEN string_agg(seg, ' ' ORDER BY pos)
+                                 FILTER (WHERE NOT dup)
+                   END AS text_clean,
+                   count(*) FILTER (WHERE NOT dup) AS n_seg_kept,
+                   count(*) FILTER (WHERE dup) AS n_seg_dropped
+            FROM tagged GROUP BY doc_id
         """,
         # binned range join: DuckDB's native BETWEEN join re-derives the
         # per-order count of lineitems shipped inside the 7-day window

@@ -749,3 +749,80 @@ def embedding_cosine_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def segment_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_words: int = 3,
+    max_docs: int = 2,
+) -> DataFrame:
+    """Cross-corpus segment dedup (the CCNet paragraph-dedup shape,
+    Wenzek et al. 2019): cut every document into consecutive
+    ``seg_words``-word segments, count how many DISTINCT documents each
+    segment appears in corpus-wide, and strip segments seen in more than
+    ``max_docs`` documents, reassembling the surviving text in order.
+
+    Reference parity note: the reference engine has no corpus-level text
+    ops; this is a north-star pipeline addition (uniqueness semantics
+    generalized from validate.go's dataset checks to sub-document grain).
+
+    100 TB shape: segmentation is a per-row higher-order function (narrow,
+    no shuffle); the corpus count is ONE distinct-aggregate shuffle keyed
+    on the segment hash (never the text — 8-byte keys), map-side combined;
+    the count is joined back on the same hash so AQE's skew-join splits
+    the inevitable hot segments (boilerplate appears billions of times)
+    instead of a window function materializing each hot group in a single
+    task; reassembly is one groupBy on the document id, which is uniform.
+
+    Output: ``(id, text_clean, n_seg_kept, n_seg_dropped)``; documents
+    whose every segment was dropped get ``text_clean = NULL``.
+    """
+    from go_jsonschema_spark.functions.text import words
+
+    w = F.filter(words(F.col(text_col)), lambda x: F.length(x) > 0)
+    n_seg = F.ceil(F.size(w) / F.lit(seg_words)).cast("int")
+    # sequence(0, -1) counts DOWN in Spark, so guard the empty-document
+    # case explicitly instead of relying on the arithmetic.
+    segs = F.when(n_seg > 0, F.transform(
+        F.sequence(F.lit(0), n_seg - 1),
+        lambda i: F.array_join(F.slice(w, i * seg_words + 1, seg_words), " "),
+    )).otherwise(F.array().cast("array<string>"))
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"), segs.alias("segs")
+    )
+    exploded = base.select(
+        "id", F.posexplode("segs").alias("pos", "seg")
+    ).withColumn("seg_h", F.xxhash64("seg"))
+
+    # distinct-document count per segment: two-phase (local distinct then
+    # count) so the shuffle carries (hash, id) pairs, partially combined.
+    counts = (
+        exploded.select("seg_h", "id").distinct()
+        .groupBy("seg_h").agg(F.count("*").alias("n_docs"))
+    )
+    tagged = exploded.join(counts, "seg_h").withColumn(
+        "dup", F.col("n_docs") > max_docs
+    )
+    ordered = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.when(~F.col("dup"), F.struct("pos", "seg"))
+            )
+        ),
+        lambda s: s["seg"],
+    )
+    out = tagged.groupBy("id").agg(
+        ordered.alias("kept"),
+        F.sum(F.when(F.col("dup"), 0).otherwise(1)).cast("long").alias("n_seg_kept"),
+        F.sum(F.when(F.col("dup"), 1).otherwise(0)).cast("long").alias("n_seg_dropped"),
+    )
+    return out.select(
+        F.col("id").alias(id_col),
+        F.when(F.col("n_seg_kept") > 0, F.array_join("kept", " ")).alias(
+            "text_clean"
+        ),
+        "n_seg_kept",
+        "n_seg_dropped",
+    )
