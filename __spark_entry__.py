@@ -768,6 +768,32 @@ def _q_diversity_sample_embeddings(spark: SparkSession, sf: str) -> DataFrame:
     return diversity_sample(e, 25, centroids=cent).select("vec_id", "cell")
 
 
+def _q_semantic_dedup_embeddings(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup (r5): nearest-centroid cells, then within-cell drop of
+    any vector whose cosine to an earlier vector reaches the threshold.
+    The quantizer is snapshotted; DuckDB recomputes every assignment with
+    the identical score formula and brute-forces every within-cell
+    earlier-pair cosine — a wrong cell, keep bit, or max-sim is a hash
+    mismatch."""
+    import numpy as np
+
+    from go_jsonschema_spark.operators.ann import kmeans_centroids
+    from go_jsonschema_spark.operators.dedup import semantic_dedup
+
+    e = _t(spark, sf, "embeddings")
+    cent = kmeans_centroids(e, n_centroids=16)
+    spark.createDataFrame(
+        [(i, [float(x) for x in c], float(np.dot(c, c)))
+         for i, c in enumerate(cent)],
+        "cell long, cv array<double>, cc double",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        _oracle_snap("semdedup_centroids"))
+    out = semantic_dedup(e, centroids=cent, threshold=0.4)
+    return out.select(
+        "vec_id", F.col("cell").cast("long").alias("cell"), "keep",
+        F.round("max_prev_sim", 4).alias("max_prev"))
+
+
 def _q_inferred_spec_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Spec inference (r5): one-pass per-column profile of the documents
     table — the statistics infer_table_spec turns into constraints
@@ -1328,6 +1354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inferred_spec_documents": _q_inferred_spec_documents,
         "range_join_ship_windows": _q_range_join_ship_windows,
         "diversity_sample_embeddings": _q_diversity_sample_embeddings,
+        "semantic_dedup_embeddings": _q_semantic_dedup_embeddings,
         "dup_ngrams_documents": _q_dup_ngrams_documents,
         "segment_dedup_documents": _q_segment_dedup_documents,
         "resample_purchases": _q_resample_purchases,
@@ -2534,6 +2561,35 @@ def oracle_sql() -> dict[str, str]:
                 '{_oracle_snap("div_hash")}/*.parquet') s USING (vec_id)
         )
         SELECT vec_id, cell FROM r WHERE rk <= 25
+    """
+    # SemDeDup: every assignment recomputed from the snapshotted
+    # quantizer; every within-cell earlier-pair cosine brute-forced
+    out["semantic_dedup_embeddings"] = f"""
+        WITH c AS (SELECT cell, cv, cc FROM read_parquet(
+                       '{_oracle_snap("semdedup_centroids")}/*.parquet')),
+        a AS (
+            SELECT e.vec_id, e.embedding, c.cell,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY -2 * list_inner_product(
+                                    e.embedding::DOUBLE[], c.cv) + c.cc,
+                                c.cell) AS rn
+            FROM embeddings e CROSS JOIN c
+        ),
+        asg AS (SELECT vec_id, embedding, cell FROM a WHERE rn = 1),
+        p AS (
+            SELECT l.vec_id, l.cell,
+                   max(list_cosine_similarity(
+                       l.embedding::DOUBLE[],
+                       r.embedding::DOUBLE[])) AS mp
+            FROM asg l LEFT JOIN asg r
+              ON l.cell = r.cell AND r.vec_id < l.vec_id
+            GROUP BY l.vec_id, l.cell
+        )
+        SELECT vec_id, cell,
+               coalesce(round(mp, 4) < 0.4, TRUE) AS keep,
+               round(mp, 4) AS max_prev
+        FROM p
     """
     # streaming drift: DuckDB rebuilds the per-hour histograms AND the
     # full-table baseline, aligns buckets per window over the union

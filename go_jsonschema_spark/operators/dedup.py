@@ -751,6 +751,104 @@ def embedding_cosine_pairs(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    key: str = "vec_id",
+    centroids=None,
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    max_cell_rows: int = 200_000,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): coarse-quantize every embedding to
+    its nearest k-means centroid, then WITHIN each cell drop every row
+    whose cosine similarity to any EARLIER row (smaller ``key``) reaches
+    ``threshold``.  Cross-cell near-duplicates are deliberately out of
+    scope — that locality assumption is the whole point of the method
+    (pairwise work is O(sum m_c²), not O(n²)).
+
+    Semantics are the order-deterministic "earlier-row" variant: row i is
+    dropped iff ∃ j < i in the same cell with cos(i, j) ≥ threshold,
+    regardless of whether j itself survived.  This makes the kept set
+    independent of partitioning and exactly replayable in SQL (EXISTS
+    over within-cell pairs), unlike the greedy keep-chain variant.
+
+    100 TB shape: assignment is a native argmin expression (zero extra
+    shuffle); the only shuffle keys on ``cell``; per-cell work is ONE
+    Arrow batch → one float64 BLAS matmul.  ``n_clusters`` must scale
+    with the corpus so cells stay bounded — the guard raises past
+    ``max_cell_rows`` rather than silently densifying (at 10^12 rows you
+    run 100k+ cells, the paper's own regime).  Threshold comparison uses
+    half-up 4-decimal rounding so the decision is stable across BLAS
+    summation orders and matches the relational replay.
+
+    Output: ``(key, cell, keep, max_prev_sim)`` — ``max_prev_sim`` is
+    the raw max cosine to an earlier same-cell row (NULL for the first
+    row of a cell).
+    """
+    import pandas as pd
+
+    from go_jsonschema_spark.operators.ann import (
+        assign_centroid, kmeans_centroids,
+    )
+
+    if centroids is None:
+        centroids = kmeans_centroids(
+            df, vec_col=vec_col, id_col=key, n_centroids=n_clusters,
+            seed=seed)
+
+    assigned = df.select(
+        F.col(key).alias("k"), F.col(vec_col).alias("v"),
+        assign_centroid(F.col(vec_col), centroids).cast("int").alias("cell"),
+    )
+
+    def _cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        if len(pdf) > max_cell_rows:
+            raise ValueError(
+                f"semantic_dedup cell {pdf['cell'].iloc[0]} has "
+                f"{len(pdf)} rows > max_cell_rows={max_cell_rows}; "
+                "raise n_clusters so cells stay bounded")
+        if len(pdf) == 0:
+            return pd.DataFrame(
+                {"k": [], "cell": [], "keep": [], "max_prev_sim": []})
+        if pdf["v"].isna().any():
+            raise ValueError("semantic_dedup: null vectors in " + vec_col)
+        pdf = pdf.sort_values("k", kind="mergesort").reset_index(drop=True)
+        X = np.asarray([np.asarray(v, dtype=np.float64)
+                        for v in pdf["v"]])
+        if np.isnan(X).any():
+            raise ValueError("semantic_dedup: null/NaN vector elements")
+        norms = np.linalg.norm(X, axis=1)
+        norms[norms == 0.0] = 1.0
+        Xn = X / norms[:, None]
+        S = Xn @ Xn.T
+        # strictly-lower-triangular MASK = similarities to earlier rows
+        # (np.tril would zero-fill and clobber negative sims)
+        mask = np.tril(np.ones(S.shape, dtype=bool), k=-1)
+        max_prev = np.where(mask, S, -np.inf).max(axis=1, initial=-np.inf)
+        max_prev = np.where(np.isfinite(max_prev), max_prev, np.nan)
+        # half-up 4-decimal rounding for the decision (matches SQL round)
+        dec = np.floor(np.nan_to_num(max_prev, nan=-2.0) * 1e4 + 0.5) / 1e4
+        return pd.DataFrame({
+            "k": pdf["k"],
+            "cell": pdf["cell"],
+            "keep": dec < threshold,
+            "max_prev_sim": max_prev,
+        })
+
+    kt = df.schema[key].dataType.simpleString()
+    out = assigned.groupBy("cell").applyInPandas(
+        _cell,
+        schema=(f"k {kt}, cell int, keep boolean, max_prev_sim double"),
+    )
+    return out.select(
+        F.col("k").alias(key), "cell", "keep", "max_prev_sim")
+
+
 def segment_dedup(
     df: DataFrame,
     id_col: str = "doc_id",
