@@ -794,6 +794,32 @@ def _q_semantic_dedup_embeddings(spark: SparkSession, sf: str) -> DataFrame:
         F.round("max_prev_sim", 4).alias("max_prev"))
 
 
+def _q_lm_perplexity_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style LM quality scoring (r5): an add-k-smoothed bigram LM
+    trained relationally on the corpus, every doc scored by perplexity
+    in ONE join against the model.  DuckDB retrains the identical model
+    from scratch (counts, prefix sums, vocab) and re-derives every
+    per-doc average log-prob and perplexity — a wrong count, smoothing
+    term, or aggregation is a hash mismatch."""
+    from go_jsonschema_spark.operators.corpus import lm_perplexity
+
+    out = lm_perplexity(_t(spark, sf, "documents"), k=0.5)
+    return out.select(
+        "doc_id", "n_bigrams",
+        F.round("avg_logprob", 4).alias("avg_logprob"),
+        F.round("ppl", 4).alias("ppl"))
+
+
+def _q_tfidf_keywords_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """TF-IDF keyword extraction (r5): top-3 characteristic terms per
+    doc, ranked on the ROUNDED score with a word-ASC tie-break so the
+    order is engine-independent.  DuckDB recomputes term and document
+    frequencies from scratch and replays the ranking."""
+    from go_jsonschema_spark.operators.corpus import tfidf_keywords
+
+    return tfidf_keywords(_t(spark, sf, "documents"), top_k=3)
+
+
 def _q_inferred_spec_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Spec inference (r5): one-pass per-column profile of the documents
     table — the statistics infer_table_spec turns into constraints
@@ -1355,6 +1381,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_ship_windows": _q_range_join_ship_windows,
         "diversity_sample_embeddings": _q_diversity_sample_embeddings,
         "semantic_dedup_embeddings": _q_semantic_dedup_embeddings,
+        "lm_perplexity_documents": _q_lm_perplexity_documents,
+        "tfidf_keywords_documents": _q_tfidf_keywords_documents,
         "dup_ngrams_documents": _q_dup_ngrams_documents,
         "segment_dedup_documents": _q_segment_dedup_documents,
         "resample_purchases": _q_resample_purchases,
@@ -2590,6 +2618,71 @@ def oracle_sql() -> dict[str, str]:
                coalesce(round(mp, 4) < 0.4, TRUE) AS keep,
                round(mp, 4) AS max_prev
         FROM p
+    """
+    # bigram-LM perplexity: DuckDB retrains the identical model from
+    # scratch (bigram counts, prefix sums, vocab) and re-derives every
+    # per-doc average log-prob under the same add-k smoothing
+    out["lm_perplexity_documents"] = r"""
+        WITH w AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(
+                       lower(trim(coalesce(text, ''))), '\s+'),
+                       x -> len(x) > 0) AS ws
+            FROM documents
+        ), g AS (
+            SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+            FROM w, UNNEST(range(1, greatest(len(ws) - 1, 0) + 1)) AS t(i)
+        ), gb AS (
+            SELECT doc_id, w1, w2, count(*) AS dc FROM g GROUP BY 1, 2, 3
+        ), c2 AS (
+            SELECT w1, w2, sum(dc) AS c2 FROM gb GROUP BY 1, 2
+        ), c1 AS (
+            SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY 1
+        ), v AS (
+            SELECT count(DISTINCT u) AS v
+            FROM (SELECT unnest(ws) AS u FROM w)
+        ), s AS (
+            SELECT gb.doc_id, sum(gb.dc) AS nb,
+                   sum(gb.dc * ln((c2.c2 + 0.5) / (c1.c1 + 0.5 * v.v)))
+                       / sum(gb.dc) AS alp
+            FROM gb JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+            GROUP BY gb.doc_id
+        )
+        SELECT w.doc_id,
+               CAST(coalesce(s.nb, 0) AS BIGINT) AS n_bigrams,
+               round(s.alp, 4) AS avg_logprob,
+               round(exp(-s.alp), 4) AS ppl
+        FROM w LEFT JOIN s ON w.doc_id = s.doc_id
+    """
+    # TF-IDF keywords: term/document frequencies recomputed from
+    # scratch; the rank replays (rounded score DESC, word ASC)
+    out["tfidf_keywords_documents"] = r"""
+        WITH w AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(
+                       lower(trim(coalesce(text, ''))), '\s+'),
+                       x -> len(x) > 0) AS ws
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, u AS word, count(*) AS tf
+            FROM (SELECT doc_id, unnest(ws) AS u FROM w) GROUP BY 1, 2
+        ), dfq AS (
+            SELECT word, count(*) AS dfd FROM tf GROUP BY 1
+        ), n AS (SELECT count(*) AS n FROM w),
+        s AS (
+            SELECT tf.doc_id, tf.word, tf.tf,
+                   round(tf.tf * (ln((n.n + 1.0) / (dfq.dfd + 1)) + 1.0),
+                         6) AS tfidf
+            FROM tf JOIN dfq USING (word) CROSS JOIN n
+        ), r AS (
+            SELECT doc_id, word, tf, tfidf,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY tfidf DESC, word ASC) AS rank
+            FROM s
+        )
+        SELECT doc_id, word, CAST(tf AS BIGINT) AS tf, tfidf,
+               CAST(rank AS BIGINT) AS rank
+        FROM r WHERE rank <= 3
     """
     # streaming drift: DuckDB rebuilds the per-hour histograms AND the
     # full-table baseline, aligns buckets per window over the union

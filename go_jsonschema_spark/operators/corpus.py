@@ -1,0 +1,212 @@
+"""Corpus-level text statistics: n-gram LM perplexity scoring and
+TF-IDF keyword extraction.
+
+These complete the classic web-curation stack (reference has no text
+pipeline at all — this is north-star territory like dedup.py):
+CCNet (Wenzek et al. 2020) filters CommonCrawl by the perplexity of a
+KenLM n-gram model; the Spark-first re-expression trains the same kind
+of count-based model AS a DataFrame (two map-side-combined
+aggregations) and scores the corpus with ONE join against it — no
+Python in any row path, no driver-side model object.
+
+Scale notes (the 100 TB shape):
+- The LM is Zipf-bounded: distinct bigrams grow ~O(corpus^0.7), so the
+  model table is orders of magnitude smaller than the corpus.  The
+  scoring join keys on (w1, w2); AQE broadcasts the model when it fits
+  and shuffle-joins otherwise.  Hot function words are NOT skew keys on
+  the corpus side because the corpus is pre-aggregated to per-doc
+  distinct grams (``dc`` carries the multiplicity), which also
+  map-side-combines boilerplate.
+- All tokenization is ``functions.text.words`` (lowercase, ``\\s+``)
+  filtered of empties, the same contract every dedup/Gopher oracle
+  replays — one tokenizer across the whole engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from go_jsonschema_spark.functions.text import words
+
+__all__ = ["bigram_lm", "lm_perplexity", "tfidf_keywords"]
+
+
+def _tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, ws) with empty tokens removed; null texts keep ws = []."""
+    w = F.filter(words(F.col(text_col)), lambda x: F.length(x) > 0)
+    return df.select(
+        F.col(id_col).alias("__id__"),
+        F.when(F.col(text_col).isNull(), F.array().cast("array<string>"))
+        .otherwise(w).alias("ws"),
+    )
+
+
+def _doc_bigrams(tok: DataFrame) -> DataFrame:
+    """(id, w1, w2, dc): per-doc bigram multiplicities.
+
+    The zip-with-shifted form (word_shingles rationale: HOF ``slice``
+    allocation is the slow path); the trailing (last-word, null) pair is
+    filtered before the explode.  Docs with < 2 words vanish here and
+    are restored by the caller's left join.
+    """
+    shifted = F.slice(F.col("ws"), 2,
+                      F.greatest(F.size("ws"), F.lit(1)))
+    pairs = F.filter(
+        F.zip_with(F.col("ws"), shifted,
+                   lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))),
+        lambda p: p["w2"].isNotNull(),
+    )
+    return (
+        tok.select("__id__", F.explode(pairs).alias("p"))
+        .select("__id__", "p.w1", "p.w2")
+        .groupBy("__id__", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("dc"))
+    )
+
+
+def bigram_lm(
+    train_df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, int]:
+    """Count-based bigram model over ``train_df``: returns
+    ``(lm, vocab_size)`` where ``lm`` has columns
+    ``(w1, w2, c2, c1)`` — c2 = corpus count of the bigram, c1 = corpus
+    count of w1 as a bigram PREFIX (= sum of c2 over w2, the correct
+    conditional-probability denominator) — and ``vocab_size`` is the
+    corpus-wide distinct-word count (the add-k smoothing support).
+
+    vocab_size is the one scalar collected to the driver (a single-row
+    aggregate, same contract as ann.kmeans_centroids).
+    """
+    tok = _tokens(train_df, text_col, id_col)
+    c2 = (
+        _doc_bigrams(tok)
+        .groupBy("w1", "w2")
+        .agg(F.sum("dc").alias("c2"))
+    )
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    lm = c2.join(c1, "w1")
+    vocab = (
+        tok.select(F.explode("ws").alias("u"))
+        .agg(F.countDistinct("u").alias("v"))
+        .collect()[0]["v"]
+    )
+    return lm, int(vocab)
+
+
+def lm_perplexity(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    train_df: DataFrame | None = None,
+    k: float = 0.5,
+) -> DataFrame:
+    """Score every document by the perplexity of an add-k-smoothed
+    bigram LM (CCNet's filter signal, re-expressed relationally):
+
+        P(w2 | w1) = (c2(w1,w2) + k) / (c1(w1) + k·V)
+        avg_logprob = sum(dc · ln P) / sum(dc)   over the doc's bigrams
+        ppl = exp(-avg_logprob)
+
+    ``train_df`` defaults to ``df`` itself (self-perplexity — low means
+    the doc looks like the corpus, high means outlier/garbage; CCNet
+    trains on a clean reference corpus instead, which is just a
+    different ``train_df``).  Unseen bigrams/prefixes fall back to the
+    smoothed floor via left joins, so external corpora score without
+    error.
+
+    Output: ``(id_col, n_bigrams, avg_logprob, ppl)`` — one row per
+    input document; docs with < 2 tokens get n_bigrams = 0 and NULL
+    scores.  Raw (unrounded) doubles; round at the query edge.
+    """
+    if k <= 0:
+        raise ValueError(f"lm_perplexity: smoothing k must be > 0, got {k}")
+    lm, vocab = bigram_lm(
+        train_df if train_df is not None else df,
+        text_col=text_col, id_col=id_col)
+    tok = _tokens(df, text_col, id_col)
+    grams = _doc_bigrams(tok)
+    p = (
+        F.coalesce(F.col("c2"), F.lit(0)) + F.lit(float(k))
+    ) / (
+        F.coalesce(F.col("c1"), F.lit(0)) + F.lit(float(k) * vocab)
+    )
+    scored = (
+        grams.join(lm, ["w1", "w2"], "left")
+        .withColumn("lp", F.log(p))
+        .groupBy("__id__")
+        .agg(
+            F.sum("dc").alias("n_bigrams"),
+            (F.sum(F.col("dc") * F.col("lp")) / F.sum("dc"))
+            .alias("avg_logprob"),
+        )
+    )
+    return (
+        tok.select("__id__")
+        .join(scored, "__id__", "left")
+        .select(
+            F.col("__id__").alias(id_col),
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long")
+            .alias("n_bigrams"),
+            F.col("avg_logprob"),
+            F.exp(-F.col("avg_logprob")).alias("ppl"),
+        )
+    )
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 5,
+) -> DataFrame:
+    """Top-``top_k`` characteristic terms per document by TF-IDF:
+
+        tfidf(w, d) = count(w in d) · (ln((N + 1) / (df(w) + 1)) + 1)
+
+    (the smoothed-idf variant, always positive so pure term frequency
+    still ranks when a word is in every doc).  Rank is deterministic:
+    (round(tfidf, 6) DESC, word ASC) — ranking on the ROUNDED score
+    makes the order reproducible bit-for-bit in any engine, immune to
+    last-ulp float divergence.
+
+    Shape: one shuffle for per-doc term counts (map-side combined), one
+    vocab-sized aggregate for document frequencies (broadcast back by
+    AQE), one per-doc window for the top-k.  N is the single collected
+    scalar.  Output: ``(id_col, word, tf, tfidf, rank)``.
+    """
+    from pyspark.sql.window import Window
+
+    tok = _tokens(df, text_col, id_col)
+    n_docs = tok.count()
+    tf = (
+        tok.select("__id__", F.explode("ws").alias("word"))
+        .groupBy("__id__", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("word").agg(
+        F.count(F.lit(1)).alias("df_docs"))
+    scored = tf.join(dfreq, "word").withColumn(
+        "tfidf",
+        F.round(
+            F.col("tf")
+            * (F.log(F.lit(float(n_docs + 1)) / (F.col("df_docs") + 1))
+               + F.lit(1.0)),
+            6,
+        ),
+    )
+    w = Window.partitionBy("__id__").orderBy(
+        F.col("tfidf").desc(), F.col("word").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select(
+            F.col("__id__").alias(id_col), "word",
+            F.col("tf").cast("long").alias("tf"),
+            "tfidf", F.col("rank").cast("long").alias("rank"),
+        )
+    )

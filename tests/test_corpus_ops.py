@@ -1,0 +1,118 @@
+"""lm_perplexity / bigram_lm / tfidf_keywords: hand-computed values,
+unseen-gram smoothing, degenerate docs, determinism under repartition."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_jsonschema_spark.operators.corpus import (
+    bigram_lm, lm_perplexity, tfidf_keywords,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bigram_lm_counts_and_vocab(spark):
+    df = _docs(spark, [(1, "a b a b"), (2, "a b c")])
+    lm, vocab = bigram_lm(df)
+    assert vocab == 3
+    got = {(r["w1"], r["w2"]): (r["c2"], r["c1"]) for r in lm.collect()}
+    # bigrams: doc1 = ab, ba, ab ; doc2 = ab, bc
+    assert got[("a", "b")] == (3, 3)   # c1(a) = 3 (a always precedes b)
+    assert got[("b", "a")] == (1, 2)   # c1(b) = ba + bc = 2
+    assert got[("b", "c")] == (1, 2)
+
+
+def test_lm_perplexity_hand_computed(spark):
+    df = _docs(spark, [(1, "a b a b"), (2, "a b c")])
+    got = {r["doc_id"]: r for r in lm_perplexity(df, k=0.5).collect()}
+    V, k = 3, 0.5
+    p_ab = (3 + k) / (3 + k * V)
+    p_ba = (1 + k) / (2 + k * V)
+    p_bc = (1 + k) / (2 + k * V)
+    avg1 = (2 * math.log(p_ab) + math.log(p_ba)) / 3
+    avg2 = (math.log(p_ab) + math.log(p_bc)) / 2
+    assert got[1]["n_bigrams"] == 3
+    assert got[1]["avg_logprob"] == pytest.approx(avg1, rel=1e-12)
+    assert got[1]["ppl"] == pytest.approx(math.exp(-avg1), rel=1e-12)
+    assert got[2]["avg_logprob"] == pytest.approx(avg2, rel=1e-12)
+
+
+def test_lm_perplexity_unseen_grams_smoothed(spark):
+    train = _docs(spark, [(1, "a b"), (2, "a b")])
+    score = _docs(spark, [(10, "x y")])  # both words unseen
+    got = lm_perplexity(score, train_df=train, k=0.5).collect()[0]
+    # c2 = 0, c1 = 0, V = 2 -> P = 0.5 / 1.0
+    assert got["avg_logprob"] == pytest.approx(math.log(0.5), rel=1e-12)
+    assert got["ppl"] == pytest.approx(2.0, rel=1e-12)
+
+
+def test_lm_perplexity_degenerate_docs(spark):
+    df = _docs(spark, [(1, "a b a"), (2, "solo"), (3, ""), (4, None)])
+    got = {r["doc_id"]: r for r in lm_perplexity(df).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    for d in (2, 3, 4):
+        assert got[d]["n_bigrams"] == 0
+        assert got[d]["avg_logprob"] is None and got[d]["ppl"] is None
+    assert got[1]["n_bigrams"] == 2
+
+
+def test_lm_perplexity_partitioning_invariant(spark):
+    df = _docs(spark, [(i, f"w{i % 5} common w{(i * 3) % 7} tail")
+                       for i in range(40)])
+    a = {r["doc_id"]: r["avg_logprob"]
+         for r in lm_perplexity(df).collect()}
+    b = {r["doc_id"]: r["avg_logprob"]
+         for r in lm_perplexity(df.repartition(13)).collect()}
+    assert set(a) == set(b)
+    for d in a:
+        assert a[d] == pytest.approx(b[d], rel=1e-12)
+
+
+def test_lm_perplexity_rejects_nonpositive_k(spark):
+    df = _docs(spark, [(1, "a b")])
+    with pytest.raises(ValueError, match="k must be"):
+        lm_perplexity(df, k=0.0)
+
+
+def test_tfidf_hand_computed(spark):
+    df = _docs(spark, [(1, "cat cat dog"), (2, "dog fish"), (3, "fish")])
+    out = tfidf_keywords(df, top_k=2)
+    got = {(r["doc_id"], r["rank"]): r for r in out.collect()}
+    idf = lambda dfreq: math.log(4.0 / (dfreq + 1)) + 1.0
+    # doc1: cat tf=2 df=1 -> 2*idf(1); dog tf=1 df=2 -> idf(2)
+    assert got[(1, 1)]["word"] == "cat"
+    assert got[(1, 1)]["tfidf"] == pytest.approx(
+        round(2 * idf(1), 6), abs=1e-9)
+    assert got[(1, 2)]["word"] == "dog"
+    # doc2: dog and fish both tf=1 df=2 -> identical score, word ASC ties
+    assert got[(2, 1)]["word"] == "dog" and got[(2, 2)]["word"] == "fish"
+
+
+def test_tfidf_top_k_bound_and_empty_doc(spark):
+    df = _docs(spark, [(1, "a b c d e f"), (2, "")])
+    out = tfidf_keywords(df, top_k=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc[1]) == 3
+    assert 2 not in by_doc  # empty doc yields no keyword rows
+
+
+def test_tfidf_no_python_udf_in_plan(spark):
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        tfidf_keywords(df).explain("formatted")
+    plan = buf.getvalue()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
