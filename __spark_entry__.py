@@ -820,6 +820,34 @@ def _q_tfidf_keywords_documents(spark: SparkSession, sf: str) -> DataFrame:
     return tfidf_keywords(_t(spark, sf, "documents"), top_k=3)
 
 
+def _q_k_anonymity_customer(spark: SparkSession, sf: str) -> DataFrame:
+    """k-anonymity check (r5): equivalence classes of the customer
+    quasi-identifiers (nation, market segment) smaller than k=8 — the
+    groups an attacker narrows to under 8 candidates.  One class-keyed
+    aggregation; DuckDB replays GROUP BY/HAVING exactly."""
+    from go_jsonschema_spark.operators.privacy import k_anonymity
+
+    return k_anonymity(
+        _t(spark, sf, "customer"), ["c_nationkey", "c_mktsegment"], k=8,
+    ).select(
+        F.col("c_nationkey").cast("long").alias("c_nationkey"),
+        "c_mktsegment", "class_size", "k")
+
+
+def _q_l_diversity_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """l-diversity check (r5): customers whose orders carry fewer than
+    3 distinct priorities — k-anonymity's blind spot (a uniform class
+    leaks its sensitive value no matter how large).  DuckDB replays
+    the distinct-count HAVING exactly."""
+    from go_jsonschema_spark.operators.privacy import l_diversity
+
+    return l_diversity(
+        _t(spark, sf, "orders"), ["o_custkey"], "o_orderpriority", l=3,
+    ).select(
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        "class_size", "distinct_sensitive", "l")
+
+
 def _q_inferred_spec_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Spec inference (r5): one-pass per-column profile of the documents
     table — the statistics infer_table_spec turns into constraints
@@ -1383,6 +1411,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_embeddings": _q_semantic_dedup_embeddings,
         "lm_perplexity_documents": _q_lm_perplexity_documents,
         "tfidf_keywords_documents": _q_tfidf_keywords_documents,
+        "k_anonymity_customer": _q_k_anonymity_customer,
+        "l_diversity_orders": _q_l_diversity_orders,
         "dup_ngrams_documents": _q_dup_ngrams_documents,
         "segment_dedup_documents": _q_segment_dedup_documents,
         "resample_purchases": _q_resample_purchases,
@@ -2683,6 +2713,28 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, word, CAST(tf AS BIGINT) AS tf, tfidf,
                CAST(rank AS BIGINT) AS rank
         FROM r WHERE rank <= 3
+    """
+    # k-anonymity: plain GROUP BY + HAVING over the quasi-identifiers —
+    # DuckDB shares Spark's groupBy NULL semantics (NULLs form a class)
+    out["k_anonymity_customer"] = """
+        SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_mktsegment,
+               CAST(count(*) AS BIGINT) AS class_size,
+               CAST(8 AS BIGINT) AS k
+        FROM customer
+        GROUP BY c_nationkey, c_mktsegment
+        HAVING count(*) < 8
+    """
+    # l-diversity: distinct-count HAVING; count(DISTINCT) ignores NULLs
+    # in both engines
+    out["l_diversity_orders"] = """
+        SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+               CAST(count(*) AS BIGINT) AS class_size,
+               CAST(count(DISTINCT o_orderpriority) AS BIGINT)
+                   AS distinct_sensitive,
+               CAST(3 AS BIGINT) AS l
+        FROM orders
+        GROUP BY o_custkey
+        HAVING count(DISTINCT o_orderpriority) < 3
     """
     # streaming drift: DuckDB rebuilds the per-hour histograms AND the
     # full-table baseline, aligns buckets per window over the union
