@@ -848,6 +848,21 @@ def _q_l_diversity_orders(spark: SparkSession, sf: str) -> DataFrame:
         "class_size", "distinct_sensitive", "l")
 
 
+def _q_t_closeness_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """t-closeness check (r5): customers whose order-priority
+    distribution sits farther than t=0.3 (ordered EMD) from the
+    table-wide distribution — l-diversity's blind spot (a class can be
+    3-diverse and still 90% URGENT).  DuckDB replays the cumulative-sum
+    EMD from scratch."""
+    from go_jsonschema_spark.operators.privacy import t_closeness
+
+    return t_closeness(
+        _t(spark, sf, "orders"), ["o_custkey"], "o_orderpriority", t=0.3,
+    ).select(
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        "class_size", "emd", "t")
+
+
 def _q_inferred_spec_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Spec inference (r5): one-pass per-column profile of the documents
     table — the statistics infer_table_spec turns into constraints
@@ -1413,6 +1428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_keywords_documents": _q_tfidf_keywords_documents,
         "k_anonymity_customer": _q_k_anonymity_customer,
         "l_diversity_orders": _q_l_diversity_orders,
+        "t_closeness_orders": _q_t_closeness_orders,
         "dup_ngrams_documents": _q_dup_ngrams_documents,
         "segment_dedup_documents": _q_segment_dedup_documents,
         "resample_purchases": _q_resample_purchases,
@@ -2735,6 +2751,44 @@ def oracle_sql() -> dict[str, str]:
         FROM orders
         GROUP BY o_custkey
         HAVING count(DISTINCT o_orderpriority) < 3
+    """
+    # t-closeness: DuckDB re-derives the ordered-EMD end to end —
+    # class x value counts, global domain probabilities, zero-filled
+    # skeleton, running sum of (P - Q), normalized absolute mass
+    out["t_closeness_orders"] = """
+        WITH cv AS (
+            SELECT o_custkey, o_orderpriority AS v, count(*) AS c
+            FROM orders WHERE o_orderpriority IS NOT NULL
+            GROUP BY 1, 2
+        ), vc AS (
+            SELECT v, sum(c) AS vc FROM cv GROUP BY 1
+        ), dom AS (
+            SELECT v, row_number() OVER (ORDER BY v) AS i,
+                   vc::DOUBLE / (SELECT sum(vc) FROM vc) AS q
+            FROM vc
+        ), cls AS (
+            SELECT o_custkey, sum(c) AS class_size FROM cv GROUP BY 1
+        ), filled AS (
+            SELECT s.o_custkey, s.class_size, d.i, d.q,
+                   coalesce(cv.c, 0)::DOUBLE / s.class_size AS p
+            FROM cls s CROSS JOIN dom d
+            LEFT JOIN cv ON s.o_custkey = cv.o_custkey AND d.v = cv.v
+        ), cum AS (
+            SELECT o_custkey, class_size,
+                   sum(p - q) OVER (PARTITION BY o_custkey
+                                    ORDER BY i) AS cum
+            FROM filled
+        ), emd AS (
+            SELECT o_custkey, class_size,
+                   round(sum(abs(cum)) /
+                         greatest((SELECT count(*) FROM dom) - 1, 1),
+                         6) AS emd
+            FROM cum GROUP BY 1, 2
+        )
+        SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+               CAST(class_size AS BIGINT) AS class_size, emd,
+               CAST(0.3 AS DOUBLE) AS t
+        FROM emd WHERE emd > 0.3
     """
     # streaming drift: DuckDB rebuilds the per-hour histograms AND the
     # full-table baseline, aligns buckets per window over the union

@@ -1,4 +1,4 @@
-"""Privacy re-identification checks: k-anonymity and l-diversity.
+"""Privacy re-identification checks: k-anonymity, l-diversity, t-closeness.
 
 Dataset-level governance checks in the same family as
 operators/uniqueness.py and referential.py (SURVEY.md §2.8 — the
@@ -21,9 +21,9 @@ one broadcast semi-join.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["k_anonymity", "l_diversity"]
+__all__ = ["k_anonymity", "l_diversity", "t_closeness"]
 
 
 def _quasi(cols: list[str]) -> list:
@@ -88,4 +88,101 @@ def l_diversity(
         )
         .where(F.col("distinct_sensitive") < l)
         .withColumn("l", F.lit(l).cast("long"))
+    )
+
+
+def t_closeness(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    t: float,
+    *,
+    max_domain: int = 10_000,
+) -> DataFrame:
+    """Equivalence classes whose sensitive-value distribution sits
+    farther than ``t`` (Earth Mover's Distance) from the table-wide
+    distribution — l-diversity's blind spot (Li et al. 2007): a class
+    can carry l distinct values yet still be badly skewed toward one.
+
+    EMD uses the ORDERED-domain form with unit spacing: sort the
+    distinct sensitive values, then
+    ``EMD = sum_i |cumsum_i(P - Q)| / (m - 1)`` over the m domain
+    values (0 when m == 1).  This is exact for ordinal sensitive
+    attributes (severity grades, priority codes, income bands); for
+    free numerics, band them first.
+
+    NULL sensitive values carry no information and are excluded from
+    both distributions; classes with no non-null sensitive rows have no
+    distribution and are skipped.
+
+    100 TB shape: one class+value-keyed aggregation (map-side combined
+    — the shuffle carries |classes| x |domain| partials, never rows),
+    then the domain dim (<= ``max_domain`` rows, guard-enforced) is
+    broadcast against the class list to zero-fill absent values, and a
+    class-partitioned running sum finishes the EMD.  Every stage is
+    keyed on the class, so skew follows quasi-identifier skew, which
+    k_anonymity itself bounds.
+
+    Output: quasi_cols + ``(class_size, emd, t)``, ``emd`` rounded to 6
+    so verdicts are engine-independent.
+    """
+    if not (0.0 < t <= 1.0):
+        raise ValueError(f"t_closeness: t must be in (0, 1], got {t}")
+    quasi = _quasi(quasi_cols)
+    s = F.col(sensitive_col)
+
+    # class x value counts — the ONE row-keyed aggregation
+    cv = (
+        df.where(s.isNotNull())
+        .groupBy(*quasi, s.alias("__v__"))
+        .agg(F.count(F.lit(1)).alias("__c__"))
+    )
+
+    # global domain: ordered distinct values + global probability Q.
+    # Tiny (<= max_domain, enforced below) -> broadcast.
+    dom = (
+        cv.groupBy("__v__")
+        .agg(F.sum("__c__").alias("__vc__"))
+        .withColumn("__n__", F.sum("__vc__").over(Window.partitionBy()))
+        .withColumn(
+            "__i__",
+            F.row_number().over(Window.partitionBy().orderBy("__v__")),
+        )
+        .withColumn("__q__", F.col("__vc__") / F.col("__n__"))
+        .select("__v__", "__i__", "__q__")
+    )
+    m = dom.count()
+    if m > max_domain:
+        raise ValueError(
+            f"t_closeness: sensitive domain has {m} distinct values "
+            f"(max_domain={max_domain}); band the attribute first — "
+            "the ordered EMD needs a bounded ordinal domain"
+        )
+
+    # class list with sizes (aggregate of the already class-keyed cv)
+    classes = cv.groupBy(*quasi).agg(F.sum("__c__").alias("class_size"))
+
+    # zero-filled skeleton: every class x every domain value
+    skel = classes.join(F.broadcast(dom))
+    filled = skel.join(cv, [*quasi_cols, "__v__"], "left").withColumn(
+        "__p__", F.coalesce(F.col("__c__"), F.lit(0)) / F.col("class_size")
+    )
+
+    w = Window.partitionBy(*quasi_cols).orderBy("__i__")
+    emd = (
+        filled.withColumn(
+            "__cum__", F.sum(F.col("__p__") - F.col("__q__")).over(w)
+        )
+        .groupBy(*quasi, F.col("class_size"))
+        .agg(
+            (
+                F.sum(F.abs(F.col("__cum__")))
+                / F.greatest(F.lit(m - 1), F.lit(1))
+            ).alias("__emd__")
+        )
+        .withColumn("emd", F.round(F.col("__emd__"), 6))
+        .drop("__emd__")
+    )
+    return emd.where(F.col("emd") > t).withColumn(
+        "t", F.lit(float(t)).cast("double")
     )

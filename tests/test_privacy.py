@@ -1,11 +1,15 @@
-"""k_anonymity / l_diversity: hand cases, NULL-class semantics, guards,
-and the single-Exchange class-keyed plan shape."""
+"""k_anonymity / l_diversity / t_closeness: hand cases, NULL-class
+semantics, guards, and the class-keyed plan shapes."""
 
 from __future__ import annotations
 
 import pytest
 
-from go_jsonschema_spark.operators.privacy import k_anonymity, l_diversity
+from go_jsonschema_spark.operators.privacy import (
+    k_anonymity,
+    l_diversity,
+    t_closeness,
+)
 
 
 def _people(spark):
@@ -68,6 +72,75 @@ def test_guards(spark):
         l_diversity(df, ["zip"], "diagnosis", l=0)
     with pytest.raises(ValueError, match="quasi-identifier"):
         k_anonymity(df, [], k=2)
+
+
+def _severity(spark):
+    # two skewed classes against a uniform global distribution:
+    # class a = [1,1,2], class b = [2,3,3], global = (1/3,1/3,1/3)
+    # ordered-EMD(a) = (|1/3| + |1/3| + |0|) / 2 = 1/3, same for b
+    rows = [
+        ("a", 1), ("a", 1), ("a", 2),
+        ("b", 2), ("b", 3), ("b", 3),
+    ]
+    return spark.createDataFrame(rows, "q string, sev int")
+
+
+def test_t_closeness_hand_emd(spark):
+    out = t_closeness(_severity(spark), ["q"], "sev", t=0.3).collect()
+    got = {r["q"]: r for r in out}
+    assert set(got) == {"a", "b"}
+    for r in got.values():
+        assert r["emd"] == pytest.approx(1 / 3, abs=1e-6)
+        assert r["class_size"] == 3 and r["t"] == 0.3
+
+
+def test_t_closeness_threshold_excludes(spark):
+    assert t_closeness(_severity(spark), ["q"], "sev", t=0.34).count() == 0
+
+
+def test_t_closeness_null_sensitive_excluded(spark):
+    # a NULL severity neither shifts class a's distribution nor its
+    # class_size; an all-NULL class has no distribution and is skipped
+    rows = [
+        ("a", 1), ("a", 1), ("a", 2), ("a", None),
+        ("b", 2), ("b", 3), ("b", 3),
+        ("c", None), ("c", None),
+    ]
+    df = spark.createDataFrame(rows, "q string, sev int")
+    out = t_closeness(df, ["q"], "sev", t=0.3).collect()
+    got = {r["q"]: r for r in out}
+    assert set(got) == {"a", "b"}
+    assert got["a"]["class_size"] == 3
+    assert got["a"]["emd"] == pytest.approx(1 / 3, abs=1e-6)
+
+
+def test_t_closeness_single_value_domain_is_zero(spark):
+    rows = [("a", 7), ("a", 7), ("b", 7)]
+    df = spark.createDataFrame(rows, "q string, sev int")
+    # m == 1: every class matches the global distribution exactly
+    assert t_closeness(df, ["q"], "sev", t=0.001).count() == 0
+
+
+def test_t_closeness_guards(spark):
+    df = _severity(spark)
+    with pytest.raises(ValueError, match="t must be"):
+        t_closeness(df, ["q"], "sev", t=0.0)
+    with pytest.raises(ValueError, match="max_domain"):
+        t_closeness(df, ["q"], "sev", t=0.3, max_domain=2)
+
+
+def test_t_closeness_no_python_in_plan(spark):
+    import contextlib
+    import io
+
+    df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        t_closeness(df, ["o_custkey"], "o_orderpriority", t=0.3) \
+            .explain("formatted")
+    plan = buf.getvalue()
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # tiny domain dim broadcast
 
 
 def test_k_anonymity_single_exchange_plan(spark):
