@@ -848,6 +848,26 @@ def _q_l_diversity_orders(spark: SparkSession, sf: str) -> DataFrame:
         "class_size", "distinct_sensitive", "l")
 
 
+def _q_edit_distance_pairs_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Blocked edit-distance near-dup pairs (r5): documents whose
+    lowercased 48-char prefixes are within levenshtein distance 3 —
+    the typo/OCR family shingle-based dedup misses.  Length blocking
+    keeps it an equi-join; DuckDB brute-forces every pair."""
+    from go_jsonschema_spark.operators.dedup import edit_distance_pairs
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.substring(F.lower(F.col("text")), 1, 48).alias("prefix"),
+    )
+    return edit_distance_pairs(
+        docs, text_col="prefix", id_col="doc_id", max_distance=3, band=16,
+    ).select(
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        "distance",
+    )
+
+
 def _q_t_closeness_orders(spark: SparkSession, sf: str) -> DataFrame:
     """t-closeness check (r5): customers whose order-priority
     distribution sits farther than t=0.3 (ordered EMD) from the
@@ -1429,6 +1449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymity_customer": _q_k_anonymity_customer,
         "l_diversity_orders": _q_l_diversity_orders,
         "t_closeness_orders": _q_t_closeness_orders,
+        "edit_distance_pairs_documents": _q_edit_distance_pairs_documents,
         "dup_ngrams_documents": _q_dup_ngrams_documents,
         "segment_dedup_documents": _q_segment_dedup_documents,
         "resample_purchases": _q_resample_purchases,
@@ -2751,6 +2772,21 @@ def oracle_sql() -> dict[str, str]:
         FROM orders
         GROUP BY o_custkey
         HAVING count(DISTINCT o_orderpriority) < 3
+    """
+    # edit distance: DuckDB brute-forces levenshtein over every pair
+    # (no blocking — the oracle must be blind to the engine's shortcut);
+    # the length filter only mirrors the lev >= |Δlen| bound, which is a
+    # theorem, not an engine choice
+    out["edit_distance_pairs_documents"] = """
+        WITH d AS (
+            SELECT doc_id, substr(lower(text), 1, 48) AS s
+            FROM documents WHERE text IS NOT NULL
+        )
+        SELECT a.doc_id AS a, b.doc_id AS b,
+               CAST(levenshtein(a.s, b.s) AS BIGINT) AS distance
+        FROM d a JOIN d b ON a.doc_id < b.doc_id
+        WHERE abs(len(a.s) - len(b.s)) <= 3
+          AND levenshtein(a.s, b.s) <= 3
     """
     # t-closeness: DuckDB re-derives the ordered-EMD end to end —
     # class x value counts, global domain probabilities, zero-filled

@@ -34,6 +34,7 @@ __all__ = [
     "simhash_feature_hashes",
     "simhash_pairs_from_hashes",
     "jaccard",
+    "edit_distance_pairs",
     "duplicate_clusters",
     "embedding_cosine_pairs",
     "cosine_pairs_exact",
@@ -144,6 +145,84 @@ def jaccard(a: Column, b: Column) -> Column:
     inter = F.size(F.array_intersect(a, b))
     union = F.size(F.array_union(a, b))
     return F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    max_distance: int = 3,
+    band: int = 32,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """EXACT near-duplicate pairs ``(a, b, distance)`` with
+    ``levenshtein(text_a, text_b) <= max_distance`` — the typo/OCR-noise
+    dedup family MinHash misses (a 1-char edit in a short string barely
+    moves token shingles but is exactly what edit distance measures).
+
+    Length blocking makes it a pure equi-join: ``lev(x, y) >=
+    |len(x) - len(y)|``, so with block width ``band > max_distance``
+    every qualifying pair lands in a shared block when each row emits
+    blocks ``floor(n/band)`` and ``floor(n/band) + 1`` (the smaller
+    string's upper block equals or meets the larger's lower block).
+    The blocked self-join carries ONLY (id, length) — 16 bytes/row —
+    and text is re-attached to surviving candidates by two id-joins.
+    The verify uses Spark's thresholded ``levenshtein(l, r, d)``
+    (banded O(d·n) instead of O(n²), returns -1 past d) so a far pair
+    costs O(d·n), not a full DP matrix.
+
+    At 100 TB the blocked join is the usual LSH candidate shape
+    (equi-join on small keys, shuffle ~2 rows per doc); block skew
+    mirrors the corpus' length histogram — cap degenerate blocks with
+    ``max_bucket`` (opt-in, sacrifices exactness on corpora that
+    skipped exact dedup first).  NULL texts are excluded.
+    """
+    if max_distance < 0:
+        raise ValueError("max_distance must be >= 0")
+    if band <= max_distance:
+        raise ValueError(
+            f"band ({band}) must exceed max_distance ({max_distance}) "
+            "for the two-block cover to be exhaustive"
+        )
+    base = _spread(df).filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("txt"),
+        F.length(text_col).alias("n"),
+    )
+    blocked = base.select(
+        "id", "n",
+        F.explode(
+            F.array(
+                (F.col("n") / band).cast("long"),
+                (F.col("n") / band).cast("long") + 1,
+            )
+        ).alias("blk"),
+    )
+    blocked = _cap_buckets(blocked, ["blk"], max_bucket)
+    cand = (
+        blocked.alias("l")
+        .join(blocked.alias("rt"), on="blk")
+        .filter(
+            (F.col("l.id") < F.col("rt.id"))
+            & (F.abs(F.col("l.n") - F.col("rt.n")) <= max_distance)
+        )
+        .select(F.col("l.id").alias("a"), F.col("rt.id").alias("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    txt = base.select("id", "txt")
+    withtxt = (
+        cand.join(
+            txt.select(F.col("id").alias("a"), F.col("txt").alias("ta")), "a"
+        ).join(
+            txt.select(F.col("id").alias("b"), F.col("txt").alias("tb")), "b"
+        )
+    )
+    dist = F.levenshtein(F.col("ta"), F.col("tb"), max_distance)
+    return (
+        withtxt.select("a", "b", dist.cast("long").alias("distance"))
+        .filter(F.col("distance") >= 0)
+    )
 
 
 def minhash_lsh_pairs(
