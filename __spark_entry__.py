@@ -848,6 +848,20 @@ def _q_l_diversity_orders(spark: SparkSession, sf: str) -> DataFrame:
         "class_size", "distinct_sensitive", "l")
 
 
+def _q_robust_outliers_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Median/MAD outlier detection (r5): events whose value sits more
+    than 3.5 robust sigmas from their event-type median — the
+    50%-breakdown rule that survives the contamination which masks
+    mean/stddev checks.  DuckDB re-derives both medians exactly."""
+    from go_jsonschema_spark.operators.stats import robust_outliers
+
+    return robust_outliers(
+        _t(spark, sf, "events"), "value", ["event_type"], k=3.5,
+    ).select(
+        F.col("event_id").cast("long").alias("event_id"),
+        "event_type", "value", "med", "mad", "robust_z")
+
+
 def _q_edit_distance_pairs_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Blocked edit-distance near-dup pairs (r5): documents whose
     lowercased 48-char prefixes are within levenshtein distance 3 —
@@ -1450,6 +1464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l_diversity_orders": _q_l_diversity_orders,
         "t_closeness_orders": _q_t_closeness_orders,
         "edit_distance_pairs_documents": _q_edit_distance_pairs_documents,
+        "robust_outliers_events": _q_robust_outliers_events,
         "dup_ngrams_documents": _q_dup_ngrams_documents,
         "segment_dedup_documents": _q_segment_dedup_documents,
         "resample_purchases": _q_resample_purchases,
@@ -2772,6 +2787,27 @@ def oracle_sql() -> dict[str, str]:
         FROM orders
         GROUP BY o_custkey
         HAVING count(DISTINCT o_orderpriority) < 3
+    """
+    # robust outliers: DuckDB recomputes both interpolated medians
+    # (quantile_cont == Spark's exact percentile) and replays the
+    # k·1.4826·MAD threshold on raw (unrounded) stats
+    out["robust_outliers_events"] = """
+        WITH med AS (
+            SELECT event_type, quantile_cont(value, 0.5) AS med
+            FROM events WHERE value IS NOT NULL GROUP BY 1
+        ), mad AS (
+            SELECT e.event_type,
+                   quantile_cont(abs(e.value - m.med), 0.5) AS mad,
+                   any_value(m.med) AS med
+            FROM events e JOIN med m USING (event_type)
+            WHERE e.value IS NOT NULL GROUP BY 1
+        )
+        SELECT CAST(e.event_id AS BIGINT) AS event_id, e.event_type,
+               e.value, round(m.med, 6) AS med, round(m.mad, 6) AS mad,
+               round((e.value - m.med) / (1.4826 * m.mad), 4) AS robust_z
+        FROM events e JOIN mad m USING (event_type)
+        WHERE e.value IS NOT NULL AND m.mad > 0
+          AND abs(e.value - m.med) > 3.5 * 1.4826 * m.mad
     """
     # edit distance: DuckDB brute-forces levenshtein over every pair
     # (no blocking — the oracle must be blind to the engine's shortcut);
