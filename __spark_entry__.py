@@ -848,6 +848,20 @@ def _q_l_diversity_orders(spark: SparkSession, sf: str) -> DataFrame:
         "class_size", "distinct_sensitive", "l")
 
 
+def _q_bm25_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 keyword retrieval (r5): top-20 documents for the query
+    {merge, scan, vector} under Okapi BM25 (Lucene-default idf) — the
+    lookup side of the TF-IDF coin.  DuckDB retrains idf/avgdl from
+    scratch and replays the rounded-score ranking."""
+    from go_jsonschema_spark.operators.corpus import bm25_rank
+
+    return bm25_rank(
+        _t(spark, sf, "documents"), ["merge", "scan", "vector"], top_k=20,
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_terms", "score", "rank")
+
+
 def _q_robust_outliers_events(spark: SparkSession, sf: str) -> DataFrame:
     """Median/MAD outlier detection (r5): events whose value sits more
     than 3.5 robust sigmas from their event-type median — the
@@ -1465,6 +1479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_closeness_orders": _q_t_closeness_orders,
         "edit_distance_pairs_documents": _q_edit_distance_pairs_documents,
         "robust_outliers_events": _q_robust_outliers_events,
+        "bm25_documents": _q_bm25_documents,
         "dup_ngrams_documents": _q_dup_ngrams_documents,
         "segment_dedup_documents": _q_segment_dedup_documents,
         "resample_purchases": _q_resample_purchases,
@@ -2787,6 +2802,45 @@ def oracle_sql() -> dict[str, str]:
         FROM orders
         GROUP BY o_custkey
         HAVING count(DISTINCT o_orderpriority) < 3
+    """
+    # BM25: DuckDB re-derives N/avgdl/df/idf from the shared tokenizer
+    # replay and recomputes every doc's score + the rounded-score rank
+    out["bm25_documents"] = r"""
+        WITH w AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(
+                       lower(trim(coalesce(text, ''))), '\s+'),
+                       x -> len(x) > 0) AS ws
+            FROM documents
+        ), scal AS (
+            SELECT count(*) AS n, avg(len(ws)) AS avgdl FROM w
+        ), hits AS (
+            SELECT doc_id, len(ws) AS dl, u AS word
+            FROM (SELECT doc_id, ws, unnest(ws) AS u FROM w)
+            WHERE u IN ('merge', 'scan', 'vector')
+        ), tf AS (
+            SELECT doc_id, word, count(*) AS tf, any_value(dl) AS dl
+            FROM hits GROUP BY 1, 2
+        ), idf AS (
+            SELECT word,
+                   ln(1 + ((SELECT n FROM scal) - count(*) + 0.5)
+                          / (count(*) + 0.5)) AS idf
+            FROM tf GROUP BY 1
+        ), contrib AS (
+            SELECT tf.doc_id,
+                   idf.idf * tf.tf * (1.2 + 1)
+                   / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl
+                          / (SELECT avgdl FROM scal))) AS s
+            FROM tf JOIN idf USING (word)
+        ), scored AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+                   round(sum(s), 6) AS score
+            FROM contrib GROUP BY 1
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, n_terms, score,
+               CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                    AS BIGINT) AS rank
+        FROM scored ORDER BY rank LIMIT 20
     """
     # robust outliers: DuckDB recomputes both interpolated medians
     # (quantile_cont == Spark's exact percentile) and replays the

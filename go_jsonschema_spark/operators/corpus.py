@@ -28,7 +28,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from go_jsonschema_spark.functions.text import words
 
-__all__ = ["bigram_lm", "lm_perplexity", "tfidf_keywords"]
+__all__ = ["bigram_lm", "lm_perplexity", "tfidf_keywords", "bm25_rank"]
 
 
 def _tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -208,5 +208,99 @@ def tfidf_keywords(
             F.col("__id__").alias(id_col), "word",
             F.col("tf").cast("long").alias("tf"),
             "tfidf", F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def bm25_rank(
+    df: DataFrame,
+    query_terms: list[str],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+) -> DataFrame:
+    """Top-``top_k`` documents for a keyword query by Okapi BM25
+    (Robertson-Sparck Jones; the Lucene-default scoring function):
+
+        score(d) = sum_t idf(t) · tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl))
+        idf(t)   = ln(1 + (N - df + 0.5) / (df + 0.5))
+
+    Probabilistic keyword retrieval over the corpus — the lookup side
+    of the TF-IDF coin (tfidf_keywords describes documents; bm25_rank
+    finds them).
+
+    Shape: the query-term filter is a literal IN over ≤ |q| strings, so
+    the explode's output collapses to matching terms only BEFORE any
+    shuffle; ``dl`` rides the explode (no doc-keyed join); term df/idf
+    is a ≤ |q|-row aggregate joined back broadcast; N and avgdl are two
+    collected scalars (bounded).  One doc-keyed aggregation sums the
+    per-term contributions; ranking sorts the scored-docs table, which
+    is at most the number of docs containing a query term.  Ties are
+    deterministic: (round(score, 6) DESC, id ASC).
+
+    Output: ``(id_col, n_terms, score, rank)`` — ``n_terms`` = distinct
+    query terms present in the doc.
+    """
+    if not query_terms:
+        raise ValueError("bm25_rank: query_terms must be non-empty")
+    if top_k < 1:
+        raise ValueError("bm25_rank: top_k must be >= 1")
+    terms = sorted({t.lower() for t in query_terms})
+    tok = _tokens(df, text_col, id_col)
+    scalars = tok.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.size("ws")).alias("avgdl"),
+    ).collect()[0]
+    n_docs, avgdl = scalars["n"], scalars["avgdl"]
+    if not n_docs:
+        raise ValueError("bm25_rank: empty corpus")
+
+    hits = tok.select(
+        "__id__",
+        F.size("ws").alias("dl"),
+        F.explode("ws").alias("word"),
+    ).where(F.col("word").isin(terms))
+    tf = hits.groupBy("__id__", "word").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.first("dl").alias("dl"),
+    )
+    idf = tf.groupBy("word").agg(
+        F.log(
+            F.lit(1.0)
+            + (F.lit(float(n_docs)) - F.count(F.lit(1)) + 0.5)
+            / (F.count(F.lit(1)) + 0.5)
+        ).alias("idf")
+    )
+    contrib = tf.join(F.broadcast(idf), "word").withColumn(
+        "__s__",
+        F.col("idf") * F.col("tf") * (k1 + 1)
+        / (F.col("tf")
+           + k1 * (1 - b + b * F.col("dl") / F.lit(float(avgdl)))),
+    )
+    from pyspark.sql.window import Window
+
+    scored = (
+        contrib.groupBy("__id__")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.round(F.sum("__s__"), 6).alias("score"),
+        )
+    )
+    # distributed top-k first (TakeOrderedAndProject — per-partition
+    # heaps, no global window over the full scored table), THEN rank
+    # the <= top_k survivors with a trivially-small window
+    top = scored.orderBy(
+        F.col("score").desc(), F.col("__id__").asc()).limit(top_k)
+    w = Window.partitionBy().orderBy(
+        F.col("score").desc(), F.col("__id__").asc())
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .select(
+            F.col("__id__").alias(id_col),
+            F.col("n_terms").cast("long").alias("n_terms"),
+            "score", F.col("rank").cast("long").alias("rank"),
         )
     )

@@ -116,3 +116,97 @@ def test_tfidf_no_python_udf_in_plan(spark):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "FlatMapGroupsInPandas" not in plan
+
+
+# ---------------------------------------------------------------------------
+# bm25_rank
+# ---------------------------------------------------------------------------
+
+def _bm25_ref(docs, terms, k1=1.2, b=0.75):
+    """Independent reference BM25 (plain Python)."""
+    import math
+
+    toks = {i: t.lower().split() for i, t in docs}
+    n = len(toks)
+    avgdl = sum(len(w) for w in toks.values()) / n
+    dfreq = {
+        t: sum(1 for ws in toks.values() if t in ws) for t in terms}
+    out = {}
+    for i, ws in toks.items():
+        s, hit = 0.0, 0
+        for t in terms:
+            tf = ws.count(t)
+            if not tf:
+                continue
+            hit += 1
+            idf = math.log(1 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            s += idf * tf * (k1 + 1) / (
+                tf + k1 * (1 - b + b * len(ws) / avgdl))
+        if hit:
+            out[i] = (hit, round(s, 6))
+    return out
+
+
+def test_bm25_matches_reference(spark):
+    from go_jsonschema_spark.operators.corpus import bm25_rank
+
+    docs = [
+        (1, "spark shuffle join shuffle"),
+        (2, "join the small broadcast join join"),
+        (3, "nothing relevant here at all"),
+        (4, "shuffle"),
+        (5, "spark spark spark shuffle join extra words to lengthen"),
+    ]
+    terms = ["shuffle", "join"]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_terms"], r["score"], r["rank"])
+        for r in bm25_rank(df, terms, top_k=10).collect()
+    }
+    want = _bm25_ref(docs, terms)
+    assert set(got) == set(want)
+    for i, (hit, score) in want.items():
+        assert got[i][0] == hit
+        assert got[i][1] == pytest.approx(score, abs=2e-6)
+    # ranks replay the (score desc, id asc) order
+    order = sorted(want, key=lambda i: (-want[i][1], i))
+    assert [i for i, _ in sorted(
+        ((i, got[i][2]) for i in got), key=lambda p: p[1])] == order
+
+
+def test_bm25_short_doc_beats_long_at_equal_tf(spark):
+    from go_jsonschema_spark.operators.corpus import bm25_rank
+
+    df = spark.createDataFrame(
+        [(1, "needle plus many many other words around"),
+         (2, "needle short")],
+        "doc_id long, text string")
+    out = bm25_rank(df, ["needle"], top_k=2).collect()
+    assert [r["doc_id"] for r in sorted(out, key=lambda r: r["rank"])] \
+        == [2, 1]
+
+
+def test_bm25_guards_and_topk(spark):
+    from go_jsonschema_spark.operators.corpus import bm25_rank
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="non-empty"):
+        bm25_rank(df, [])
+    with pytest.raises(ValueError, match="top_k"):
+        bm25_rank(df, ["a"], top_k=0)
+    assert bm25_rank(df, ["zzz"]).count() == 0  # no hits, empty result
+
+
+def test_bm25_take_ordered_plan(spark):
+    import contextlib
+    import io
+
+    from go_jsonschema_spark.operators.corpus import bm25_rank
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        bm25_rank(df, ["scan", "merge"], top_k=20).explain("formatted")
+    plan = buf.getvalue()
+    assert "TakeOrderedAndProject" in plan  # distributed top-k, no sort-all
+    assert "BatchEvalPython" not in plan
