@@ -848,6 +848,34 @@ def _q_l_diversity_orders(spark: SparkSession, sf: str) -> DataFrame:
         "class_size", "distinct_sensitive", "l")
 
 
+def _q_event_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    """Markov transition matrix (r5): consecutive event-type hops per
+    user with per-source-state probabilities — funnels test one path,
+    this surveys every observed hop.  DuckDB replays the lead window
+    with the identical (ts, event_id) total order."""
+    from go_jsonschema_spark.operators.funnel import event_transitions
+
+    return event_transitions(_t(spark, sf, "events"))
+
+
+def _q_chi2_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Chi-square independence (r5): is a document's language entangled
+    with its source?  One contingency aggregation; DuckDB recomputes
+    expected counts, chi2, and Cramér's V from scratch."""
+    from go_jsonschema_spark.operators.stats import chi_square_independence
+
+    return chi_square_independence(_t(spark, sf, "documents"), "lang", "source")
+
+
+def _q_mixing_weights_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-scaled mixing weights (r5, alpha=0.5): the
+    p^alpha/sum(p^alpha) rebalancing rule over document sources; feeds
+    weighted_sample via the per-group multiplier."""
+    from go_jsonschema_spark.operators.sampling import mixing_weights
+
+    return mixing_weights(_t(spark, sf, "documents"), "source", alpha=0.5)
+
+
 def _q_bm25_documents(spark: SparkSession, sf: str) -> DataFrame:
     """BM25 keyword retrieval (r5): top-20 documents for the query
     {merge, scan, vector} under Okapi BM25 (Lucene-default idf) — the
@@ -1480,6 +1508,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_distance_pairs_documents": _q_edit_distance_pairs_documents,
         "robust_outliers_events": _q_robust_outliers_events,
         "bm25_documents": _q_bm25_documents,
+        "event_transitions": _q_event_transitions,
+        "chi2_documents_lang_source": _q_chi2_documents,
+        "mixing_weights_documents": _q_mixing_weights_documents,
         "dup_ngrams_documents": _q_dup_ngrams_documents,
         "segment_dedup_documents": _q_segment_dedup_documents,
         "resample_purchases": _q_resample_purchases,
@@ -2802,6 +2833,71 @@ def oracle_sql() -> dict[str, str]:
         FROM orders
         GROUP BY o_custkey
         HAVING count(DISTINCT o_orderpriority) < 3
+    """
+    # transition matrix: identical lead window under the same
+    # (ts, event_id) total order, counts + per-source normalization
+    out["event_transitions"] = """
+        WITH e AS (
+            SELECT user_id, event_type, ts, event_id FROM events
+            WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        ), p AS (
+            SELECT event_type AS from_type,
+                   lead(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS to_type
+            FROM e
+        ), g AS (
+            SELECT from_type, to_type, count(*) AS n
+            FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2
+        )
+        SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+               round(n::DOUBLE / sum(n) OVER (PARTITION BY from_type),
+                     6) AS p
+        FROM g
+    """
+    # chi-square: DuckDB rebuilds the contingency table, margins,
+    # expected counts, chi2 and Cramér's V (same min(r-1,c-1)>=1 clamp)
+    out["chi2_documents_lang_source"] = """
+        WITH cells AS (
+            SELECT lang AS a, source AS b, count(*) AS o FROM documents
+            WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2
+        ), m AS (
+            SELECT a, b, o,
+                   sum(o) OVER (PARTITION BY a) AS ra,
+                   sum(o) OVER (PARTITION BY b) AS cb,
+                   sum(o) OVER () AS nn
+            FROM cells
+        )
+        SELECT CAST(any_value(nn) AS BIGINT) AS n,
+               CAST(count(DISTINCT a) AS BIGINT) AS r,
+               CAST(count(DISTINCT b) AS BIGINT) AS c,
+               CAST((count(DISTINCT a) - 1) * (count(DISTINCT b) - 1)
+                    AS BIGINT) AS dof,
+               round(sum(pow(o - ra * cb / nn, 2) / (ra * cb / nn)),
+                     6) AS chi2,
+               round(sqrt(sum(pow(o - ra * cb / nn, 2) / (ra * cb / nn))
+                          / (any_value(nn)
+                             * greatest(least(count(DISTINCT a) - 1,
+                                              count(DISTINCT b) - 1),
+                                        1))),
+                     6) AS cramers_v
+        FROM m
+    """
+    # mixing weights: p^alpha normalization replayed over the
+    # per-source counts (NULL sources are their own component)
+    out["mixing_weights_documents"] = """
+        WITH c AS (
+            SELECT source AS "group", count(*) AS n
+            FROM documents GROUP BY 1
+        ), w AS (
+            SELECT "group", n,
+                   n::DOUBLE / sum(n) OVER () AS p,
+                   pow(n::DOUBLE / sum(n) OVER (), 0.5) AS pa
+            FROM c
+        )
+        SELECT "group", CAST(n AS BIGINT) AS n, round(p, 6) AS p,
+               round(pa / sum(pa) OVER (), 6) AS weight,
+               round((pa / sum(pa) OVER ()) / p, 6) AS multiplier
+        FROM w
     """
     # BM25: DuckDB re-derives N/avgdl/df/idf from the shared tokenizer
     # replay and recomputes every doc's score + the rounded-score rank

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["funnel_users", "funnel_counts"]
+__all__ = ["funnel_users", "funnel_counts", "event_transitions"]
 
 
 def funnel_users(
@@ -96,4 +96,54 @@ def funnel_counts(
                       "left")
         .groupBy("step_idx", "step")
         .agg(F.coalesce(F.sum("c"), F.lit(0)).alias("n_users"))
+    )
+
+
+def event_transitions(
+    df: DataFrame,
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str | None = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams: for every ordered pair of CONSECUTIVE events of one user,
+    count ``(from_type, to_type)`` and normalize per source state —
+    the behavioral-analytics companion of :func:`funnel_users`
+    (funnels test ONE hypothesized path; the transition matrix surveys
+    every observed hop).
+
+    Event order is total and engine-independent: ``(ts, tiebreak_col)``
+    — without the tiebreak, equal-timestamp events would make ``lead``
+    nondeterministic and the result engine-dependent.
+
+    Shape: ONE user-keyed shuffle for the lead window (the same
+    partitioning sessionization uses), then the pair aggregation
+    map-side-combines into the |types|² transition table — tiny by
+    construction — whose per-source normalization is a window over
+    that tiny table, not the events.  NULL types and each user's last
+    event (no successor) drop out.
+
+    Output: ``(from_type, to_type, n, p)``, ``p`` rounded to 6.
+    """
+    from pyspark.sql.window import Window
+
+    order = [F.col(ts_col).asc()]
+    if tiebreak_col:
+        order.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy(user_col).orderBy(*order)
+    pairs = (
+        df.where(F.col(type_col).isNotNull() & F.col(ts_col).isNotNull())
+        .withColumn("__to__", F.lead(type_col).over(w))
+        .where(F.col("__to__").isNotNull())
+        .groupBy(
+            F.col(type_col).alias("from_type"),
+            F.col("__to__").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wn = Window.partitionBy("from_type")
+    return pairs.withColumn(
+        "p", F.round(F.col("n") / F.sum("n").over(wn), 6)
     )

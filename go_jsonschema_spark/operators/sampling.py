@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 __all__ = ["hash_split", "hash_sample", "stratified_sample", "hash_bucket",
+           "mixing_weights",
            "cap_per_group", "diversity_sample", "weighted_sample"]
 
 _BUCKETS = 1_000_000
@@ -175,3 +176,46 @@ def diversity_sample(
             seed=seed)
     out = df.withColumn("cell", assign_centroid(F.col(vec_col), centroids))
     return cap_per_group(out, "cell", cap, key=key, salt="diversity")
+
+
+def mixing_weights(
+    df: DataFrame,
+    group_col: str = "source",
+    *,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-scaled source-mixing weights — the multilingual /
+    multi-corpus rebalancing rule (exponentiated sampling,
+    ``p_i -> p_i^alpha / sum_j p_j^alpha``; alpha≈0.3-0.7 in the
+    mT5/XLM-R lineage): alpha < 1 upsamples tail sources and damps the
+    head without ever zeroing anyone; alpha = 1 is proportional
+    (no-op), alpha = 0 is uniform.
+
+    Output per group: ``(group, n, p, weight, multiplier)`` where
+    ``weight`` is the target mixture share and ``multiplier`` =
+    weight/p is the per-row up/down-sampling factor to feed
+    :func:`weighted_sample` (multiplier > 1 ⇒ oversample).
+
+    Shape: one group-keyed count (map-side combined; the output is
+    |groups| rows) + a window over that tiny table.  NULL groups form
+    their own mixture component, matching groupBy semantics everywhere
+    else in the engine.
+    """
+    if alpha < 0:
+        raise ValueError(f"mixing_weights: alpha must be >= 0, got {alpha}")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy()
+    counts = df.groupBy(F.col(group_col).alias("group")).agg(
+        F.count(F.lit(1)).alias("n"))
+    return (
+        counts.withColumn("p", F.col("n") / F.sum("n").over(w))
+        .withColumn("__pa__", F.pow("p", F.lit(float(alpha))))
+        .withColumn("weight", F.col("__pa__") / F.sum("__pa__").over(w))
+        .select(
+            "group", "n",
+            F.round("p", 6).alias("p"),
+            F.round("weight", 6).alias("weight"),
+            F.round(F.col("weight") / F.col("p"), 6).alias("multiplier"),
+        )
+    )

@@ -11,7 +11,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F, types as T
 
-__all__ = ["column_stats", "grouped_stats", "robust_outliers"]
+__all__ = ["column_stats", "grouped_stats", "robust_outliers",
+           "chi_square_independence"]
 
 _DEFAULT_QUANTILES = [0.5, 0.95, 0.99]
 
@@ -180,3 +181,83 @@ def robust_outliers(
         .drop("__med__", "__mad__")
     )
     return out.drop("__g__") if one_group else out
+
+
+def chi_square_independence(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns, plus Cramér's V effect size — the dataset-level "are these
+    features entangled?" check (stratification audits, leakage hunts:
+    a split column independent of the label should have V ≈ 0).
+
+        chi2 = sum_cells (obs - exp)^2 / exp,  exp = row_tot·col_tot/N
+        V    = sqrt(chi2 / (N · min(r-1, c-1)))
+
+    Shape: ONE cell-keyed aggregation over the rows (map-side combined
+    into the r×c contingency table); margins and the final statistic
+    are windows/aggregates over that tiny table, never the input.
+    Rows where either column is NULL are excluded (no information
+    about the pair).  No p-value on purpose: neither engine has a
+    native chi-square CDF, and a Python-side CDF would break the
+    no-Python contract — compare chi2 against the caller's critical
+    value for (dof) instead.
+
+    Output: one row ``(n, r, c, dof, chi2, cramers_v)``, floats
+    rounded to 6.
+    """
+    from pyspark.sql.window import Window
+
+    a, bcol = F.col(col_a), F.col(col_b)
+    cells = (
+        df.where(a.isNotNull() & bcol.isNotNull())
+        .groupBy(a.alias("__a__"), bcol.alias("__b__"))
+        .agg(F.count(F.lit(1)).alias("__o__"))
+    )
+    wa = Window.partitionBy("__a__")
+    wb = Window.partitionBy("__b__")
+    wall = Window.partitionBy()
+    enriched = (
+        cells.withColumn("__ra__", F.sum("__o__").over(wa))
+        .withColumn("__cb__", F.sum("__o__").over(wb))
+        .withColumn("__n__", F.sum("__o__").over(wall))
+        .withColumn(
+            "__e__", F.col("__ra__") * F.col("__cb__") / F.col("__n__"))
+    )
+    return enriched.agg(
+        F.first("__n__").cast("long").alias("n"),
+        F.countDistinct("__a__").cast("long").alias("r"),
+        F.countDistinct("__b__").cast("long").alias("c"),
+        (
+            (F.countDistinct("__a__") - 1)
+            * (F.countDistinct("__b__") - 1)
+        ).cast("long").alias("dof"),
+        F.round(
+            F.sum(
+                (F.col("__o__") - F.col("__e__")) ** 2 / F.col("__e__")
+            ),
+            6,
+        ).alias("chi2"),
+        F.round(
+            F.sqrt(
+                F.sum((F.col("__o__") - F.col("__e__")) ** 2
+                      / F.col("__e__"))
+                / (
+                    F.first("__n__")
+                    # a single-category column gives chi2 == 0 exactly
+                    # (obs == exp); clamping min(r-1, c-1) to 1 turns the
+                    # would-be 0/0 into the statistically right V = 0
+                    * F.greatest(
+                        F.least(
+                            F.countDistinct("__a__") - 1,
+                            F.countDistinct("__b__") - 1,
+                        ),
+                        F.lit(1),
+                    )
+                )
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
