@@ -848,6 +848,28 @@ def _q_l_diversity_orders(spark: SparkSession, sf: str) -> DataFrame:
         "class_size", "distinct_sensitive", "l")
 
 
+def _q_equidepth_hist_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Equi-depth histogram (r5): 8 equal-frequency buckets over
+    events.value — the skew-proof histogram (one hot value can't
+    swallow the range).  DuckDB recomputes the quantile_cont
+    boundaries and replays the strict-> bucket rule."""
+    from go_jsonschema_spark.operators.stats import equidepth_histogram
+
+    return equidepth_histogram(_t(spark, sf, "events"), "value", n_buckets=8)
+
+
+def _q_pairwise_corr_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    """Pairwise Pearson correlations (r5): every pair among lineitem's
+    (quantity, extendedprice, discount) in ONE aggregation — the
+    feature-redundancy screen.  DuckDB recomputes each corr."""
+    from go_jsonschema_spark.operators.stats import pairwise_corr
+
+    return pairwise_corr(
+        _t(spark, sf, "lineitem"),
+        ["l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+
 def _q_event_transitions(spark: SparkSession, sf: str) -> DataFrame:
     """Markov transition matrix (r5): consecutive event-type hops per
     user with per-source-state probabilities — funnels test one path,
@@ -1509,6 +1531,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_outliers_events": _q_robust_outliers_events,
         "bm25_documents": _q_bm25_documents,
         "event_transitions": _q_event_transitions,
+        "equidepth_hist_events": _q_equidepth_hist_events,
+        "pairwise_corr_lineitem": _q_pairwise_corr_lineitem,
         "chi2_documents_lang_source": _q_chi2_documents,
         "mixing_weights_documents": _q_mixing_weights_documents,
         "dup_ngrams_documents": _q_dup_ngrams_documents,
@@ -2833,6 +2857,37 @@ def oracle_sql() -> dict[str, str]:
         FROM orders
         GROUP BY o_custkey
         HAVING count(DISTINCT o_orderpriority) < 3
+    """
+    # equi-depth histogram: DuckDB recomputes the interpolated
+    # boundaries (quantile_cont == Spark percentile) and replays the
+    # strict-greater bucket assignment
+    out["equidepth_hist_events"] = """
+        WITH b AS (
+            SELECT quantile_cont(value,
+                [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS bounds
+            FROM events WHERE value IS NOT NULL
+        )
+        SELECT CAST(len(list_filter(
+                   list_transform((SELECT bounds FROM b),
+                                  x -> round(x, 6)),
+                   x -> value > x)) AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n,
+               round(min(value), 6) AS lo, round(max(value), 6) AS hi
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1
+    """
+    # pairwise correlation: DuckDB's corr is the same sample Pearson
+    # (covar_samp / (stddev_samp·stddev_samp), NULL on constant)
+    out["pairwise_corr_lineitem"] = """
+        SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+               round(corr(l_quantity, l_extendedprice), 6) AS "corr"
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_quantity', 'l_discount',
+               round(corr(l_quantity, l_discount), 6) FROM lineitem
+        UNION ALL
+        SELECT 'l_extendedprice', 'l_discount',
+               round(corr(l_extendedprice, l_discount), 6) FROM lineitem
     """
     # transition matrix: identical lead window under the same
     # (ts, event_id) total order, counts + per-source normalization

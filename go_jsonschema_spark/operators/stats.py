@@ -12,7 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F, types as T
 
 __all__ = ["column_stats", "grouped_stats", "robust_outliers",
-           "chi_square_independence"]
+           "chi_square_independence", "equidepth_histogram",
+           "pairwise_corr"]
 
 _DEFAULT_QUANTILES = [0.5, 0.95, 0.99]
 
@@ -261,3 +262,125 @@ def chi_square_independence(
             6,
         ).alias("cramers_v"),
     )
+
+
+def equidepth_histogram(
+    df: DataFrame,
+    column: str,
+    *,
+    n_buckets: int = 10,
+    exact: bool = True,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Equi-depth (equal-frequency) histogram: bucket boundaries at the
+    ``i/n`` quantiles, so each bucket holds ~the same row count no
+    matter how skewed the distribution — the histogram drift.py's
+    fixed-width buckets can't give you when one hot value swallows the
+    range (equi-depth is also what engines keep as table statistics).
+
+    Boundaries use interpolated percentiles (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``), collected once (n-1 scalars, bounded)
+    and ROUNDED to 6 decimals — the interpolation ``lo + (hi-lo)·f``
+    is not bit-identical across engines (observed: 51.87 vs
+    51.86999999999999 with a data point exactly at the boundary), and
+    rounding collapses last-ulp divergence onto one double; bucket
+    assignment is a NATIVE higher-order filter over the literal
+    boundary array — ``bucket = #{b : x > b}`` — so ties land in the
+    lower bucket deterministically in any engine, followed by one
+    bucket-keyed count.  Two scans, no row-keyed shuffle, no Python.
+    ``exact=False`` swaps in ``approx_percentile`` for the 10^12-row
+    path (boundaries shift within sketch error; counts stay exact for
+    whatever boundaries were chosen).
+
+    Output: ``(bucket, n, lo, hi)`` — observed min/max per bucket,
+    rounded to 6; empty buckets (possible under heavy ties) are absent.
+    NULLs are excluded.
+    """
+    if n_buckets < 2:
+        raise ValueError(
+            f"equidepth_histogram: n_buckets must be >= 2, got {n_buckets}")
+    v = F.col(column)
+    src = df.where(v.isNotNull())
+    fracs = [i / n_buckets for i in range(1, n_buckets)]
+    pfn = "percentile" if exact else "approx_percentile"
+    extra = "" if exact else f", {accuracy}"
+    row = src.agg(
+        F.expr(
+            f"{pfn}({column}, array({', '.join(map(str, fracs))}))"
+            f"{extra}"
+        ).alias("bounds")
+    ).collect()[0]
+    bounds = row["bounds"]
+    if bounds is None:
+        return src.select(
+            F.lit(0).cast("long").alias("bucket"),
+            F.lit(0).cast("long").alias("n"),
+            F.lit(0.0).alias("lo"), F.lit(0.0).alias("hi"),
+        ).limit(0)
+    barr = F.array(*[F.lit(round(float(b), 6)) for b in bounds])
+    bucket = F.size(F.filter(barr, lambda b: v > b)).cast("long")
+    return (
+        src.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min(v).cast("double"), 6).alias("lo"),
+            F.round(F.max(v).cast("double"), 6).alias("hi"),
+        )
+    )
+
+
+def pairwise_corr(
+    df: DataFrame,
+    cols: list[str],
+    group_col: str | None = None,
+) -> DataFrame:
+    """Pearson correlation for every unordered column pair in ``cols``
+    (optionally per group) — the redundancy/leakage screen over a
+    table's numeric features, tidy-shaped for thresholding
+    (``WHERE abs(corr) > 0.95`` finds the duplicated features).
+
+    ONE aggregation computes all C(m,2) correlations (each an
+    algebraic one-pass moment — Spark's native ``corr``), then an
+    inline unpivot explodes the single result row into tidy
+    ``(col_a, col_b, corr)`` rows.  No joins, no second scan; with
+    ``group_col`` the same single aggregation is group-keyed and
+    map-side combined.  Pairs where either column is constant have
+    undefined correlation and surface as NULL (both engines' corr
+    semantics).
+
+    Output: ``([group_col], col_a, col_b, corr)``, rounded to 6.
+    """
+    if len(cols) < 2:
+        raise ValueError("pairwise_corr: need at least two columns")
+    if len(set(cols)) != len(cols):
+        raise ValueError("pairwise_corr: duplicate columns")
+    pairs = [
+        (a, bc) for i, a in enumerate(cols) for bc in cols[i + 1:]
+    ]
+    # corr from moments with try_divide: a constant column yields NULL
+    # (DuckDB's corr semantics) instead of ANSI-mode DIVIDE_BY_ZERO,
+    # which Spark's own `corr` raises under spark.sql.ansi.enabled
+    aggs = [
+        F.round(
+            F.try_divide(
+                F.covar_samp(a, bc),
+                F.stddev_samp(a) * F.stddev_samp(bc),
+            ),
+            6,
+        ).alias(f"__c{i}__")
+        for i, (a, bc) in enumerate(pairs)
+    ]
+    gb = df.groupBy(group_col) if group_col else df.groupBy()
+    wide = gb.agg(*aggs)
+    structs = F.array(*[
+        F.struct(
+            F.lit(a).alias("col_a"),
+            F.lit(bc).alias("col_b"),
+            F.col(f"__c{i}__").alias("corr"),
+        )
+        for i, (a, bc) in enumerate(pairs)
+    ])
+    keep = [group_col] if group_col else []
+    return wide.select(*keep, F.explode(structs).alias("__s__")).select(
+        *keep, "__s__.col_a", "__s__.col_b", "__s__.corr")
