@@ -358,6 +358,51 @@ def _q_sessionize_events(spark: SparkSession, sf: str) -> DataFrame:
     return flags.groupBy("user_id").agg(F.sum("new_s").alias("n_sessions"))
 
 
+def _q_running_revenue_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Global running revenue (r5): prefix sum of o_totalprice under the
+    (o_orderdate, o_orderkey) total order via the two-phase distributed
+    cumsum — no single-partition global window.  Cents as BIGINT so the
+    bucket-split addition tree is EXACT (double cumsum is order-
+    sensitive in the last ulp).  DuckDB replays the sequential window."""
+    from go_jsonschema_spark.operators.timeseries import distributed_cumsum
+
+    o = _t(spark, sf, "orders").where(F.col("o_orderdate").isNotNull())
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    out = distributed_cumsum(
+        o.withColumn("__cents__", cents),
+        ["o_orderdate", "o_orderkey"], "__cents__",
+        out_col="cum_cents", n_buckets=32)
+    return out.select("o_orderkey", "cum_cents")
+
+
+def _q_concurrency_sessions_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Sweep-line session concurrency (r5): sessionize (30-min gap) into
+    [first_ts, last_ts] intervals, then the active-interval count at
+    every boundary — the peak-capacity question a self-join can't answer
+    at scale.  DuckDB replays sessionization AND the sweep line."""
+    from pyspark.sql import Window
+
+    from go_jsonschema_spark.operators.timeseries import concurrency_profile
+
+    e = _t(spark, sf, "events").where(F.col("ts").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    s = e.withColumn(
+        "new_s", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+    s = s.withColumn(
+        "sid", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    sess = s.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("s"), F.max("ts").alias("e"))
+    prof = concurrency_profile(sess, "s", "e", n_buckets=16)
+    return prof.select(
+        F.col("ts").cast("timestamp").cast("long").alias("ts_epoch"),
+        F.col("n_start").cast("long").alias("n_start"),
+        F.col("n_end").cast("long").alias("n_end"),
+        F.col("active").cast("long").alias("active"),
+    )
+
+
 def _q_token_counts_documents(spark: SparkSession, sf: str) -> DataFrame:
     from go_jsonschema_spark.functions.text import token_count
 
@@ -1496,6 +1541,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_stats_events": _q_grouped_stats_events,
         "topk_users_by_value": _q_topk_users_by_value,
         "sessionize_events": _q_sessionize_events,
+        "running_revenue_orders": _q_running_revenue_orders,
+        "concurrency_sessions_events": _q_concurrency_sessions_events,
         "asof_purchase_last_error": _q_asof_purchase_last_error,
         "hourly_event_counts": _q_hourly_event_counts,
         "rolling_hourly_avg": _q_rolling_hourly_avg,
@@ -1984,6 +2031,55 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
             )
             SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions FROM g GROUP BY user_id
+        """,
+        # running revenue: DuckDB's sequential window IS the spec the
+        # two-phase distributed cumsum must reproduce exactly (integer
+        # cents — no float addition-order slack)
+        "running_revenue_orders": """
+            SELECT o_orderkey,
+                   CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                        OVER (ORDER BY o_orderdate, o_orderkey
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS cum_cents
+            FROM orders WHERE o_orderdate IS NOT NULL
+        """,
+        # sweep-line concurrency: replay sessionization, explode the
+        # intervals to ±1 deltas, prefix-sum per distinct boundary and
+        # add back same-instant ends (closed-interval semantics)
+        "concurrency_sessions_events": """
+            WITH g AS (
+                SELECT user_id, event_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events WHERE ts IS NOT NULL
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s2 AS (
+                SELECT user_id, ts,
+                       SUM(new_s) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS sid
+                FROM g
+            ), sess AS (
+                SELECT user_id, sid, min(ts) AS s, max(ts) AS e
+                FROM s2 GROUP BY 1, 2
+            ), deltas AS (
+                SELECT s AS ts, 1 AS d FROM sess
+                UNION ALL SELECT e, -1 FROM sess
+            ), per AS (
+                SELECT ts,
+                       SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS n_start,
+                       SUM(CASE WHEN d = -1 THEN 1 ELSE 0 END) AS n_end,
+                       SUM(d) AS net
+                FROM deltas GROUP BY 1
+            )
+            SELECT CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch,
+                   CAST(n_start AS BIGINT) AS n_start,
+                   CAST(n_end AS BIGINT) AS n_end,
+                   CAST(SUM(net) OVER (ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING)
+                        + n_end AS BIGINT) AS active
+            FROM per
         """,
         "asof_purchase_last_error": """
             SELECT l.event_id, l.user_id, r.event_id AS error_event_id

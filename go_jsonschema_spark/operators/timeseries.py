@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["resample"]
+__all__ = ["resample", "distributed_cumsum", "concurrency_profile"]
 
 
 def resample(
@@ -100,3 +100,140 @@ def resample(
                 ))
             out = out.withColumn(name, interp)
     return out.withColumnRenamed("__b__", "bucket_ts")
+
+
+def distributed_cumsum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str | Column,
+    *,
+    out_col: str = "cum",
+    n_buckets: int = 64,
+    exact: bool = False,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Global running sum of ``value_col`` under the TOTAL order given
+    by ``order_cols`` — WITHOUT the single-partition global window that
+    ``Window.orderBy(...)`` with no ``partitionBy`` degenerates to
+    (Spark warns ``WindowExec: No Partition Defined``, then funnels the
+    entire dataset through one task — the classic scale-killer for
+    running totals, sweep lines and CDF-style queries).
+
+    Two-phase scan-sum (the textbook parallel prefix sum, expressed
+    relationally so Catalyst keeps it whole-stage):
+
+    1. bucket boundaries = ``n_buckets-1`` percentiles of the FIRST
+       order column, collected once (bounded scalars — the equidepth
+       pattern); each row's bucket is a NATIVE higher-order filter over
+       the literal array (``#{b : key > b}``).  Bucketing on a prefix
+       of the order is what makes the split order-consistent: every row
+       of bucket i sorts before every row of bucket i+1.
+    2. per-bucket running sum: ONE hash Exchange on the bucket id, then
+       an ordinary ``rowsBetween(unboundedPreceding, 0)`` window inside
+       each bucket (parallel across buckets).
+    3. bucket offsets: a map-side-combined ``groupBy(bucket).sum`` —
+       the only extra shuffle moves ``n_buckets × partitions`` partial
+       rows — then an ``n_buckets``-row single-partition window (tiny
+       by construction) and a broadcast join back.
+
+    ``order_cols`` must be a total order (add a unique id as the last
+    column) or per-row output is nondeterministic within ties.  NULLs
+    in the first order column sort first (Spark default) but make
+    cross-engine comparison fragile — filter them upstream.  For exact
+    integer semantics pass an integer ``value_col`` (double addition is
+    order-sensitive in the last ulp; the bucket split changes the
+    addition tree vs a sequential engine).
+
+    At 10^12 rows: raise ``n_buckets`` so each bucket fits an executor
+    (boundaries stay a bounded collect); the approximate percentile
+    default is the scale path — boundary placement only balances the
+    buckets, never changes the result.
+    """
+    if not order_cols:
+        raise ValueError("distributed_cumsum: empty order_cols")
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    first = order_cols[0]
+    ftype = dict(df.dtypes).get(first)
+    key = F.col(first)
+    if ftype and "timestamp" in ftype:
+        key = key.cast("timestamp").cast("long")
+    elif ftype in ("date",):
+        key = F.unix_date(F.col(first)).cast("long")
+    src = df.withColumn("__key__", key.cast("double"))
+
+    pfn = "percentile" if exact else "approx_percentile"
+    fracs = [i / n_buckets for i in range(1, n_buckets)]
+    extra = "" if exact else f", {accuracy}"
+    bounds = src.agg(F.expr(
+        f"{pfn}(__key__, array({', '.join(map(str, fracs))}){extra})"
+    )).first()[0] or []
+    barr = F.array(*[F.lit(float(b)) for b in bounds]).cast("array<double>")
+    bkt = F.size(F.filter(barr, lambda b: F.col("__key__") > b))
+    src = src.withColumn("__bkt__", bkt)
+
+    w_local = (Window.partitionBy("__bkt__").orderBy(*order_cols)
+               .rowsBetween(Window.unboundedPreceding, 0))
+    local = src.withColumn("__cs__", F.sum(v).over(w_local))
+
+    totals = src.groupBy("__bkt__").agg(F.sum(v).alias("__tot__"))
+    w_off = (Window.orderBy("__bkt__")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offs = totals.select(
+        "__bkt__", F.sum("__tot__").over(w_off).alias("__off__"))
+
+    # lit(0) is int: coalesce keeps long sums long and double sums double
+    return (
+        local.join(F.broadcast(offs), "__bkt__")
+        .withColumn(
+            out_col, F.col("__cs__") + F.coalesce(F.col("__off__"), F.lit(0)))
+        .drop("__key__", "__bkt__", "__cs__", "__off__")
+    )
+
+
+def concurrency_profile(
+    df: DataFrame,
+    start_col: str,
+    end_col: str,
+    *,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Sweep-line concurrency: for every distinct interval boundary
+    timestamp ``t``, how many intervals are active — ``#{i : start_i <=
+    t AND end_i >= t}`` (closed intervals: a session ending exactly
+    when another starts overlaps it at that instant).  The capacity
+    question — peak concurrent sessions / connections / jobs — that a
+    self-join (``O(n²)``) or a single-partition global window can't
+    answer at scale.
+
+    Relational sweep line: explode each interval to a ``+1`` (start)
+    and ``-1`` (end) delta, pre-aggregate deltas per DISTINCT timestamp
+    (collapsing ties makes the order total, so the prefix sum is
+    deterministic), then :func:`distributed_cumsum` over the boundary
+    table and one add-back of the ties: ``active(t) = cum(net)(t) +
+    n_end(t)`` — ends at ``t`` are still active AT ``t`` under closed
+    semantics but must not count after it.  All native; the only
+    full-data shuffle is the per-timestamp delta aggregation (map-side
+    combined) — the cumsum then runs over the (much smaller) distinct-
+    boundary table.
+
+    Output: ``(ts, n_start, n_end, active)`` per distinct boundary.
+    """
+    s, e = F.col(start_col), F.col(end_col)
+    deltas = df.where(s.isNotNull() & e.isNotNull()).select(
+        F.explode(F.array(
+            F.struct(s.alias("ts"), F.lit(1).alias("d")),
+            F.struct(e.alias("ts"), F.lit(-1).alias("d")),
+        )).alias("x")
+    ).select("x.ts", "x.d")
+    per_ts = deltas.groupBy("ts").agg(
+        F.sum(F.when(F.col("d") == 1, 1).otherwise(0)).alias("n_start"),
+        F.sum(F.when(F.col("d") == -1, 1).otherwise(0)).alias("n_end"),
+        F.sum("d").alias("__net__"),
+    )
+    cum = distributed_cumsum(
+        per_ts, ["ts"], F.col("__net__"), out_col="__cum__",
+        n_buckets=n_buckets)
+    return cum.select(
+        "ts", "n_start", "n_end",
+        (F.col("__cum__") + F.col("n_end")).cast("long").alias("active"),
+    )
