@@ -915,6 +915,80 @@ def _q_pairwise_corr_lineitem(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_trend_events_value(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-type drift trend (r5): slope/intercept/R² of events.value
+    over time via the native one-pass regr_* aggregates.  x is centered
+    on a fixed literal epoch and scaled to days BEFORE the aggregation —
+    raw epoch seconds (~1.7e9) would put the variance computation in
+    catastrophic-cancellation territory in any engine."""
+    from go_jsonschema_spark.operators.stats import trend
+
+    e = _t(spark, sf, "events").withColumn(
+        "x_days",
+        (F.col("ts").cast("timestamp").cast("long") - F.lit(1704067200))
+        / 86400.0)
+    return trend(e, "value", "x_days", group_cols=["event_type"])
+
+
+def _q_entropy_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Column entropy profile (r5): Shannon entropy + distinct count of
+    lang and source in ONE exploded aggregation — near-constant /
+    id-in-disguise detection.  DuckDB replays ln N - Σ n·ln n / N."""
+    from go_jsonschema_spark.operators.stats import categorical_entropy
+
+    return categorical_entropy(
+        _t(spark, sf, "documents"), ["lang", "source"])
+
+
+def _q_mi_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Mutual information lang↔source (r5): how much one column tells
+    you about the other, in nats, with the sqrt-normalized variant —
+    the comparable-across-pairs redundancy number chi² isn't."""
+    from go_jsonschema_spark.operators.stats import mutual_information
+
+    return mutual_information(_t(spark, sf, "documents"), "lang", "source")
+
+
+def _q_winsorized_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Winsorized values (r5): events.value clipped at its exact
+    p01/p99 — row count preserved, tails bounded, NULLs untouched.
+    Boundaries rounded to 6 on both engines (the equidepth rule)."""
+    from go_jsonschema_spark.operators.stats import winsorize
+
+    out = winsorize(_t(spark, sf, "events"), "value", lo=0.01, hi=0.99,
+                    out_col="v_w")
+    return out.select("event_id", F.round("v_w", 6).alias("v_w"))
+
+
+def _q_diff_orders_versions(spark: SparkSession, sf: str) -> DataFrame:
+    """Keyed dataset diff (r5): two deterministically-derived versions
+    of orders (drops, inserts, price bumps, priority rewrites) diffed
+    by key — one full outer join, null-safe compares, changed-column
+    names.  DuckDB replays the same derivation and join."""
+    from go_jsonschema_spark.operators.diffing import dataset_diff
+
+    o = _t(spark, sf, "orders")
+    old = o.where(F.col("o_orderkey") % 3 != 0)
+    new = (
+        o.where(F.col("o_orderkey") % 4 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(F.col("o_orderkey") % 5 == 0,
+                   F.col("o_totalprice") + 10.0)
+            .otherwise(F.col("o_totalprice")))
+        .withColumn(
+            "o_orderpriority",
+            F.when(F.col("o_orderkey") % 11 == 0, F.lit("X-RUSH"))
+            .otherwise(F.col("o_orderpriority")))
+    )
+    d = dataset_diff(
+        old, new, ["o_orderkey"],
+        compare_cols=["o_totalprice", "o_orderstatus", "o_orderpriority"])
+    return d.select(
+        "o_orderkey", "change_type",
+        F.array_join("changed_cols", ",").alias("changed_cols"))
+
+
 def _q_event_transitions(spark: SparkSession, sf: str) -> DataFrame:
     """Markov transition matrix (r5): consecutive event-type hops per
     user with per-source-state probabilities — funnels test one path,
@@ -1579,6 +1653,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_documents": _q_bm25_documents,
         "event_transitions": _q_event_transitions,
         "equidepth_hist_events": _q_equidepth_hist_events,
+        "trend_events_value": _q_trend_events_value,
+        "entropy_documents": _q_entropy_documents,
+        "mi_documents": _q_mi_documents,
+        "winsorized_events": _q_winsorized_events,
+        "diff_orders_versions": _q_diff_orders_versions,
         "pairwise_corr_lineitem": _q_pairwise_corr_lineitem,
         "chi2_documents_lang_source": _q_chi2_documents,
         "mixing_weights_documents": _q_mixing_weights_documents,
@@ -2984,6 +3063,124 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT 'l_extendedprice', 'l_discount',
                round(corr(l_extendedprice, l_discount), 6) FROM lineitem
+    """
+    # trend: DuckDB's regr_* are the same algebraic one-pass moments;
+    # x centered/scaled identically (floor(epoch) == Spark's long cast)
+    out["trend_events_value"] = """
+        WITH s AS (
+            SELECT event_type, value,
+                   (floor(epoch(ts)) - 1704067200) / 86400.0 AS x
+            FROM events
+        )
+        SELECT event_type,
+               round(regr_slope(value, x), 6) AS slope,
+               round(regr_intercept(value, x), 6) AS intercept,
+               round(regr_r2(value, x), 6) AS r2,
+               CAST(regr_count(value, x) AS BIGINT) AS n
+        FROM s GROUP BY event_type
+    """
+    # entropy: -Σ p ln p == ln N - (Σ n ln n)/N over per-value counts;
+    # NULL is a category (profiling wants to see it)
+    out["entropy_documents"] = """
+        WITH p AS (
+            SELECT 'lang' AS "column", CAST(lang AS VARCHAR) AS value
+            FROM documents
+            UNION ALL
+            SELECT 'source', CAST(source AS VARCHAR) FROM documents
+        ), c AS (
+            SELECT "column", value, count(*) AS n FROM p GROUP BY 1, 2
+        )
+        SELECT "column", CAST(count(*) AS BIGINT) AS n_distinct,
+               round(ln(sum(n)) - sum(n * ln(n)) / sum(n), 6) AS entropy
+        FROM c GROUP BY 1
+    """
+    # mutual information: contingency cells + margin windows, the
+    # entropy shares divided by their group's cell count so the plain
+    # sum counts each margin term once; DuckDB's NULL-on-/0 matches
+    # try_divide for the constant-column nmi
+    out["mi_documents"] = """
+        WITH cells AS (
+            SELECT CAST(lang AS VARCHAR) AS a,
+                   CAST(source AS VARCHAR) AS b, count(*) AS n_ab
+            FROM documents GROUP BY 1, 2
+        ), t AS (
+            SELECT n_ab,
+                   sum(n_ab) OVER () AS n,
+                   sum(n_ab) OVER (PARTITION BY a) AS n_a,
+                   sum(n_ab) OVER (PARTITION BY b) AS n_b,
+                   count(*) OVER (PARTITION BY a) AS c_a,
+                   count(*) OVER (PARTITION BY b) AS c_b
+            FROM cells
+        ), u AS (
+            SELECT n,
+                   (n_ab / (1.0 * n))
+                       * ln((n_ab * 1.0 * n) / (n_a * 1.0 * n_b)) AS mt,
+                   (n_a / (1.0 * n)) * ln(n_a / (1.0 * n)) / c_a AS ha_s,
+                   (n_b / (1.0 * n)) * ln(n_b / (1.0 * n)) / c_b AS hb_s
+            FROM t
+        )
+        SELECT round(sum(mt), 6) AS mi,
+               round(sum(mt) / sqrt((-sum(ha_s)) * (-sum(hb_s))), 6)
+                   AS nmi,
+               round(-sum(ha_s), 6) AS h_a,
+               round(-sum(hb_s), 6) AS h_b,
+               CAST(min(n) AS BIGINT) AS n
+        FROM u
+    """
+    # winsorize: quantile_cont == Spark percentile, boundaries rounded
+    # to 6 (equidepth rule); DuckDB least/greatest also skip NULLs so
+    # the CASE guard mirrors the operator's explicit NULL gate
+    out["winsorized_events"] = """
+        WITH b AS (
+            SELECT round(quantile_cont(value, 0.01), 6) AS lo,
+                   round(quantile_cont(value, 0.99), 6) AS hi
+            FROM events WHERE value IS NOT NULL
+        )
+        SELECT event_id,
+               CASE WHEN value IS NULL THEN NULL
+                    ELSE round(least(greatest(value, (SELECT lo FROM b)),
+                                     (SELECT hi FROM b)), 6)
+               END AS v_w
+        FROM events
+    """
+    # keyed diff: same deterministic derivation (exact double add, no
+    # rounding — round() half-up semantics differ across engines),
+    # full outer join + IS DISTINCT FROM per column
+    out["diff_orders_versions"] = """
+        WITH old AS (
+            SELECT o_orderkey, o_totalprice, o_orderstatus, o_orderpriority
+            FROM orders WHERE o_orderkey % 3 != 0
+        ), new AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 10.0
+                        ELSE o_totalprice END AS o_totalprice,
+                   o_orderstatus,
+                   CASE WHEN o_orderkey % 11 = 0 THEN 'X-RUSH'
+                        ELSE o_orderpriority END AS o_orderpriority
+            FROM orders WHERE o_orderkey % 4 != 0
+        ), j AS (
+            SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+                   o.o_orderkey IS NOT NULL AS in_o,
+                   n.o_orderkey IS NOT NULL AS in_n,
+                   o.o_totalprice IS DISTINCT FROM n.o_totalprice AS d_pr,
+                   o.o_orderstatus IS DISTINCT FROM n.o_orderstatus AS d_st,
+                   o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+                       AS d_pp
+            FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+        )
+        SELECT o_orderkey,
+               CASE WHEN NOT in_o THEN 'added'
+                    WHEN NOT in_n THEN 'removed'
+                    ELSE 'changed' END AS change_type,
+               CASE WHEN in_o AND in_n THEN array_to_string(
+                        list_filter([
+                            CASE WHEN d_pp THEN 'o_orderpriority' END,
+                            CASE WHEN d_st THEN 'o_orderstatus' END,
+                            CASE WHEN d_pr THEN 'o_totalprice' END
+                        ], x -> x IS NOT NULL), ',')
+                    ELSE '' END AS changed_cols
+        FROM j
+        WHERE NOT in_o OR NOT in_n OR d_pr OR d_st OR d_pp
     """
     # transition matrix: identical lead window under the same
     # (ts, event_id) total order, counts + per-source normalization

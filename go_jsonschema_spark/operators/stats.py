@@ -13,7 +13,8 @@ from pyspark.sql import DataFrame, functions as F, types as T
 
 __all__ = ["column_stats", "grouped_stats", "robust_outliers",
            "chi_square_independence", "equidepth_histogram",
-           "pairwise_corr"]
+           "pairwise_corr", "trend", "categorical_entropy",
+           "mutual_information", "winsorize"]
 
 _DEFAULT_QUANTILES = [0.5, 0.95, 0.99]
 
@@ -384,3 +385,171 @@ def pairwise_corr(
     keep = [group_col] if group_col else []
     return wide.select(*keep, F.explode(structs).alias("__s__")).select(
         *keep, "__s__.col_a", "__s__.col_b", "__s__.corr")
+
+
+def trend(
+    df: DataFrame,
+    y_col: str,
+    x_col: str,
+    *,
+    group_cols: list[str] | None = None,
+    x_scale: float = 1.0,
+) -> DataFrame:
+    """Least-squares trend per group: slope / intercept / R² / n of
+    ``y ~ x`` via the NATIVE algebraic regression aggregates
+    (``regr_slope`` & co — one-pass moments, map-side combined; the
+    same aggregate family DuckDB ships, so the oracle is native too).
+    The drift question "is this metric drifting and how fast" as ONE
+    aggregation — no window, no collect, no MLlib.
+
+    ``x_col`` may be a timestamp (auto-converted to epoch seconds);
+    ``x_scale`` divides x first — pass 86400 to get per-DAY slopes,
+    which keeps the magnitude in a range where fixed-decimal rounding
+    is meaningful.  Rows with NULL x or y are ignored per pair (regr_*
+    semantics in both engines).
+
+    Output: ``([group_cols], slope, intercept, r2, n)``, rounded to 6.
+    """
+    x = F.col(x_col)
+    if "timestamp" in dict(df.dtypes).get(x_col, ""):
+        x = x.cast("timestamp").cast("long")
+    x = x.cast("double") / float(x_scale)
+    y = F.col(y_col).cast("double")
+    gb = df.groupBy(*group_cols) if group_cols else df.groupBy()
+    return gb.agg(
+        F.round(F.regr_slope(y, x), 6).alias("slope"),
+        F.round(F.regr_intercept(y, x), 6).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.regr_count(y, x).cast("long").alias("n"),
+    )
+
+
+def categorical_entropy(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Shannon entropy (nats) + distinct count of each categorical
+    column — the profiling signal for "is this column informative /
+    near-constant / an id in disguise".  All columns in ONE shuffle:
+    rows are exploded to ``(column, value)`` pairs (a narrow generate,
+    no extra scan per column), counted map-side, then each column's
+    ``-Σ p·ln p`` folds over its own (bounded, Zipf-shaped) value
+    table.  NULL values count as a category of their own (profiling
+    wants to see them).
+
+    Output: ``(column, n_distinct, entropy)``, entropy rounded to 6.
+    """
+    if not cols:
+        raise ValueError("categorical_entropy: empty column list")
+    pairs = F.explode(F.array(*[
+        F.struct(F.lit(c).alias("column"),
+                 F.col(c).cast("string").alias("value"))
+        for c in cols
+    ])).alias("p")
+    counts = (
+        df.select(pairs).select("p.column", "p.value")
+        .groupBy("column", "value").agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = F.sum("n")
+    # per-column fold over its own value table (tiny after the count)
+    return counts.groupBy("column").agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.round(
+            F.log(tot) - F.try_divide(
+                F.sum(F.col("n") * F.log("n")), tot),
+            6,
+        ).alias("entropy"),
+    )
+
+
+def mutual_information(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Mutual information (nats) between two categorical columns plus
+    the normalized variant ``MI / sqrt(H_a·H_b)`` — the redundancy
+    screen chi-square can't give you (chi² says "dependent", MI says
+    "how many bits one column tells you about the other", directly
+    comparable across pairs).
+
+    ONE cell-keyed aggregation builds the r×c contingency table
+    (map-side combined — the chi_square_independence shape); margins
+    and entropies are windows over that tiny table.  NULLs are a
+    category.  ``MI = Σ p_ab·ln(p_ab / (p_a·p_b))``; degenerate
+    constant columns give MI 0 and NULL nmi (0/0 guarded by
+    try_divide).
+
+    Output: one row ``(mi, nmi, h_a, h_b, n)``, rounded to 6.
+    """
+    from pyspark.sql import Window
+
+    a = F.col(col_a).cast("string").alias("a")
+    b = F.col(col_b).cast("string").alias("b")
+    cells = df.select(a, b).groupBy("a", "b").agg(
+        F.count(F.lit(1)).alias("n_ab"))
+    w_all = Window.partitionBy()
+    w_a = Window.partitionBy("a")
+    w_b = Window.partitionBy("b")
+    n = F.sum("n_ab").over(w_all)
+    p_ab = F.col("n_ab") / n
+    p_a = F.sum("n_ab").over(w_a) / n
+    p_b = F.sum("n_ab").over(w_b) / n
+    # entropy terms repeat per cell within their margin group; divide
+    # by the group's cell count so the plain sum counts each ONCE
+    terms = cells.select(
+        n.alias("n"),
+        (p_ab * F.log(p_ab / (p_a * p_b))).alias("t"),
+        (p_a * F.log(p_a) / F.count(F.lit(1)).over(w_a)).alias("ha_s"),
+        (p_b * F.log(p_b) / F.count(F.lit(1)).over(w_b)).alias("hb_s"),
+    )
+    return terms.agg(
+        F.round(F.sum("t"), 6).alias("mi"),
+        F.round(
+            F.try_divide(
+                F.sum("t"),
+                F.sqrt((-F.sum("ha_s")) * (-F.sum("hb_s"))),
+            ),
+            6,
+        ).alias("nmi"),
+        F.round(-F.sum("ha_s"), 6).alias("h_a"),
+        F.round(-F.sum("hb_s"), 6).alias("h_b"),
+        F.first("n").cast("long").alias("n"),
+    )
+
+
+def winsorize(
+    df: DataFrame,
+    column: str,
+    *,
+    lo: float = 0.01,
+    hi: float = 0.99,
+    out_col: str | None = None,
+    exact: bool = True,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Winsorize (clip) ``column`` at its ``lo``/``hi`` interpolated
+    percentiles — the outlier-taming transform that keeps row count
+    (unlike filtering) while bounding the tails that wreck means,
+    z-scores and learned scalers.
+
+    The two boundaries are one bounded collect (rounded to 6 — the
+    cross-engine interpolation rule from equidepth_histogram), the clip
+    is a pure narrow ``least/greatest`` projection: zero shuffles,
+    pushdown-friendly, codegen'd.  ``exact=False`` swaps in
+    ``approx_percentile`` for the 10^12-row path.  NULLs pass through
+    unclipped (they carry "missing", not "extreme").
+
+    Output: ``df`` with ``out_col`` (default ``{column}_w``) added.
+    """
+    if not (0.0 <= lo < hi <= 1.0):
+        raise ValueError(f"winsorize: need 0 <= lo < hi <= 1, got {lo},{hi}")
+    out_col = out_col or f"{column}_w"
+    pfn = "percentile" if exact else "approx_percentile"
+    extra = "" if exact else f", {accuracy}"
+    row = df.where(F.col(column).isNotNull()).agg(F.expr(
+        f"{pfn}({column}, array({lo}, {hi}){extra})")).first()[0]
+    if row is None:
+        return df.withColumn(out_col, F.col(column).cast("double"))
+    b_lo, b_hi = (round(float(x), 6) for x in row)
+    v = F.col(column).cast("double")
+    # greatest/least SKIP nulls (greatest(NULL, lo) = lo), which would
+    # clip missing values onto the boundary — gate explicitly
+    clipped = F.when(
+        v.isNotNull(), F.least(F.greatest(v, F.lit(b_lo)), F.lit(b_hi)))
+    return df.withColumn(out_col, clipped)
