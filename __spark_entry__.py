@@ -989,6 +989,55 @@ def _q_diff_orders_versions(spark: SparkSession, sf: str) -> DataFrame:
         F.array_join("changed_cols", ",").alias("changed_cols"))
 
 
+def _q_js_click_vs_view(spark: SparkSession, sf: str) -> DataFrame:
+    """Jensen-Shannon drift (r5): symmetric bounded divergence between
+    click and view value distributions over shared width-5 bins —
+    completes the KS/PSI drift family with the no-epsilon member."""
+    from go_jsonschema_spark.operators.drift import js_divergence
+
+    e = _t(spark, sf, "events")
+    return js_divergence(
+        e.where(F.col("event_type") == "click"),
+        e.where(F.col("event_type") == "view"),
+        "value", bucket_width=5.0)
+
+
+def _q_user_gini_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Contribution concentration (r5): Gini of per-user event counts +
+    mass share of the >p99-sized users — the "does 1% of the corpus
+    come from one place" training-mix screen, Lorenz cumulative via the
+    distributed prefix sum."""
+    from go_jsonschema_spark.operators.stats import contribution_concentration
+
+    return contribution_concentration(
+        _t(spark, sf, "events"), "user_id", n_buckets=16)
+
+
+def _q_rrf_users_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Reciprocal-rank fusion (r5): merge the by-total-value and
+    by-event-count user rankings (top-50 each) into one calibration-free
+    top-20 — the hybrid-retrieval combiner on behavioral rankings.
+    Rank keys are ROUNDED sums so the orderings are engine-independent."""
+    from pyspark.sql import Window
+
+    from go_jsonschema_spark.operators.corpus import rrf_fuse
+
+    e = _t(spark, sf, "events")
+    by_val = (
+        e.groupBy("user_id").agg(F.round(F.sum("value"), 4).alias("s"))
+        .withColumn("rank", F.row_number().over(
+            Window.orderBy(F.col("s").desc(), F.col("user_id"))))
+        .where(F.col("rank") <= 50).select("user_id", "rank")
+    )
+    by_cnt = (
+        e.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("rank", F.row_number().over(
+            Window.orderBy(F.col("c").desc(), F.col("user_id"))))
+        .where(F.col("rank") <= 50).select("user_id", "rank")
+    )
+    return rrf_fuse([by_val, by_cnt], ["user_id"], k=60, top_k=20)
+
+
 def _q_event_transitions(spark: SparkSession, sf: str) -> DataFrame:
     """Markov transition matrix (r5): consecutive event-type hops per
     user with per-source-state probabilities — funnels test one path,
@@ -1658,6 +1707,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mi_documents": _q_mi_documents,
         "winsorized_events": _q_winsorized_events,
         "diff_orders_versions": _q_diff_orders_versions,
+        "js_click_vs_view_events": _q_js_click_vs_view,
+        "user_gini_events": _q_user_gini_events,
+        "rrf_users_events": _q_rrf_users_events,
         "pairwise_corr_lineitem": _q_pairwise_corr_lineitem,
         "chi2_documents_lang_source": _q_chi2_documents,
         "mixing_weights_documents": _q_mixing_weights_documents,
@@ -3181,6 +3233,91 @@ def oracle_sql() -> dict[str, str]:
                     ELSE '' END AS changed_cols
         FROM j
         WHERE NOT in_o OR NOT in_n OR d_pr OR d_st OR d_pp
+    """
+    # JS divergence: replay both histograms, the full-outer bucket
+    # align, and the zero-gated KL terms (0·ln0 := 0 — no epsilon)
+    out["js_click_vs_view_events"] = """
+        WITH ha AS (
+            SELECT CAST(floor(value / 5.0) AS BIGINT) AS bucket,
+                   count(*) AS ca
+            FROM events WHERE event_type = 'click' AND value IS NOT NULL
+            GROUP BY 1
+        ), hb AS (
+            SELECT CAST(floor(value / 5.0) AS BIGINT) AS bucket,
+                   count(*) AS cb
+            FROM events WHERE event_type = 'view' AND value IS NOT NULL
+            GROUP BY 1
+        ), j AS (
+            SELECT coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+            FROM ha FULL OUTER JOIN hb USING (bucket)
+        ), u AS (
+            SELECT (SELECT sum(ca) FROM j) AS na,
+                   (SELECT sum(cb) FROM j) AS nb,
+                   ca / (1.0 * (SELECT sum(ca) FROM j)) AS p,
+                   cb / (1.0 * (SELECT sum(cb) FROM j)) AS q
+            FROM j
+        )
+        SELECT round(sum((CASE WHEN p > 0
+                               THEN p * ln(p / ((p + q) / 2))
+                               ELSE 0 END
+                        + CASE WHEN q > 0
+                               THEN q * ln(q / ((p + q) / 2))
+                               ELSE 0 END) / 2), 6) AS js,
+               CAST(min(na) AS BIGINT) AS n_a,
+               CAST(min(nb) AS BIGINT) AS n_b,
+               CAST(count(*) AS BIGINT) AS n_buckets
+        FROM u
+    """
+    # Gini: sequential-window Lorenz cumulative under the same
+    # (n, user_id) total order the distributed cumsum buckets on
+    out["user_gini_events"] = """
+        WITH c AS (
+            SELECT user_id, count(*) AS n FROM events GROUP BY 1
+        ), cum AS (
+            SELECT n, sum(n) OVER (ORDER BY n, user_id
+                                   ROWS UNBOUNDED PRECEDING) AS c
+            FROM c
+        ), th AS (
+            SELECT round(quantile_cont(n, 0.99), 6) AS t FROM c
+        )
+        SELECT round(1 - sum(2 * c - n)
+                         / (1.0 * count(*) * sum(n)), 6) AS gini,
+               round(sum(CASE WHEN n > (SELECT t FROM th)
+                              THEN n ELSE 0 END)
+                     / (1.0 * sum(n)), 6) AS top_share,
+               CAST(count(*) AS BIGINT) AS n_groups,
+               CAST(sum(n) AS BIGINT) AS total_rows
+        FROM cum
+    """
+    # RRF: replay both bounded rankings (rounded keys, id tie-break)
+    # and the 1/(k+rank) fold
+    out["rrf_users_events"] = """
+        WITH r1 AS (
+            SELECT user_id,
+                   row_number() OVER (ORDER BY round(sum(value), 4) DESC,
+                                      user_id) AS rank
+            FROM events GROUP BY user_id
+            QUALIFY rank <= 50
+        ), r2 AS (
+            SELECT user_id,
+                   row_number() OVER (ORDER BY count(*) DESC,
+                                      user_id) AS rank
+            FROM events GROUP BY user_id
+            QUALIFY rank <= 50
+        ), u AS (
+            SELECT user_id, 1.0 / (60 + rank) AS w FROM r1
+            UNION ALL
+            SELECT user_id, 1.0 / (60 + rank) FROM r2
+        ), f AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_lists,
+                   round(sum(w), 6) AS rrf_score
+            FROM u GROUP BY 1
+        )
+        SELECT user_id, n_lists, rrf_score,
+               CAST(row_number() OVER (ORDER BY rrf_score DESC, user_id)
+                    AS BIGINT) AS fused_rank
+        FROM f
+        QUALIFY fused_rank <= 20
     """
     # transition matrix: identical lead window under the same
     # (ts, event_id) total order, counts + per-source normalization

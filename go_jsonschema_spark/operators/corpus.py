@@ -28,7 +28,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from go_jsonschema_spark.functions.text import words
 
-__all__ = ["bigram_lm", "lm_perplexity", "tfidf_keywords", "bm25_rank"]
+__all__ = ["bigram_lm", "lm_perplexity", "tfidf_keywords", "bm25_rank", "rrf_fuse"]
 
 
 def _tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -304,3 +304,53 @@ def bm25_rank(
             "score", F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_cols: list[str],
+    *,
+    k: int = 60,
+    rank_col: str = "rank",
+    top_k: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N ranked lists —
+    ``score(d) = Σ_lists 1/(k+rank_d)`` (Cormack et al.'s parameter-free
+    hybrid-retrieval combiner; k=60 is the canonical damping).  The
+    standard way to merge a lexical (BM25) and a dense (ANN) ranking
+    without score calibration, and just as useful for fusing any
+    "important rows" heuristics.
+
+    Each input carries ``id_cols`` + an integer ``rank_col`` (1-based,
+    from its own bounded top-N).  Shape: a union of the (already
+    bounded) lists, ONE id-keyed aggregation, then a global sort of the
+    fused candidates — bounded by Σ list sizes by construction, so the
+    final ordering window is small no matter the corpus size.  Ties
+    break on the id columns for engine-independent output.
+
+    Output: ``(*id_cols, n_lists, rrf_score, fused_rank)``, score
+    rounded to 6.
+    """
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    if not rankings:
+        raise ValueError("rrf_fuse: no rankings given")
+    if k <= 0:
+        raise ValueError(f"rrf_fuse: k must be > 0, got {k}")
+    parts = [
+        r.select(*id_cols,
+                 (1.0 / (k + F.col(rank_col).cast("double"))).alias("__w__"))
+        for r in rankings
+    ]
+    u = reduce(lambda a, b: a.unionByName(b), parts)
+    fused = u.groupBy(*id_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lists"),
+        F.round(F.sum("__w__"), 6).alias("rrf_score"),
+    )
+    w = Window.orderBy(F.col("rrf_score").desc(),
+                       *[F.col(c) for c in id_cols])
+    out = fused.withColumn(
+        "fused_rank", F.row_number().over(w).cast("long"))
+    return out.where(F.col("fused_rank") <= top_k) if top_k else out

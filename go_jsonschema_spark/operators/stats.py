@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, functions as F, types as T
 __all__ = ["column_stats", "grouped_stats", "robust_outliers",
            "chi_square_independence", "equidepth_histogram",
            "pairwise_corr", "trend", "categorical_entropy",
-           "mutual_information", "winsorize"]
+           "mutual_information", "winsorize", "contribution_concentration"]
 
 _DEFAULT_QUANTILES = [0.5, 0.95, 0.99]
 
@@ -553,3 +553,62 @@ def winsorize(
     clipped = F.when(
         v.isNotNull(), F.least(F.greatest(v, F.lit(b_lo)), F.lit(b_hi)))
     return df.withColumn(out_col, clipped)
+
+
+def contribution_concentration(
+    df: DataFrame,
+    group_col: str,
+    *,
+    top_quantile: float = 0.99,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """How concentrated is the data over ``group_col`` — Gini
+    coefficient of the per-group row counts plus the mass share of the
+    heaviest groups (above the ``top_quantile`` of group sizes).  The
+    training-mix question "do 1% of users/domains contribute half the
+    corpus?" as one number; high concentration is both a dedup smell
+    and a skew warning for any later groupBy on that key.
+
+    One row-scaled shuffle (the per-group count, map-side combined);
+    everything after runs over the GROUPS table: a
+    :func:`~go_jsonschema_spark.operators.timeseries.distributed_cumsum`
+    under the (n, group) total order gives the Lorenz cumulative, and
+
+        gini = 1 - Σ_i (2·c_i - n_i) / (N·T)
+
+    (the trapezoid Lorenz area, no rank column needed) folds it in one
+    plain aggregation.  The top-group threshold is an interpolated
+    percentile of group sizes rounded to 6 (the equidepth rule).  The
+    groups table can itself be huge (millions of users) — that's why
+    the cumsum is the distributed one, not a single-partition window.
+
+    Output: one row ``(gini, top_share, n_groups, total_rows)``.
+    """
+    from go_jsonschema_spark.operators.timeseries import distributed_cumsum
+
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n"))
+    cum = distributed_cumsum(
+        counts, ["n", group_col], "n", out_col="c", n_buckets=n_buckets)
+    thresh = counts.agg(F.expr("percentile(n, {})".format(
+        float(top_quantile)))).first()[0]
+    thresh = round(float(thresh), 6) if thresh is not None else 0.0
+    return cum.agg(
+        F.round(
+            F.lit(1.0)
+            - F.try_divide(
+                F.sum(2 * F.col("c") - F.col("n")).cast("double"),
+                F.count(F.lit(1)).cast("double") * F.sum("n").cast("double"),
+            ),
+            6,
+        ).alias("gini"),
+        F.round(
+            F.try_divide(
+                F.sum(F.when(F.col("n") > thresh, F.col("n"))
+                      .otherwise(0)).cast("double"),
+                F.sum("n").cast("double"),
+            ),
+            6,
+        ).alias("top_share"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("n").cast("long").alias("total_rows"),
+    )
