@@ -989,6 +989,29 @@ def _q_diff_orders_versions(spark: SparkSession, sf: str) -> DataFrame:
         F.array_join("changed_cols", ",").alias("changed_cols"))
 
 
+def _q_qnorm_events_value(spark: SparkSession, sf: str) -> DataFrame:
+    """Quantile normalization (r5): events.value → its empirical CDF
+    position within its event_type — rank-based cross-source
+    calibration; ties share a position so no tiebreak column needed."""
+    from go_jsonschema_spark.operators.stats import quantile_normalize
+
+    out = quantile_normalize(
+        _t(spark, sf, "events"), "value", group_col="event_type",
+        out_col="v_cdf")
+    return out.select("event_id", "v_cdf")
+
+
+def _q_integrity_events_by_user(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequence integrity (r5): per user, does event time move with
+    arrival order (event_id)?  Counts backwards timestamps, duplicate
+    timestamps and NULLs — the trust-check for sessionize/funnel/asof."""
+    from go_jsonschema_spark.operators.stats import sequence_integrity
+
+    return sequence_integrity(
+        _t(spark, sf, "events"),
+        group_col="user_id", seq_col="event_id", ts_col="ts")
+
+
 def _q_js_click_vs_view(spark: SparkSession, sf: str) -> DataFrame:
     """Jensen-Shannon drift (r5): symmetric bounded divergence between
     click and view value distributions over shared width-5 bins —
@@ -1710,6 +1733,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "js_click_vs_view_events": _q_js_click_vs_view,
         "user_gini_events": _q_user_gini_events,
         "rrf_users_events": _q_rrf_users_events,
+        "qnorm_events_value": _q_qnorm_events_value,
+        "integrity_events_by_user": _q_integrity_events_by_user,
         "pairwise_corr_lineitem": _q_pairwise_corr_lineitem,
         "chi2_documents_lang_source": _q_chi2_documents,
         "mixing_weights_documents": _q_mixing_weights_documents,
@@ -3233,6 +3258,37 @@ def oracle_sql() -> dict[str, str]:
                     ELSE '' END AS changed_cols
         FROM j
         WHERE NOT in_o OR NOT in_n OR d_pr OR d_st OR d_pp
+    """
+    # quantile normalization: rank only over non-null rows (the
+    # operator unions NULLs back untouched), cume_dist is tie-stable
+    out["qnorm_events_value"] = """
+        SELECT event_id,
+               round(cume_dist() OVER (PARTITION BY event_type
+                                       ORDER BY value), 6) AS v_cdf
+        FROM events WHERE value IS NOT NULL
+        UNION ALL
+        SELECT event_id, NULL FROM events WHERE value IS NULL
+    """
+    # sequence integrity: identical lag window under the arrival order
+    out["integrity_events_by_user"] = """
+        WITH f AS (
+            SELECT user_id,
+                   CASE WHEN ts IS NULL THEN 1 ELSE 0 END AS is_null,
+                   CASE WHEN ts IS NOT NULL AND lag(ts) OVER w IS NOT NULL
+                             AND ts < lag(ts) OVER w
+                        THEN 1 ELSE 0 END AS ooo,
+                   CASE WHEN ts IS NOT NULL AND lag(ts) OVER w IS NOT NULL
+                             AND ts = lag(ts) OVER w
+                        THEN 1 ELSE 0 END AS dup
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        )
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(is_null) AS BIGINT) AS n_null_ts,
+               CAST(sum(ooo) AS BIGINT) AS n_out_of_order,
+               CAST(sum(dup) AS BIGINT) AS n_dup_ts
+        FROM f GROUP BY 1
     """
     # JS divergence: replay both histograms, the full-outer bucket
     # align, and the zero-gated KL terms (0·ln0 := 0 — no epsilon)

@@ -14,7 +14,8 @@ from pyspark.sql import DataFrame, functions as F, types as T
 __all__ = ["column_stats", "grouped_stats", "robust_outliers",
            "chi_square_independence", "equidepth_histogram",
            "pairwise_corr", "trend", "categorical_entropy",
-           "mutual_information", "winsorize", "contribution_concentration"]
+           "mutual_information", "winsorize", "contribution_concentration",
+           "quantile_normalize", "sequence_integrity"]
 
 _DEFAULT_QUANTILES = [0.5, 0.95, 0.99]
 
@@ -611,4 +612,86 @@ def contribution_concentration(
         ).alias("top_share"),
         F.count(F.lit(1)).cast("long").alias("n_groups"),
         F.sum("n").cast("long").alias("total_rows"),
+    )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    column: str,
+    *,
+    group_col: str | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Map each value to its empirical CDF position within its group —
+    ``cume_dist`` ∈ (0, 1] — the rank-based normalization that makes
+    columns with wildly different (or heavy-tailed) distributions
+    comparable: quantile features for mixing heterogeneous quality
+    signals, monotone-invariant model inputs, cross-source score
+    calibration.
+
+    One window per group (groups run in parallel; without ``group_col``
+    this is a GLOBAL rank — fine for bounded inputs, but prefer a
+    group key at the 10^12-row scale where a total sort of one
+    partition is the bottleneck).  Ties share a value (cume_dist is
+    tie-stable), so the output is engine-independent without a
+    tiebreak column.  NULLs pass through as NULL rather than polluting
+    the rank.
+
+    Output: ``df`` + ``out_col`` (default ``{column}_cdf``), rounded 6.
+    """
+    from pyspark.sql import Window
+
+    out_col = out_col or f"{column}_cdf"
+    v = F.col(column)
+    part = [group_col] if group_col else []
+    w = Window.partitionBy(*part).orderBy(v)
+    cdf = F.when(v.isNotNull(), F.round(F.cume_dist().over(w), 6))
+    # rank only over non-null rows: union back the null rows untouched
+    nn = df.where(v.isNotNull()).withColumn(out_col, cdf)
+    nulls = df.where(v.isNull()).withColumn(
+        out_col, F.lit(None).cast("double"))
+    return nn.unionByName(nulls)
+
+
+def sequence_integrity(
+    df: DataFrame,
+    *,
+    group_col: str,
+    seq_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Event-log integrity audit per group: does event time move with
+    arrival order?  For each group, ordered by the ARRIVAL sequence
+    (``seq_col`` — ingest id, offset, line number), count adjacent
+    pairs whose ``ts_col`` goes BACKWARDS (out-of-order) and pairs on
+    the exact same timestamp (duplicate-ts, the tie that silently
+    breaks naive lag/lead logic downstream).  The check that tells you
+    whether downstream sessionize/funnel/asof results can be trusted.
+
+    ONE group-keyed window (lag) + one aggregation — map-side combined,
+    no driver logic.  NULL timestamps are counted separately and
+    excluded from the pair checks (a NULL is a missing-value problem,
+    not an ordering problem).
+
+    Output: ``(group_col, n_events, n_null_ts, n_out_of_order,
+    n_dup_ts)`` — one row per group.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(seq_col)
+    ts = F.col(ts_col)
+    prev = F.lag(ts).over(w)
+    flagged = df.select(
+        group_col,
+        ts.isNull().cast("int").alias("is_null"),
+        F.when(ts.isNotNull() & prev.isNotNull() & (ts < prev), 1)
+        .otherwise(0).alias("ooo"),
+        F.when(ts.isNotNull() & prev.isNotNull() & (ts == prev), 1)
+        .otherwise(0).alias("dup"),
+    )
+    return flagged.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("is_null").cast("long").alias("n_null_ts"),
+        F.sum("ooo").cast("long").alias("n_out_of_order"),
+        F.sum("dup").cast("long").alias("n_dup_ts"),
     )
