@@ -182,6 +182,41 @@ def _q_streaming_dup_keys(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_streaming_sessions(spark: SparkSession, sf: str) -> DataFrame:
+    """Native session windows (r5): Spark's session_window merges
+    events with gaps of at most 30 min per user (closed boundary — the
+    same > 1800-starts-new rule as the batch sessionize, pinned by
+    test) — the stateful streaming twin of the lag+cumsum formulation,
+    run AvailableNow in complete mode so every final session emits.
+    DuckDB replays the gap rule + per-session min/max/count."""
+    from go_jsonschema_spark.streaming.validate import stream_sessions
+
+    qname = "streaming_sessions_mem"
+    try:
+        spark.catalog.dropTempView(qname)
+    except Exception:
+        pass
+    schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    q = (
+        stream_sessions(stream, user_col="user_id", ts_col="ts",
+                        gap="30 minutes")
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    _await_stream(q, 300)
+    return spark.table(qname).select(
+        "user_id",
+        F.col("session_start").cast("long").alias("sess_start"),
+        (F.col("session_end").cast("long") - 1800).alias("sess_last"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
 def _q_streaming_drift_psi(spark: SparkSession, sf: str) -> DataFrame:
     """Streaming drift surface (r5): per-hour binned histograms streamed
     via ONE windowed aggregation (stream_histogram, complete-mode
@@ -1676,6 +1711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_windowed_verdicts": _q_streaming_windowed_verdicts,
         "streaming_dup_keys": _q_streaming_dup_keys,
         "streaming_drift_psi": _q_streaming_drift_psi,
+        "streaming_sessions": _q_streaming_sessions,
         "verdicts_by_source": _q_verdicts_by_source,
         "stats_lineitem": _q_stats_lineitem,
         "dup_custkeys_orders": _q_dup_custkeys_orders,
@@ -3258,6 +3294,31 @@ def oracle_sql() -> dict[str, str]:
                     ELSE '' END AS changed_cols
         FROM j
         WHERE NOT in_o OR NOT in_n OR d_pr OR d_st OR d_pp
+    """
+    # native session windows: replay the closed gap rule (> 1800
+    # starts a new session — measured session_window semantics, same
+    # as the batch sessionize); sess_last = window end − gap = the
+    # session's last event
+    out["streaming_sessions"] = """
+        WITH g AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events WHERE ts IS NOT NULL
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), s2 AS (
+            SELECT user_id, ts,
+                   SUM(new_s) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+            FROM g
+        )
+        SELECT user_id,
+               CAST(floor(epoch(min(ts))) AS BIGINT) AS sess_start,
+               CAST(floor(epoch(max(ts))) AS BIGINT) AS sess_last,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM s2 GROUP BY user_id, sid
     """
     # quantile normalization: rank only over non-null rows (the
     # operator unions NULLs back untouched), cume_dist is tie-stable

@@ -310,3 +310,50 @@ def windowed_verdicts(
             F.sum((~F.col("__pass__")).cast("long")).alias("n_fail"),
         )
     )
+
+
+def stream_sessions(
+    stream: DataFrame,
+    *,
+    user_col: str,
+    ts_col: str,
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming sessionization via Spark's NATIVE session windows:
+    ``session_window(ts, gap)`` merges a user's events whose gaps are
+    at most ``gap`` (closed boundary — measured: an event exactly
+    ``gap`` after the previous one EXTENDS the session, the same
+    ``> gap``-starts-new rule as the batch sessionize) and keeps
+    per-session state that closes when the watermark passes, giving ``(user, session_start, session_end,
+    n_events)`` without the lag+cumsum window the batch formulation
+    needs.  ``session_end`` is Spark's window end = last event + gap.
+
+    Output modes (Spark rejects ``update`` for session windows):
+    ``append`` for production — sessions emit once, when the watermark
+    passes their end, so sessions still open at end-of-input are held
+    in state; ``complete`` for bounded gates — every final session
+    emits (measured: append loses exactly the watermark-tail session
+    on an AvailableNow run, complete matches the batch replay).
+
+    Scale shape: one user-keyed shuffle per micro-batch; state is one
+    (start, end, count) per OPEN session per user, aged out by the
+    watermark — O(active users), not O(events).
+    """
+    ts_field = dict((f.name, f.dataType.simpleString())
+                    for f in stream.schema.fields).get(ts_col)
+    if ts_field == "timestamp_ntz":
+        stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        stream.where(F.col(ts_col).isNotNull())
+        .withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("sw"),
+                 F.col(user_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            user_col,
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
