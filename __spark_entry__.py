@@ -1024,6 +1024,32 @@ def _q_diff_orders_versions(spark: SparkSession, sf: str) -> DataFrame:
         F.array_join("changed_cols", ",").alias("changed_cols"))
 
 
+def _q_assoc_event_types(spark: SparkSession, sf: str) -> DataFrame:
+    """Association rules (r5): support/confidence/lift for event-type
+    pairs co-occurring in the same user's history — co-PRESENCE, the
+    complement of the sequential transition matrix."""
+    from go_jsonschema_spark.operators.assoc import association_rules
+
+    return association_rules(
+        _t(spark, sf, "events"),
+        basket_col="user_id", item_col="event_type")
+
+
+def _q_semi_join_reducer_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-join reducer (r5): orders of high-balance customers via the
+    broadcast hash-digest prefilter + exact semi-join — the runtime-
+    Bloom-filter pattern from public primitives; end-to-end EXACT, so
+    the oracle is the plain semi-join."""
+    from go_jsonschema_spark.operators.joins import semi_join_reducer
+
+    o = _t(spark, sf, "orders")
+    hot = _t(spark, sf, "customer").where(
+        F.col("c_acctbal") > 9000).select("c_custkey")
+    out = semi_join_reducer(o, hot, "o_custkey", "c_custkey",
+                            n_buckets=1 << 16)
+    return out.select("o_orderkey", "o_custkey")
+
+
 def _q_qnorm_events_value(spark: SparkSession, sf: str) -> DataFrame:
     """Quantile normalization (r5): events.value → its empirical CDF
     position within its event_type — rank-based cross-source
@@ -1770,6 +1796,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_gini_events": _q_user_gini_events,
         "rrf_users_events": _q_rrf_users_events,
         "qnorm_events_value": _q_qnorm_events_value,
+        "assoc_event_types": _q_assoc_event_types,
+        "semi_join_reducer_orders": _q_semi_join_reducer_orders,
         "integrity_events_by_user": _q_integrity_events_by_user,
         "pairwise_corr_lineitem": _q_pairwise_corr_lineitem,
         "chi2_documents_lang_source": _q_chi2_documents,
@@ -3294,6 +3322,40 @@ def oracle_sql() -> dict[str, str]:
                     ELSE '' END AS changed_cols
         FROM j
         WHERE NOT in_o OR NOT in_n OR d_pr OR d_st OR d_pp
+    """
+    # association rules: replay distinct presence, pair join, margins
+    out["assoc_event_types"] = """
+        WITH items AS (
+            SELECT DISTINCT user_id AS b, CAST(event_type AS VARCHAR) AS i
+            FROM events WHERE event_type IS NOT NULL
+        ), nb AS (
+            SELECT count(DISTINCT b) AS n FROM items
+        ), cnt AS (
+            SELECT i, count(*) AS n_i FROM items GROUP BY 1
+        ), p AS (
+            SELECT l.i AS item_a, r.i AS item_b, count(*) AS n_ab
+            FROM items l JOIN items r ON l.b = r.b AND l.i < r.i
+            GROUP BY 1, 2
+        )
+        SELECT item_a, item_b, CAST(n_ab AS BIGINT) AS n_ab,
+               round(n_ab / (1.0 * (SELECT n FROM nb)), 6) AS support,
+               round(n_ab / (1.0 * ca.n_i), 6) AS conf_a_to_b,
+               round(n_ab / (1.0 * cb.n_i), 6) AS conf_b_to_a,
+               round((n_ab / (1.0 * (SELECT n FROM nb)))
+                     / ((ca.n_i / (1.0 * (SELECT n FROM nb)))
+                        * (cb.n_i / (1.0 * (SELECT n FROM nb)))), 6)
+                   AS lift
+        FROM p
+        JOIN cnt ca ON ca.i = p.item_a
+        JOIN cnt cb ON cb.i = p.item_b
+    """
+    # semi-join reducer: the digest prefilter is an optimization, so
+    # the oracle is the PLAIN exact semi-join
+    out["semi_join_reducer_orders"] = """
+        SELECT o_orderkey, o_custkey FROM orders
+        WHERE o_custkey IN (
+            SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+        )
     """
     # native session windows: replay the closed gap rule (> 1800
     # starts a new session — measured session_window semantics, same
