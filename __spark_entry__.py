@@ -1024,6 +1024,29 @@ def _q_diff_orders_versions(spark: SparkSession, sf: str) -> DataFrame:
         F.array_join("changed_cols", ",").alias("changed_cols"))
 
 
+def _q_cusum_events_hourly(spark: SparkSession, sf: str) -> DataFrame:
+    """CUSUM change-point scan (r5): per event_type, where in time the
+    hourly event rate most likely shifted level, and by how much —
+    drift says IF two samples differ; CUSUM says WHEN."""
+    from go_jsonschema_spark.operators.timeseries import cusum_changepoint
+
+    out = cusum_changepoint(
+        _t(spark, sf, "events"), ts_col="ts", step_seconds=3600,
+        group_col="event_type")
+    return out.select(
+        "event_type", "n_buckets", "cusum_range",
+        F.col("change_bucket").cast("long").alias("change_epoch"))
+
+
+def _q_centroid_similarity(spark: SparkSession, sf: str) -> DataFrame:
+    """Label-centroid cosine matrix (r5): are the embedding clusters
+    actually separated, and which two collapse — one dim-keyed mean
+    aggregation, all pairwise work on the labels table only."""
+    from go_jsonschema_spark.operators.ann import label_centroid_similarity
+
+    return label_centroid_similarity(_t(spark, sf, "embeddings"))
+
+
 def _q_assoc_event_types(spark: SparkSession, sf: str) -> DataFrame:
     """Association rules (r5): support/confidence/lift for event-type
     pairs co-occurring in the same user's history — co-PRESENCE, the
@@ -1797,6 +1820,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf_users_events": _q_rrf_users_events,
         "qnorm_events_value": _q_qnorm_events_value,
         "assoc_event_types": _q_assoc_event_types,
+        "cusum_events_hourly": _q_cusum_events_hourly,
+        "centroid_similarity_embeddings": _q_centroid_similarity,
         "semi_join_reducer_orders": _q_semi_join_reducer_orders,
         "integrity_events_by_user": _q_integrity_events_by_user,
         "pairwise_corr_lineitem": _q_pairwise_corr_lineitem,
@@ -3322,6 +3347,54 @@ def oracle_sql() -> dict[str, str]:
                     ELSE '' END AS changed_cols
         FROM j
         WHERE NOT in_o OR NOT in_n OR d_pr OR d_st OR d_pp
+    """
+    # CUSUM: replay the bucket counts, the per-group mean-deviation
+    # cumulative window under the same bucket order, and the peak-|s|
+    # argmax with the earliest-bucket tie-break
+    out["cusum_events_hourly"] = """
+        WITH c AS (
+            SELECT event_type,
+                   CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS b,
+                   count(*) AS n
+            FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+        ), s AS (
+            SELECT event_type, b,
+                   SUM(n - avg_n) OVER (PARTITION BY event_type ORDER BY b
+                                        ROWS UNBOUNDED PRECEDING) AS s
+            FROM (SELECT *, avg(n) OVER (PARTITION BY event_type) AS avg_n
+                  FROM c)
+        ), r AS (
+            SELECT event_type, b, s,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY abs(s) DESC, b) AS rn
+            FROM s
+        )
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_buckets,
+               round(max(s) - min(s), 4) AS cusum_range,
+               CAST(max(CASE WHEN rn = 1 THEN b END) AS BIGINT)
+                   AS change_epoch
+        FROM r GROUP BY 1
+    """
+    # centroid similarity: generate_subscripts/unnest align positionally
+    # (1-based); replay the per-dim means and the pairwise cosine
+    out["centroid_similarity_embeddings"] = """
+        WITH d0 AS (
+            SELECT label AS l, generate_subscripts(embedding, 1) AS p,
+                   unnest(embedding) AS v
+            FROM embeddings
+            WHERE label IS NOT NULL AND embedding IS NOT NULL
+        ), d AS (
+            SELECT l, p, avg(v) AS m FROM d0 GROUP BY 1, 2
+        ), pairs AS (
+            SELECT a.l AS label_a, b.l AS label_b,
+                   sum(a.m * b.m) AS dot,
+                   sqrt(sum(a.m * a.m)) AS na,
+                   sqrt(sum(b.m * b.m)) AS nb
+            FROM d a JOIN d b ON a.p = b.p AND a.l < b.l
+            GROUP BY 1, 2
+        )
+        SELECT label_a, label_b, round(dot / (na * nb), 6) AS cos_sim
+        FROM pairs
     """
     # association rules: replay distinct presence, pair join, margins
     out["assoc_event_types"] = """

@@ -30,6 +30,7 @@ __all__ = [
     "topk_cosine_ivf",
     "ivf_write_index",
     "topk_cosine_ivf_indexed",
+    "label_centroid_similarity",
 ]
 
 
@@ -580,3 +581,54 @@ def topk_cosine_lsh_multi(
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def label_centroid_similarity(
+    df: DataFrame,
+    *,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Pairwise cosine similarity between per-label embedding centroids
+    — the cluster-geometry sanity check ("are my sources/classes
+    actually separated in embedding space, and which two collapse into
+    each other?") that needs no pairwise row work at all.
+
+    Shape: ``posexplode`` → one (label, dim)-keyed mean aggregation
+    (map-side combined — the only row-scaled step), centroids
+    reassembled as ordered arrays, then an all-pairs join over the
+    LABELS table (bounded by #labels², tiny by construction) with the
+    cosine as a native ``zip_with``/``aggregate`` fold.
+
+    Output: ``(label_a, label_b, cos_sim)`` for ``label_a < label_b``,
+    rounded to 6.  NULL vectors/labels are excluded.
+    """
+    src = df.where(
+        F.col(label_col).isNotNull() & F.col(vec_col).isNotNull())
+    dims = (
+        src.select(F.col(label_col).alias("l"),
+                   F.posexplode(F.col(vec_col)).alias("p", "v"))
+        .groupBy("l", "p").agg(F.avg("v").alias("m"))
+    )
+    cent = (
+        dims.groupBy("l")
+        .agg(F.array_sort(F.collect_list(F.struct("p", "m"))).alias("pm"))
+        .select(
+            "l",
+            F.transform(F.col("pm"), lambda s: s["m"]).alias("c"),
+        )
+    )
+    a = cent.select(F.col("l").alias("label_a"), F.col("c").alias("ca"))
+    b = cent.select(F.col("l").alias("label_b"), F.col("c").alias("cb"))
+    pairs = a.join(b, F.col("label_a") < F.col("label_b"))
+
+    def _dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda u, v: u * v),
+            F.lit(0.0), lambda acc, t: acc + t)
+
+    cos = _dot(F.col("ca"), F.col("cb")) / (
+        F.sqrt(_dot(F.col("ca"), F.col("ca")))
+        * F.sqrt(_dot(F.col("cb"), F.col("cb"))))
+    return pairs.select(
+        "label_a", "label_b", F.round(cos, 6).alias("cos_sim"))

@@ -24,7 +24,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["resample", "distributed_cumsum", "concurrency_profile"]
+__all__ = ["resample", "distributed_cumsum", "concurrency_profile",
+           "cusum_changepoint"]
 
 
 def resample(
@@ -236,4 +237,60 @@ def concurrency_profile(
     return cum.select(
         "ts", "n_start", "n_end",
         (F.col("__cum__") + F.col("n_end")).cast("long").alias("active"),
+    )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    *,
+    ts_col: str,
+    step_seconds: int,
+    group_col: str | None = None,
+) -> DataFrame:
+    """CUSUM change-point scan per group: bucket events onto a
+    ``step_seconds`` grid, then walk the cumulative sum of deviations
+    from the group's mean bucket count — ``s_i = Σ_{j<=i} (n_j - n̄)``.
+    A stable series keeps ``s`` near zero; a level shift makes ``s``
+    trend, so the bucket where ``|s|`` peaks is the most likely change
+    point and ``max(s) - min(s)`` (the CUSUM range) scores its
+    magnitude.  The classic "did this metric's level change, and when"
+    detector — drift.py answers "do two samples differ", this answers
+    WHERE in time.
+
+    Shape: one map-side-combined bucket aggregation over the rows;
+    everything after runs on the BUCKETS table — a per-group mean join
+    and one per-group ordered window (groups are parallel; a single
+    global series is one partition of buckets, which is bounded by
+    time-range/step, not by rows).
+
+    Output per group: ``(group, n_buckets, cusum_range, change_bucket)``
+    — ``change_bucket`` the bucket-start timestamp with the peak |s|
+    (earliest on ties), range rounded to 4.
+    """
+    from pyspark.sql import Window
+
+    ts = F.col(ts_col).cast("timestamp")
+    bucket = F.timestamp_seconds(
+        F.floor(F.unix_timestamp(ts) / step_seconds).cast("long")
+        * step_seconds)
+    gcols = [group_col] if group_col else []
+    counts = (
+        df.where(ts.isNotNull())
+        .groupBy(*gcols, bucket.alias("__b__"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    part = [F.col(c) for c in gcols] if gcols else [F.lit(1)]
+    w_all = Window.partitionBy(*part)
+    w_cum = (Window.partitionBy(*part).orderBy("__b__")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    s = counts.withColumn(
+        "__s__", F.sum(F.col("n") - F.avg("n").over(w_all)).over(w_cum))
+    w_rank = Window.partitionBy(*part).orderBy(
+        F.abs(F.col("__s__")).desc(), F.col("__b__"))
+    ranked = s.withColumn("__r__", F.row_number().over(w_rank))
+    return ranked.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.round(F.max("__s__") - F.min("__s__"), 4).alias("cusum_range"),
+        F.max(F.when(F.col("__r__") == 1, F.col("__b__")))
+        .alias("change_bucket"),
     )
