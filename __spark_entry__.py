@@ -1024,6 +1024,29 @@ def _q_diff_orders_versions(spark: SparkSession, sf: str) -> DataFrame:
         F.array_join("changed_cols", ",").alias("changed_cols"))
 
 
+def _q_record_linkage_customer(spark: SparkSession, sf: str) -> DataFrame:
+    """Record linkage (r5): fuzzy customer matching blocked by nation —
+    weighted name-edit / balance-closeness / segment-equality score,
+    pairs only within blocks (the entity-resolution discipline)."""
+    from go_jsonschema_spark.operators.linkage import record_linkage
+
+    return record_linkage(
+        _t(spark, sf, "customer"),
+        id_col="c_custkey", block_col="c_nationkey",
+        fields={"c_name": ("string", 2.0),
+                "c_acctbal": ("numeric", 1.0),
+                "c_mktsegment": ("categorical", 1.0)},
+        min_score=0.75)
+
+
+def _q_skew_user_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew report (r5): the 20 heaviest user_ids with row/cumulative
+    shares — the pre-flight check before any user-keyed shuffle."""
+    from go_jsonschema_spark.operators.stats import skew_report
+
+    return skew_report(_t(spark, sf, "events"), ["user_id"], top_n=20)
+
+
 def _q_cusum_events_hourly(spark: SparkSession, sf: str) -> DataFrame:
     """CUSUM change-point scan (r5): per event_type, where in time the
     hourly event rate most likely shifted level, and by how much —
@@ -1821,6 +1844,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qnorm_events_value": _q_qnorm_events_value,
         "assoc_event_types": _q_assoc_event_types,
         "cusum_events_hourly": _q_cusum_events_hourly,
+        "record_linkage_customer": _q_record_linkage_customer,
+        "skew_user_events": _q_skew_user_events,
         "centroid_similarity_embeddings": _q_centroid_similarity,
         "semi_join_reducer_orders": _q_semi_join_reducer_orders,
         "integrity_events_by_user": _q_integrity_events_by_user,
@@ -3347,6 +3372,70 @@ def oracle_sql() -> dict[str, str]:
                     ELSE '' END AS changed_cols
         FROM j
         WHERE NOT in_o OR NOT in_n OR d_pr OR d_st OR d_pp
+    """
+    # record linkage: same per-field similarities and the same
+    # left-assoc weighted fold (0 + name·0.5 + bal·0.25 + seg·0.25)
+    # so the float addition tree matches bit-for-bit
+    out["record_linkage_customer"] = """
+        WITH l AS (
+            SELECT c_custkey AS id, c_nationkey AS blk,
+                   c_name, c_acctbal, c_mktsegment
+            FROM customer WHERE c_nationkey IS NOT NULL
+        ), p AS (
+            SELECT a.id AS id_a, b.id AS id_b, a.blk AS block,
+                   CASE WHEN a.c_name IS NOT NULL AND b.c_name IS NOT NULL
+                        THEN CASE WHEN greatest(length(a.c_name),
+                                               length(b.c_name)) = 0
+                                  THEN 1.0
+                                  ELSE 1.0 - levenshtein(a.c_name, b.c_name)
+                                       / (1.0 * greatest(length(a.c_name),
+                                                         length(b.c_name)))
+                             END
+                        ELSE 0.0 END AS s_name,
+                   CASE WHEN a.c_acctbal IS NOT NULL
+                             AND b.c_acctbal IS NOT NULL
+                        THEN CASE WHEN greatest(abs(a.c_acctbal),
+                                               abs(b.c_acctbal)) = 0
+                                  THEN 1.0
+                                  ELSE 1.0 - abs(a.c_acctbal - b.c_acctbal)
+                                       / greatest(abs(a.c_acctbal),
+                                                  abs(b.c_acctbal))
+                             END
+                        ELSE 0.0 END AS s_bal,
+                   CASE WHEN a.c_mktsegment IS NOT NULL
+                             AND b.c_mktsegment IS NOT NULL
+                             AND a.c_mktsegment = b.c_mktsegment
+                        THEN 1.0 ELSE 0.0 END AS s_seg
+            FROM l a JOIN l b ON a.blk = b.blk AND a.id < b.id
+        )
+        SELECT id_a, id_b, block,
+               round(s_name, 6) AS sim_c_name,
+               round(s_bal, 6) AS sim_c_acctbal,
+               round(CAST(s_seg AS DOUBLE), 6) AS sim_c_mktsegment,
+               round(0.0 + s_name * 0.5 + s_bal * 0.25 + s_seg * 0.25, 6)
+                   AS score
+        FROM p
+        WHERE 0.0 + s_name * 0.5 + s_bal * 0.25 + s_seg * 0.25 >= 0.75
+    """
+    # skew report: bounded top-N with the same weight-then-key order
+    out["skew_user_events"] = """
+        WITH c AS (
+            SELECT user_id, count(*) AS n_rows FROM events GROUP BY 1
+        ), t AS (
+            SELECT count(*) AS total FROM events
+        ), r AS (
+            SELECT user_id, n_rows,
+                   row_number() OVER (ORDER BY n_rows DESC,
+                                      user_id ASC NULLS FIRST) AS rank
+            FROM c QUALIFY rank <= 20
+        )
+        SELECT user_id, CAST(n_rows AS BIGINT) AS n_rows,
+               round(n_rows / (1.0 * (SELECT total FROM t)), 6) AS share,
+               round(SUM(n_rows) OVER (ORDER BY rank
+                                       ROWS UNBOUNDED PRECEDING)
+                     / (1.0 * (SELECT total FROM t)), 6) AS cum_share,
+               CAST(rank AS BIGINT) AS rank
+        FROM r
     """
     # CUSUM: replay the bucket counts, the per-group mean-deviation
     # cumulative window under the same bucket order, and the peak-|s|

@@ -15,7 +15,7 @@ __all__ = ["column_stats", "grouped_stats", "robust_outliers",
            "chi_square_independence", "equidepth_histogram",
            "pairwise_corr", "trend", "categorical_entropy",
            "mutual_information", "winsorize", "contribution_concentration",
-           "quantile_normalize", "sequence_integrity"]
+           "quantile_normalize", "sequence_integrity", "skew_report"]
 
 _DEFAULT_QUANTILES = [0.5, 0.95, 0.99]
 
@@ -694,4 +694,49 @@ def sequence_integrity(
         F.sum("is_null").cast("long").alias("n_null_ts"),
         F.sum("ooo").cast("long").alias("n_out_of_order"),
         F.sum("dup").cast("long").alias("n_dup_ts"),
+    )
+
+
+def skew_report(
+    df: DataFrame,
+    key_cols: list[str],
+    *,
+    top_n: int = 20,
+) -> DataFrame:
+    """Skew diagnosis for a prospective join/groupBy key: the ``top_n``
+    heaviest key values with their row share and a cumulative share —
+    the five-second answer to "will this shuffle melt one reducer?".
+    A top key holding >1% of 10^12 rows means salting / AQE skew-join
+    before you run the real query; this report is ONE map-side-combined
+    aggregation plus a bounded top-N (TakeOrdered — no global sort).
+
+    NULL keys are reported as their own row (they hash to one reducer
+    too — the most common real-world skew).
+
+    Output: ``(<key_cols...>, n_rows, share, cum_share, rank)`` ordered
+    by weight, ties broken on the key for engine-independence; shares
+    rounded to 6.
+    """
+    from pyspark.sql import Window
+
+    if not key_cols:
+        raise ValueError("skew_report: empty key_cols")
+    total = df.count()
+    if total == 0:
+        raise ValueError("skew_report: empty input")
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n_rows"))
+    w = Window.orderBy(
+        F.col("n_rows").desc(),
+        *[F.col(c).asc_nulls_first() for c in key_cols])
+    ranked = (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= top_n)
+    )
+    w_cum = Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, 0)
+    return ranked.select(
+        *key_cols,
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.round(F.col("n_rows") / total, 6).alias("share"),
+        F.round(F.sum("n_rows").over(w_cum) / total, 6).alias("cum_share"),
+        "rank",
     )
