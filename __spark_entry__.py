@@ -1024,6 +1024,20 @@ def _q_diff_orders_versions(spark: SparkSession, sf: str) -> DataFrame:
         F.array_join("changed_cols", ",").alias("changed_cols"))
 
 
+def _q_hourly_unique_users(spark: SparkSession, sf: str) -> DataFrame:
+    """Dense hourly active users (r5): exact distinct user_ids per hour
+    on the gap-filled resample grid — empty hours exist as zeros, the
+    shape every freshness/engagement dashboard wants."""
+    from go_jsonschema_spark.operators.timeseries import resample
+
+    out = resample(
+        _t(spark, sf, "events"), ts_col="ts", step_seconds=3600,
+        aggs={"n_users": (F.countDistinct("user_id"), "zero")})
+    return out.select(
+        F.col("bucket_ts").cast("long").alias("bucket_epoch"),
+        F.col("n_users").cast("long").alias("n_users"))
+
+
 def _q_record_linkage_customer(spark: SparkSession, sf: str) -> DataFrame:
     """Record linkage (r5): fuzzy customer matching blocked by nation —
     weighted name-edit / balance-closeness / segment-equality score,
@@ -1844,6 +1858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qnorm_events_value": _q_qnorm_events_value,
         "assoc_event_types": _q_assoc_event_types,
         "cusum_events_hourly": _q_cusum_events_hourly,
+        "hourly_unique_users": _q_hourly_unique_users,
         "record_linkage_customer": _q_record_linkage_customer,
         "skew_user_events": _q_skew_user_events,
         "centroid_similarity_embeddings": _q_centroid_similarity,
@@ -3372,6 +3387,24 @@ def oracle_sql() -> dict[str, str]:
                     ELSE '' END AS changed_cols
         FROM j
         WHERE NOT in_o OR NOT in_n OR d_pr OR d_st OR d_pp
+    """
+    # dense hourly distinct users: replay the bucket distinct counts on
+    # a generated spine so empty hours are zeros on both sides
+    out["hourly_unique_users"] = """
+        WITH h AS (
+            SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS b,
+                   count(DISTINCT user_id) AS n
+            FROM events WHERE ts IS NOT NULL GROUP BY 1
+        ), bounds AS (
+            SELECT min(b) AS lo, max(b) AS hi FROM h
+        ), spine AS (
+            SELECT unnest(range((SELECT lo FROM bounds),
+                                (SELECT hi FROM bounds) + 3600,
+                                3600)) AS b
+        )
+        SELECT CAST(s.b AS BIGINT) AS bucket_epoch,
+               CAST(coalesce(h.n, 0) AS BIGINT) AS n_users
+        FROM spine s LEFT JOIN h ON h.b = s.b
     """
     # record linkage: same per-field similarities and the same
     # left-assoc weighted fold (0 + name·0.5 + bal·0.25 + seg·0.25)
