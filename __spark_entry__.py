@@ -1039,14 +1039,20 @@ def _q_hourly_unique_users(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q_record_linkage_customer(spark: SparkSession, sf: str) -> DataFrame:
-    """Record linkage (r5): fuzzy customer matching blocked by nation —
-    weighted name-edit / balance-closeness / segment-equality score,
-    pairs only within blocks (the entity-resolution discipline)."""
+    """Record linkage (r5): fuzzy customer matching blocked by the
+    COMPOSITE (nation, segment) key — the finer-blocking discipline the
+    operator prescribes at scale (nation alone gives 600-row blocks at
+    sf0.1 → 4.5M levenshtein pairs; the composite cuts pair volume ~5×
+    while keeping true matches together).  Weighted name-edit /
+    balance-closeness / segment-equality score."""
     from go_jsonschema_spark.operators.linkage import record_linkage
 
+    c = _t(spark, sf, "customer").withColumn(
+        "blk", F.concat_ws("|", F.col("c_nationkey").cast("string"),
+                           F.col("c_mktsegment")))
     return record_linkage(
-        _t(spark, sf, "customer"),
-        id_col="c_custkey", block_col="c_nationkey",
+        c,
+        id_col="c_custkey", block_col="blk",
         fields={"c_name": ("string", 2.0),
                 "c_acctbal": ("numeric", 1.0),
                 "c_mktsegment": ("categorical", 1.0)},
@@ -3411,9 +3417,11 @@ def oracle_sql() -> dict[str, str]:
     # so the float addition tree matches bit-for-bit
     out["record_linkage_customer"] = """
         WITH l AS (
-            SELECT c_custkey AS id, c_nationkey AS blk,
+            SELECT c_custkey AS id,
+                   concat_ws('|', CAST(c_nationkey AS VARCHAR),
+                             c_mktsegment) AS blk,
                    c_name, c_acctbal, c_mktsegment
-            FROM customer WHERE c_nationkey IS NOT NULL
+            FROM customer
         ), p AS (
             SELECT a.id AS id_a, b.id AS id_b, a.blk AS block,
                    CASE WHEN a.c_name IS NOT NULL AND b.c_name IS NOT NULL
