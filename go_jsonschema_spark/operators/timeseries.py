@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 __all__ = ["resample", "distributed_cumsum", "concurrency_profile",
-           "cusum_changepoint"]
+           "cusum_changepoint", "ewma"]
 
 
 def resample(
@@ -294,3 +294,61 @@ def cusum_changepoint(
         F.max(F.when(F.col("__r__") == 1, F.col("__b__")))
         .alias("change_bucket"),
     )
+
+
+def ewma(
+    df: DataFrame,
+    *,
+    group_col: str,
+    order_cols: list[str],
+    value_col: str,
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Per-group exponentially-weighted moving average — the smoothed
+    current level of a noisy per-entity metric (``level_t = α·x_t +
+    (1-α)·level_{t-1}``, seeded with the first observation).  A
+    sequential recurrence, which Spark cannot window — but CAN fold:
+    the group's observations are collected, sorted by the total order,
+    and folded with a native ``F.aggregate`` lambda, the same
+    no-Python-state-machine shape as funnel_users (fine for bounded
+    per-entity cardinality; cap pathological groups upstream with
+    cap_per_group).
+
+    NULL values are skipped by the fold (they carry no signal); groups
+    with no non-null observations return NULL.
+
+    Output: ``(group_col, n_obs, ewma)`` — one row per group, ewma
+    rounded to 6.
+    """
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError(f"ewma: alpha must be in (0, 1], got {alpha}")
+    if not order_cols:
+        raise ValueError("ewma: empty order_cols")
+    obs = F.array_sort(F.collect_list(F.struct(
+        *[F.col(c).alias(f"o{i}") for i, c in enumerate(order_cols)],
+        F.col(value_col).cast("double").alias("v"),
+    )))
+    a = float(alpha)
+
+    def _step(acc, x):
+        seeded = acc["n"] > 0
+        nxt = F.when(
+            x["v"].isNull(), acc["level"]
+        ).otherwise(
+            F.when(seeded, a * x["v"] + (1 - a) * acc["level"])
+            .otherwise(x["v"])
+        )
+        return F.struct(
+            nxt.alias("level"),
+            (acc["n"] + F.when(x["v"].isNull(), 0).otherwise(1)).alias("n"),
+        )
+
+    acc0 = F.struct(
+        F.lit(None).cast("double").alias("level"),
+        F.lit(0).alias("n"),
+    )
+    folded = F.aggregate(obs, acc0, _step)
+    return df.groupBy(group_col).agg(
+        F.round(folded["level"], 6).alias("ewma"),
+        folded["n"].cast("long").alias("n_obs"),
+    ).select(group_col, "n_obs", "ewma")
