@@ -1024,6 +1024,18 @@ def _q_diff_orders_versions(spark: SparkSession, sf: str) -> DataFrame:
         F.array_join("changed_cols", ",").alias("changed_cols"))
 
 
+def _q_ewma_user_value(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user EWMA (r5): the smoothed current level of each user's
+    event values — a sequential recurrence folded NATIVELY with
+    F.aggregate (no Python, no window).  DuckDB replays the identical
+    fold with list_reduce over the same total order."""
+    from go_jsonschema_spark.operators.timeseries import ewma
+
+    e = _t(spark, sf, "events").where(F.col("ts").isNotNull())
+    return ewma(e, group_col="user_id", order_cols=["ts", "event_id"],
+                value_col="value", alpha=0.3)
+
+
 def _q_hourly_unique_users(spark: SparkSession, sf: str) -> DataFrame:
     """Dense hourly active users (r5): exact distinct user_ids per hour
     on the gap-filled resample grid — empty hours exist as zeros, the
@@ -1865,6 +1877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assoc_event_types": _q_assoc_event_types,
         "cusum_events_hourly": _q_cusum_events_hourly,
         "hourly_unique_users": _q_hourly_unique_users,
+        "ewma_user_value": _q_ewma_user_value,
         "record_linkage_customer": _q_record_linkage_customer,
         "skew_user_events": _q_skew_user_events,
         "centroid_similarity_embeddings": _q_centroid_similarity,
@@ -3393,6 +3406,21 @@ def oracle_sql() -> dict[str, str]:
                     ELSE '' END AS changed_cols
         FROM j
         WHERE NOT in_o OR NOT in_n OR d_pr OR d_st OR d_pp
+    """
+    # EWMA: list_reduce replays the identical seeded NULL-skipping fold
+    # under the same (ts, event_id) total order — same doubles, same
+    # addition tree
+    out["ewma_user_value"] = """
+        SELECT user_id,
+               CAST(count(value) AS BIGINT) AS n_obs,
+               round(list_reduce(
+                   list(value ORDER BY ts, event_id),
+                   (acc, x) -> CASE WHEN x IS NULL THEN acc
+                                    WHEN acc IS NULL THEN x
+                                    ELSE 0.3 * x + 0.7 * acc END), 6)
+                   AS ewma
+        FROM events WHERE ts IS NOT NULL
+        GROUP BY user_id
     """
     # dense hourly distinct users: replay the bucket distinct counts on
     # a generated spine so empty hours are zeros on both sides
