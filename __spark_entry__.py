@@ -1024,6 +1024,20 @@ def _q_diff_orders_versions(spark: SparkSession, sf: str) -> DataFrame:
         F.array_join("changed_cols", ",").alias("changed_cols"))
 
 
+def _q_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
+    """Hard-negative mining (r5): for every 10th vector as anchor, the
+    5 most-similar DIFFERENT-label vectors — the label mask applied
+    inside the scan, so same-label near-duplicates can never crowd the
+    negatives out.  DuckDB brute-forces every anchor's cross-label
+    ranking."""
+    from go_jsonschema_spark.operators.ann import hard_negatives
+
+    e = _t(spark, sf, "embeddings")
+    anchors = e.where(F.col("vec_id") % 10 == 0)
+    return hard_negatives(e, anchors, k=5).select(
+        "anchor_id", "vec_id", F.round("cosine", 4).alias("cos"), "rank")
+
+
 def _q_ewma_user_value(spark: SparkSession, sf: str) -> DataFrame:
     """Per-user EWMA (r5): the smoothed current level of each user's
     event values — a sequential recurrence folded NATIVELY with
@@ -1878,6 +1892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_events_hourly": _q_cusum_events_hourly,
         "hourly_unique_users": _q_hourly_unique_users,
         "ewma_user_value": _q_ewma_user_value,
+        "hard_negatives_embeddings": _q_hard_negatives,
         "record_linkage_customer": _q_record_linkage_customer,
         "skew_user_events": _q_skew_user_events,
         "centroid_similarity_embeddings": _q_centroid_similarity,
@@ -2531,11 +2546,11 @@ def oracle_sql() -> dict[str, str]:
                        FROM embeddings WHERE vec_id % 100 = 0),
             s AS (SELECT q.query_id, e.vec_id,
                          round(list_cosine_similarity(
-                             e.embedding::DOUBLE[], q.qv), 6) AS c6,
-                         round(list_cosine_similarity(
-                             e.embedding::DOUBLE[], q.qv), 4) AS c4
+                             e.embedding::DOUBLE[], q.qv), 6) AS c6
                   FROM embeddings e, q),
-            r AS (SELECT query_id, vec_id, c4 AS cos,
+            -- round(c6, 4), NOT round(raw, 4): the Spark side rounds at
+            -- 6 then 4, and single-rounding diverges on .xxxx5 edges
+            r AS (SELECT query_id, vec_id, round(c6, 4) AS cos,
                          row_number() OVER (PARTITION BY query_id
                                             ORDER BY c6 DESC, vec_id)
                              AS rank
@@ -3406,6 +3421,30 @@ def oracle_sql() -> dict[str, str]:
                     ELSE '' END AS changed_cols
         FROM j
         WHERE NOT in_o OR NOT in_n OR d_pr OR d_st OR d_pp
+    """
+    # hard negatives: brute-force every anchor's cross-label ranking
+    # (rank on round-6, emit round-4 — the ann_batch convention); the
+    # mask keeps NULL-label rows as negatives and excludes self
+    out["hard_negatives_embeddings"] = """
+        WITH a AS (
+            SELECT vec_id AS anchor_id, embedding::DOUBLE[] AS av,
+                   label AS al
+            FROM embeddings WHERE vec_id % 10 = 0
+        ), s AS (
+            SELECT a.anchor_id, e.vec_id,
+                   round(list_cosine_similarity(
+                       e.embedding::DOUBLE[], a.av), 6) AS c6
+            FROM a JOIN embeddings e
+              ON e.vec_id != a.anchor_id
+             AND (a.al IS NULL OR e.label IS NULL OR e.label != a.al)
+        ), r AS (
+            SELECT anchor_id, vec_id, round(c6, 4) AS cos,
+                   row_number() OVER (PARTITION BY anchor_id
+                                      ORDER BY c6 DESC, vec_id) AS rank
+            FROM s
+        )
+        SELECT anchor_id, vec_id, cos, CAST(rank AS BIGINT) AS rank
+        FROM r WHERE rank <= 5
     """
     # EWMA: list_reduce replays the identical seeded NULL-skipping fold
     # under the same (ts, event_id) total order — same doubles, same

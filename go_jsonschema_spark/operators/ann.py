@@ -31,6 +31,7 @@ __all__ = [
     "ivf_write_index",
     "topk_cosine_ivf_indexed",
     "label_centroid_similarity",
+    "hard_negatives",
 ]
 
 
@@ -632,3 +633,85 @@ def label_centroid_similarity(
         * F.sqrt(_dot(F.col("cb"), F.col("cb"))))
     return pairs.select(
         "label_a", "label_b", F.round(cos, 6).alias("cos_sim"))
+
+
+def hard_negatives(
+    df: DataFrame,
+    anchors: DataFrame,
+    k: int = 10,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    max_anchors: int = 10_000,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor,
+    the ``k`` MOST similar corpus vectors with a DIFFERENT label — the
+    near-misses that teach a metric model the boundary (easy random
+    negatives are already far away and carry no gradient).
+
+    Same one-scan shape as :func:`topk_cosine_many` (closure-broadcast
+    normalized anchor matrix, one BLAS matmul per Arrow batch), with the
+    label constraint applied INSIDE the scan: for anchor j, batch rows
+    whose label equals the anchor's (or whose id is the anchor itself,
+    relevant when anchors come from the corpus) are masked to -inf
+    BEFORE the per-batch top-k — so the guarantee is exact top-k among
+    different-label rows, not "top-k minus however many same-label rows
+    happened to rank first".  Final re-rank shuffles only
+    ``k·m·n_partitions`` candidate rows.  NULL-label corpus rows are
+    negatives for every anchor (unknown ≠ anchor's class — they stay
+    maskable only by id).
+
+    Output: ``(anchor_id, id_col, cosine, rank)``, rank 1..k per
+    anchor, cosine rounded to 6, ties broken on id.
+    """
+    import numpy as np
+    from pyspark.sql import Window
+
+    qids, _, QnT = _query_matrix(anchors, id_col, vec_col, max_anchors)
+    lab_rows = anchors.select(id_col, label_col).collect()
+    lab_by_id = {r[id_col]: r[label_col] for r in lab_rows}
+    qlabels = np.asarray(
+        [lab_by_id.get(q) for q in qids.tolist()], dtype=object)
+    m = len(qids)
+    kk = k
+
+    def partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            labs = pdf[label_col].to_numpy(dtype=object)
+            M = np.asarray(pdf[vec_col].to_list(), dtype=np.float64)
+            mn = np.linalg.norm(M, axis=1)
+            mn[mn == 0] = 1.0
+            C = np.round((M / mn[:, None]) @ QnT, 6)  # (n, m)
+            top = min(kk, len(ids))
+            qcol, icol, ccol = [], [], []
+            for j in range(m):
+                col = C[:, j].copy()
+                ql = qlabels[j]
+                if ql is not None:
+                    col[labs == ql] = -np.inf
+                col[ids == qids[j]] = -np.inf
+                order = np.lexsort((ids, -col))[:top]
+                keep = col[order] > -np.inf
+                order = order[keep]
+                qcol.append(np.full(len(order), qids[j]))
+                icol.append(ids[order])
+                ccol.append(col[order])
+            if qcol:
+                yield pd.DataFrame({
+                    "anchor_id": np.concatenate(qcol),
+                    id_col: np.concatenate(icol),
+                    "cosine": np.concatenate(ccol),
+                })
+
+    part = df.select(id_col, vec_col, label_col).mapInPandas(
+        partials, f"anchor_id long, {id_col} long, cosine double")
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cosine").desc(), F.col(id_col))
+    return (
+        part.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
