@@ -1024,6 +1024,21 @@ def _q_diff_orders_versions(spark: SparkSession, sf: str) -> DataFrame:
         F.array_join("changed_cols", ",").alias("changed_cols"))
 
 
+def _q_normalized_dups(spark: SparkSession, sf: str) -> DataFrame:
+    """Canonical-form dedup (r5): exact dedup over normalize_text
+    (lowercase, punctuation stripped, whitespace collapsed) — catches
+    the case/punct/spacing near-dups raw exact dedup misses,
+    deterministically where MinHash is probabilistic.  The regex class
+    [^\\p{L}\\p{N} ] is identical in Java and RE2, so DuckDB replays
+    the normalization verbatim."""
+    from go_jsonschema_spark.functions.text import normalize_text
+    from go_jsonschema_spark.operators.dedup import exact_duplicates
+
+    d = _t(spark, sf, "documents").withColumn(
+        "text", normalize_text(F.col("text")))
+    return exact_duplicates(d).select("doc_id", "keeper_id", "group_size")
+
+
 def _q_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
     """Hard-negative mining (r5): for every 10th vector as anchor, the
     5 most-similar DIFFERENT-label vectors — the label mask applied
@@ -1893,6 +1908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_unique_users": _q_hourly_unique_users,
         "ewma_user_value": _q_ewma_user_value,
         "hard_negatives_embeddings": _q_hard_negatives,
+        "normalized_dups_documents": _q_normalized_dups,
         "record_linkage_customer": _q_record_linkage_customer,
         "skew_user_events": _q_skew_user_events,
         "centroid_similarity_embeddings": _q_centroid_similarity,
@@ -3421,6 +3437,29 @@ def oracle_sql() -> dict[str, str]:
                     ELSE '' END AS changed_cols
         FROM j
         WHERE NOT in_o OR NOT in_n OR d_pr OR d_st OR d_pp
+    """
+    # normalized dedup: RE2 replays the identical normalization chain
+    # (note DuckDB regexp_replace needs the 'g' flag; Spark is global
+    # by default), then the exact-dups group logic
+    out["normalized_dups_documents"] = r"""
+        WITH n AS (
+            SELECT doc_id,
+                   trim(regexp_replace(regexp_replace(lower(text),
+                        '[^\p{L}\p{N} ]', ' ', 'g'), ' +', ' ', 'g')) AS t
+            FROM documents
+        ), fp AS (
+            SELECT doc_id,
+                   md5(regexp_replace(lower(trim(t)), '\s+', ' ', 'g'))
+                       AS fp
+            FROM n
+        ), g AS (
+            SELECT doc_id,
+                   min(doc_id) OVER (PARTITION BY fp) AS keeper_id,
+                   count(*) OVER (PARTITION BY fp) AS group_size
+            FROM fp
+        )
+        SELECT doc_id, keeper_id, group_size
+        FROM g WHERE group_size > 1 AND doc_id != keeper_id
     """
     # hard negatives: brute-force every anchor's cross-label ranking
     # (rank on round-6, emit round-4 — the ann_batch convention); the

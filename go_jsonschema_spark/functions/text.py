@@ -21,6 +21,7 @@ __all__ = [
     "gopher_metrics",
     "lang_id",
     "fingerprint",
+    "normalize_text",
 ]
 
 # Per-language stopword marker sets (public common-word lists); used by
@@ -317,3 +318,19 @@ def dup_ngram_metrics(text: Column, n: int = 3) -> dict[str, Column]:
     ).otherwise(F.lit(0.0))
     return {"n_grams": ng, "dup_gram_frac": dup_gram_frac,
             "dup_char_frac": dup_char_frac}
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical form for normalized dedup: lowercase, strip everything
+    but letters/digits/spaces (unicode letters preserved — the regex
+    class is ``[^\\p{L}\\p{N} ]``, identical in Java and RE2 so the
+    DuckDB oracle replays it verbatim), collapse whitespace runs, trim.
+    Catches the near-duplicates exact dedup misses for trivia reasons —
+    case, punctuation, spacing — deterministically, where MinHash only
+    finds them probabilistically.  Raw bytes are untouched upstream;
+    normalize at the dedup boundary, not at ingest.
+    """
+    lowered = F.lower(text)
+    stripped = F.regexp_replace(lowered, r"[^\p{L}\p{N} ]", " ")
+    collapsed = F.regexp_replace(stripped, r" +", " ")
+    return F.trim(collapsed)
