@@ -1838,57 +1838,13 @@ def _q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Dict order matters: the driver's CORRECTNESS gate verifies the FIRST 50
+    # keys only.  Rounds 1-5 verified 66 distinct queries; the 37 that have
+    # never been driver-verified come first this round, followed by the
+    # queries whose implementation changed in round 6 (range_join, privacy,
+    # perplexity, ANN-LSH, flagship) so the changes get driver re-verified.
     return {
-        "violations_documents": _q_violations_documents,
-        "streaming_violations": _q_streaming_violations,
-        "streaming_windowed_verdicts": _q_streaming_windowed_verdicts,
-        "streaming_dup_keys": _q_streaming_dup_keys,
-        "streaming_drift_psi": _q_streaming_drift_psi,
-        "streaming_sessions": _q_streaming_sessions,
-        "verdicts_by_source": _q_verdicts_by_source,
-        "stats_lineitem": _q_stats_lineitem,
-        "dup_custkeys_orders": _q_dup_custkeys_orders,
-        "fk_violations_events": _q_fk_violations_events,
-        "fk_orders_customer": _q_fk_orders_customer,
-        "hist_events_value": _q_hist_events_value,
-        "q1_pricing_summary": _q_q1_pricing_summary,
-        "revenue_by_segment": _q_revenue_by_segment,
-        "grouped_stats_events": _q_grouped_stats_events,
-        "topk_users_by_value": _q_topk_users_by_value,
-        "sessionize_events": _q_sessionize_events,
-        "running_revenue_orders": _q_running_revenue_orders,
-        "concurrency_sessions_events": _q_concurrency_sessions_events,
-        "asof_purchase_last_error": _q_asof_purchase_last_error,
-        "hourly_event_counts": _q_hourly_event_counts,
-        "rolling_hourly_avg": _q_rolling_hourly_avg,
-        "rollup_lineitem": _q_rollup_lineitem,
-        "cube_lineitem": _q_cube_lineitem,
-        "pivot_hourly_event_types": _q_pivot_hourly_event_types,
-        "token_counts_documents": _q_token_counts_documents,
-        "fingerprints_documents": _q_fingerprints_documents,
-        "quality_documents": _q_quality_documents,
-        "jaccard_to_doc0": _q_jaccard_to_doc0,
-        "cosine_sims_embeddings": _q_cosine_sims_embeddings,
-        "embedding_pairs_exact": _q_embedding_pairs_exact,
-        "lang_id_documents": _q_lang_id_documents,
-        "minhash_pairs_documents": _q_minhash_pairs_documents,
-        "simhash_pairs_documents": _q_simhash_pairs_documents,
-        "exact_dups_documents": _q_exact_dups_documents,
-        "near_dup_clusters": _q_near_dup_clusters,
-        "ann_topk_exact": _q_ann_topk_exact,
-        "ann_lsh_embeddings": _q_ann_lsh_embeddings,
-        "ann_ivf_embeddings": _q_ann_ivf_embeddings,
-        "ann_batch_embeddings": _q_ann_batch_embeddings,
-        "semantic_contamination": _q_semantic_contamination,
-        "inferred_spec_documents": _q_inferred_spec_documents,
-        "range_join_ship_windows": _q_range_join_ship_windows,
-        "diversity_sample_embeddings": _q_diversity_sample_embeddings,
-        "semantic_dedup_embeddings": _q_semantic_dedup_embeddings,
-        "lm_perplexity_documents": _q_lm_perplexity_documents,
-        "tfidf_keywords_documents": _q_tfidf_keywords_documents,
-        "k_anonymity_customer": _q_k_anonymity_customer,
-        "l_diversity_orders": _q_l_diversity_orders,
-        "t_closeness_orders": _q_t_closeness_orders,
+        # -- never driver-verified through r5 (37) -------------------------
         "edit_distance_pairs_documents": _q_edit_distance_pairs_documents,
         "robust_outliers_events": _q_robust_outliers_events,
         "bm25_documents": _q_bm25_documents,
@@ -1926,10 +1882,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample_documents": _q_weighted_sample_documents,
         "completeness_documents": _q_completeness_documents,
         "unpivot_hourly_event_types": _q_unpivot_hourly_event_types,
+        # -- touched in round 6: re-enter the driver window (13) ------------
+        "range_join_ship_windows": _q_range_join_ship_windows,
+        "t_closeness_orders": _q_t_closeness_orders,
+        "k_anonymity_customer": _q_k_anonymity_customer,
+        "l_diversity_orders": _q_l_diversity_orders,
+        "lm_perplexity_documents": _q_lm_perplexity_documents,
+        "ann_lsh_embeddings": _q_ann_lsh_embeddings,
+        "ann_topk_exact": _q_ann_topk_exact,
+        "asof_purchase_last_error": _q_asof_purchase_last_error,
+        "sequences_validation": _q_sequences_validation,
+        "violations_documents": _q_violations_documents,
+        "verdicts_by_source": _q_verdicts_by_source,
+        "corpus_curation": _q_corpus_curation,
+        "column_stats_full": _q_column_stats_full,
+        # -- previously driver-verified (r1-r5), unchanged ------------------
+        "streaming_violations": _q_streaming_violations,
+        "streaming_windowed_verdicts": _q_streaming_windowed_verdicts,
+        "streaming_dup_keys": _q_streaming_dup_keys,
+        "streaming_drift_psi": _q_streaming_drift_psi,
+        "streaming_sessions": _q_streaming_sessions,
+        "stats_lineitem": _q_stats_lineitem,
+        "dup_custkeys_orders": _q_dup_custkeys_orders,
+        "fk_violations_events": _q_fk_violations_events,
+        "fk_orders_customer": _q_fk_orders_customer,
+        "hist_events_value": _q_hist_events_value,
+        "q1_pricing_summary": _q_q1_pricing_summary,
+        "revenue_by_segment": _q_revenue_by_segment,
+        "grouped_stats_events": _q_grouped_stats_events,
+        "topk_users_by_value": _q_topk_users_by_value,
+        "sessionize_events": _q_sessionize_events,
+        "running_revenue_orders": _q_running_revenue_orders,
+        "concurrency_sessions_events": _q_concurrency_sessions_events,
+        "hourly_event_counts": _q_hourly_event_counts,
+        "rolling_hourly_avg": _q_rolling_hourly_avg,
+        "rollup_lineitem": _q_rollup_lineitem,
+        "cube_lineitem": _q_cube_lineitem,
+        "pivot_hourly_event_types": _q_pivot_hourly_event_types,
+        "token_counts_documents": _q_token_counts_documents,
+        "fingerprints_documents": _q_fingerprints_documents,
+        "quality_documents": _q_quality_documents,
+        "jaccard_to_doc0": _q_jaccard_to_doc0,
+        "cosine_sims_embeddings": _q_cosine_sims_embeddings,
+        "embedding_pairs_exact": _q_embedding_pairs_exact,
+        "lang_id_documents": _q_lang_id_documents,
+        "minhash_pairs_documents": _q_minhash_pairs_documents,
+        "simhash_pairs_documents": _q_simhash_pairs_documents,
+        "exact_dups_documents": _q_exact_dups_documents,
+        "near_dup_clusters": _q_near_dup_clusters,
+        "ann_ivf_embeddings": _q_ann_ivf_embeddings,
+        "ann_batch_embeddings": _q_ann_batch_embeddings,
+        "semantic_contamination": _q_semantic_contamination,
+        "inferred_spec_documents": _q_inferred_spec_documents,
+        "diversity_sample_embeddings": _q_diversity_sample_embeddings,
+        "semantic_dedup_embeddings": _q_semantic_dedup_embeddings,
+        "tfidf_keywords_documents": _q_tfidf_keywords_documents,
         "props_json_validation": _q_props_json_validation,
         "props_json_native": _q_props_json_native,
         "props_json_suite": _q_props_json_suite,
-        "corpus_curation": _q_corpus_curation,
         "doc_splits": _q_doc_splits,
         "stratified_sample_documents": _q_stratified_sample_documents,
         "capped_by_source": _q_capped_by_source,
@@ -1939,8 +1949,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redacted_documents": _q_redacted_documents,
         "gopher_quality_documents": _q_gopher_quality,
         "contamination_documents": _q_contamination_documents,
-        "sequences_validation": _q_sequences_validation,
-        "column_stats_full": _q_column_stats_full,
         "multimodal_features": _q_multimodal_features,
     }
 
