@@ -117,6 +117,22 @@ def range_join(
             f"range_join: column name(s) {sorted(overlap)} exist on both "
             "sides; rename before joining")
     w = float(bin_width)
+    # Global-span pre-filter: two scalars off the interval side (one tiny
+    # aggregate job), pushed down as a scan filter on the point side.  At
+    # scale the interval table usually covers a narrow slice of the point
+    # domain (e.g. a week of high-value orders vs years of lineitems), so
+    # this turns most of the point scan into skipped row groups BEFORE the
+    # explode+shuffle — the candidate volume, not the join, is the cost.
+    span = right.agg(
+        F.min(right_start).alias("lo"), F.max(right_end).alias("hi")
+    ).first()
+    if span["lo"] is None:  # empty interval side: no pair can match
+        cand = left.filter(F.lit(False))
+    else:
+        cand = left.filter(
+            (F.col(left_point) >= F.lit(span["lo"]))
+            & (F.col(left_point) <= F.lit(span["hi"]))
+        )
     lbin = F.floor(F.col(left_point) / w).cast("long")
     r = right.withColumn(
         "__bin__",
@@ -124,7 +140,7 @@ def range_join(
             F.floor(F.col(right_start) / w).cast("long"),
             F.floor(F.col(right_end) / w).cast("long"))),
     )
-    l = left.withColumn("__bin__", lbin)
+    l = cand.withColumn("__bin__", lbin)
     hit = (
         l.join(r, "__bin__")
         .filter((F.col(left_point) >= F.col(right_start))
@@ -133,9 +149,21 @@ def range_join(
     )
     if how == "inner":
         return hit
-    # left join: append the never-matched left rows with null right cols
-    matched = hit.select(*left.columns)
-    missed = left.join(matched.distinct(), left.columns, "left_anti")
+    # left join: append the never-matched left rows (including those the
+    # span pre-filter excluded — they match nothing by construction) with
+    # null right columns.  The anti-join must be NULL-SAFE per column: a
+    # matched left row carrying a NULL in any column fails plain `=`
+    # equality against its own image in `matched` and would be re-emitted
+    # as a spurious unmatched row.  eqNullSafe (`<=>`) is still an
+    # equi-join key for Spark's hash/sort-merge planners, so no nested
+    # loop appears.
+    matched = hit.select(*left.columns).distinct().alias("__rjm__")
+    lft = left.alias("__rjl__")
+    cond = None
+    for c in left.columns:  # bracket access: dot-safe, alias-scoped
+        eq = lft[c].eqNullSafe(matched[c])
+        cond = eq if cond is None else (cond & eq)
+    missed = lft.join(matched, cond, "left_anti")
     for c in right.columns:
         missed = missed.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
     return hit.unionByName(missed)

@@ -134,8 +134,18 @@ def lm_perplexity(
     ) / (
         F.coalesce(F.col("c1"), F.lit(0)) + F.lit(float(k) * vocab)
     )
+    # c2 and c1 join SEPARATELY: a bigram unseen as a pair can still have
+    # a seen PREFIX, and its c1(w1) denominator must survive — joining the
+    # combined (w1,w2,c2,c1) model on (w1,w2) alone zeroes c1 for such
+    # bigrams, so P(.|w1) stops summing to 1 and an unseen bigram after a
+    # frequent prefix outscores a seen rare one, inverting the CCNet-style
+    # filter signal.  c1 is functionally dependent on w1, so the distinct
+    # prefix table is exact.
+    c2p = lm.select("w1", "w2", "c2")
+    c1p = lm.select("w1", "c1").distinct()
     scored = (
-        grams.join(lm, ["w1", "w2"], "left")
+        grams.join(c2p, ["w1", "w2"], "left")
+        .join(c1p, ["w1"], "left")
         .withColumn("lp", F.log(p))
         .groupBy("__id__")
         .agg(

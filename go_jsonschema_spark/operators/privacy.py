@@ -162,10 +162,29 @@ def t_closeness(
     # class list with sizes (aggregate of the already class-keyed cv)
     classes = cv.groupBy(*quasi).agg(F.sum("__c__").alias("class_size"))
 
-    # zero-filled skeleton: every class x every domain value
+    # zero-filled skeleton: every class x every domain value.  The
+    # re-join of per-class-value counts MUST be null-safe on the quasi
+    # columns: k_anonymity documents NULL-is-its-own-class semantics, and
+    # a plain `=` join would orphan every NULL-quasi class (its counts
+    # never rejoin, p collapses to 0 for all values, and the class gets
+    # spuriously flagged with emd outside [0,1]).
     skel = classes.join(F.broadcast(dom))
-    filled = skel.join(cv, [*quasi_cols, "__v__"], "left").withColumn(
-        "__p__", F.coalesce(F.col("__c__"), F.lit(0)) / F.col("class_size")
+    # rename the count side to generated names: no shared attributes ->
+    # no self-join ambiguity (skel and cv share the cv lineage)
+    cvr = cv.select(
+        *[cv[c].alias(f"__qc{i}__") for i, c in enumerate(quasi_cols)],
+        cv["__v__"].alias("__cvv__"),
+        cv["__c__"].alias("__cvc__"),
+    )
+    cond = skel["__v__"] == cvr["__cvv__"]  # domain values are non-null
+    for i, c in enumerate(quasi_cols):
+        cond = cond & skel[c].eqNullSafe(cvr[f"__qc{i}__"])
+    filled = (
+        skel.join(cvr, cond, "left")
+        .withColumn(
+            "__p__",
+            F.coalesce(F.col("__cvc__"), F.lit(0)) / F.col("class_size"),
+        )
     )
 
     w = Window.partitionBy(*quasi_cols).orderBy("__i__")

@@ -155,10 +155,29 @@ def distributed_cumsum(
     v = F.col(value_col) if isinstance(value_col, str) else value_col
     first = order_cols[0]
     ftype = dict(df.dtypes).get(first)
+    # The bucket split is computed on a NUMERIC image of the first order
+    # column while the in-bucket window sorts the NATIVE column — the two
+    # orders must agree or the bucket-i-before-bucket-i+1 invariant breaks
+    # (a string column with numeric-looking values buckets numerically but
+    # sorts lexicographically, silently corrupting prefix sums; a fully
+    # non-castable string degenerates to one bucket).  Only types whose
+    # native sort IS the numeric sort are accepted.
+    _ok = ftype is not None and (
+        ftype in ("tinyint", "smallint", "int", "bigint",
+                  "float", "double", "date")
+        or ftype.startswith("decimal") or "timestamp" in ftype
+    )
+    if not _ok:
+        raise ValueError(
+            f"distributed_cumsum: first order column {first!r} has type "
+            f"{ftype!r}; the scan-sum bucket split needs a numeric or "
+            "temporal leading order column (cast or derive a numeric sort "
+            "key — e.g. a timestamp, epoch, or sequence number — first)"
+        )
     key = F.col(first)
-    if ftype and "timestamp" in ftype:
+    if "timestamp" in ftype:
         key = key.cast("timestamp").cast("long")
-    elif ftype in ("date",):
+    elif ftype == "date":
         key = F.unix_date(F.col(first)).cast("long")
     src = df.withColumn("__key__", key.cast("double"))
 
