@@ -1100,6 +1100,33 @@ def _q_record_linkage_customer(spark: SparkSession, sf: str) -> DataFrame:
         min_score=0.75)
 
 
+def _q_record_linkage_multipass_customer(
+        spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-pass OR-blocking linkage (r6): the composite (nation,
+    segment) pass unioned with an account-balance-band pass — pairs
+    whose composite key is dirty (different nation/segment for the same
+    entity) are recovered by the second pass; every pair is deduped
+    BEFORE scoring so its levenshtein is paid once.  DuckDB replays both
+    passes, the pair-level distinct, and the weighted scoring."""
+    from go_jsonschema_spark.operators.linkage import (
+        record_linkage_multipass,
+    )
+
+    c = (
+        _t(spark, sf, "customer")
+        .withColumn("blk_ns", F.concat_ws(
+            "|", F.col("c_nationkey").cast("string"),
+            F.col("c_mktsegment")))
+        .withColumn("blk_bal", F.floor(F.col("c_acctbal") / 10))
+    )
+    return record_linkage_multipass(
+        c, id_col="c_custkey", block_cols=["blk_ns", "blk_bal"],
+        fields={"c_name": ("string", 2.0),
+                "c_acctbal": ("numeric", 1.0),
+                "c_mktsegment": ("categorical", 1.0)},
+        min_score=0.75)
+
+
 def _q_skew_user_events(spark: SparkSession, sf: str) -> DataFrame:
     """Skew report (r5): the 20 heaviest user_ids with row/cumulative
     shares — the pre-flight check before any user-keyed shuffle."""
@@ -1866,6 +1893,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives_embeddings": _q_hard_negatives,
         "normalized_dups_documents": _q_normalized_dups,
         "record_linkage_customer": _q_record_linkage_customer,
+        "record_linkage_multipass_customer":
+            _q_record_linkage_multipass_customer,
         "skew_user_events": _q_skew_user_events,
         "centroid_similarity_embeddings": _q_centroid_similarity,
         "semi_join_reducer_orders": _q_semi_join_reducer_orders,
@@ -3570,6 +3599,64 @@ def oracle_sql() -> dict[str, str]:
                round(0.0 + s_name * 0.5 + s_bal * 0.25 + s_seg * 0.25, 6)
                    AS score
         FROM p
+        WHERE 0.0 + s_name * 0.5 + s_bal * 0.25 + s_seg * 0.25 >= 0.75
+    """
+    # multi-pass OR-blocking: both passes replayed, pair-level DISTINCT
+    # before scoring, n_passes = distinct proposing passes
+    out["record_linkage_multipass_customer"] = """
+        WITH l AS (
+            SELECT c_custkey AS id,
+                   concat_ws('|', CAST(c_nationkey AS VARCHAR),
+                             c_mktsegment) AS blk_ns,
+                   CAST(floor(c_acctbal / 10) AS BIGINT) AS blk_bal,
+                   c_name, c_acctbal, c_mktsegment
+            FROM customer
+        ), cand AS (
+            SELECT a.id AS id_a, b.id AS id_b, 0 AS pass
+            FROM l a JOIN l b ON a.blk_ns = b.blk_ns AND a.id < b.id
+            UNION ALL
+            SELECT a.id AS id_a, b.id AS id_b, 1 AS pass
+            FROM l a JOIN l b ON a.blk_bal = b.blk_bal AND a.id < b.id
+        ), pairs AS (
+            SELECT id_a, id_b,
+                   CAST(count(DISTINCT pass) AS BIGINT) AS n_passes
+            FROM cand GROUP BY 1, 2
+        ), s AS (
+            SELECT p.id_a, p.id_b, p.n_passes,
+                   CASE WHEN a.c_name IS NOT NULL AND b.c_name IS NOT NULL
+                        THEN CASE WHEN greatest(length(a.c_name),
+                                               length(b.c_name)) = 0
+                                  THEN 1.0
+                                  ELSE 1.0 - levenshtein(a.c_name, b.c_name)
+                                       / (1.0 * greatest(length(a.c_name),
+                                                         length(b.c_name)))
+                             END
+                        ELSE 0.0 END AS s_name,
+                   CASE WHEN a.c_acctbal IS NOT NULL
+                             AND b.c_acctbal IS NOT NULL
+                        THEN CASE WHEN greatest(abs(a.c_acctbal),
+                                               abs(b.c_acctbal)) = 0
+                                  THEN 1.0
+                                  ELSE 1.0 - abs(a.c_acctbal - b.c_acctbal)
+                                       / greatest(abs(a.c_acctbal),
+                                                  abs(b.c_acctbal))
+                             END
+                        ELSE 0.0 END AS s_bal,
+                   CASE WHEN a.c_mktsegment IS NOT NULL
+                             AND b.c_mktsegment IS NOT NULL
+                             AND a.c_mktsegment = b.c_mktsegment
+                        THEN 1.0 ELSE 0.0 END AS s_seg
+            FROM pairs p
+            JOIN l a ON a.id = p.id_a
+            JOIN l b ON b.id = p.id_b
+        )
+        SELECT id_a, id_b, n_passes,
+               round(s_name, 6) AS sim_c_name,
+               round(s_bal, 6) AS sim_c_acctbal,
+               round(CAST(s_seg AS DOUBLE), 6) AS sim_c_mktsegment,
+               round(0.0 + s_name * 0.5 + s_bal * 0.25 + s_seg * 0.25, 6)
+                   AS score
+        FROM s
         WHERE 0.0 + s_name * 0.5 + s_bal * 0.25 + s_seg * 0.25 >= 0.75
     """
     # skew report: bounded top-N with the same weight-then-key order
