@@ -51,6 +51,11 @@ _BOUND_PAIRS = {
     "exclusiveMaximum": ("exclusiveMaximum",),
     "exclusiveMinimum": ("exclusiveMinimum",),
 }
+# foreign_key dims at or below this many distinct values fold into the
+# row-predicate pass as an `isin` (one collected list, same size contract
+# as broadcasting the dim); larger dims keep the broadcast anti-join
+_FK_INLINE_MAX = 10_000
+
 _ANNOTATIONS = {
     # annotations — parsed, preserved, never validated (parser.go:90-99 and
     # the reference's non-validating keywords)
@@ -285,13 +290,18 @@ class ConstraintSuite:
     # the table — uniqueness/referential over a subset miss cross-slice
     # duplicates; the checkpoint layer runs them as their own phase) -------
     def table_check_violations(
-        self, df: DataFrame, *, dims: dict[str, DataFrame] | None = None
+        self, df: DataFrame, *, dims: dict[str, DataFrame] | None = None,
+        skip_ids: set[str] | None = None,
     ) -> DataFrame | None:
         """Violations from the table-level checks (unique / foreign_key),
-        or None if the spec has none."""
+        or None if the spec has none.  ``skip_ids`` names checks already
+        evaluated elsewhere (run() folds small-dim foreign keys into the
+        row-predicate pass)."""
         dims = dims or {}
         parts: list[DataFrame] = []
         for tc in self.spec.table_checks:
+            if skip_ids and tc.get("id") in skip_ids:
+                continue
             kind = tc["kind"]
             if kind == "unique":
                 from go_jsonschema_spark.operators.uniqueness import (
@@ -306,6 +316,10 @@ class ConstraintSuite:
                         tc["columns"] if "columns" in tc else tc["column"],
                         constraint_id=tc["id"],
                         salt_buckets=tc.get("salt_buckets"),
+                        # rare-duplicates regime: shuffle 8-byte key
+                        # hashes instead of the keys (see operators/
+                        # uniqueness.py duplicate_keys docstring)
+                        hash_compact=tc.get("hash_compact", False),
                     )
                 )
             elif kind == "foreign_key":
@@ -442,6 +456,48 @@ class ConstraintSuite:
         import functools
         import operator
 
+        # Fold SMALL-dimension foreign_key table checks into the one
+        # predicate pass: the allowed-value set collects once on the
+        # driver (bounded by _FK_INLINE_MAX, same contract as a broadcast
+        # dim) and the check becomes an `isin` on a column the scan very
+        # often already reads — the separate anti-join job (its own full
+        # pass over the fact table) disappears.  Fact-side NULLs match
+        # the anti-join semantics: no dim value equals NULL, so NULL is a
+        # violation (isin yields NULL → coalesce False).  Folded checks
+        # contribute VIOLATION rows identical to referential_violations
+        # but stay OUT of the verdict fail counts, exactly like the
+        # table-check path they replace.  Dims above the bound keep the
+        # broadcast anti-join.
+        fk_folded: list[tuple[str, Column, Column]] = []  # (cid, ok, obs)
+        fk_folded_ids: set[str] = set()
+        for tc in self.spec.table_checks:
+            if tc.get("kind") != "foreign_key":
+                continue
+            if tc["dim"] not in (dims or {}):
+                raise KeyError(
+                    f"foreign_key check {tc['id']!r} needs dimension "
+                    f"{tc['dim']!r} passed via run(..., dims={{...}})"
+                )
+            dcol = tc.get("dim_column") or tc["column"]
+            vals = [
+                r[0]
+                for r in dims[tc["dim"]]
+                .select(dcol)
+                .distinct()
+                .limit(_FK_INLINE_MAX + 1)
+                .collect()
+            ]
+            if len(vals) > _FK_INLINE_MAX:
+                continue  # genuinely large dim → anti-join path below
+            vals = [v for v in vals if v is not None]
+            ok = F.coalesce(
+                F.col(tc["column"]).isin(*vals) if vals else F.lit(False),
+                F.lit(False),
+            )
+            fk_folded.append(
+                (tc["id"], ok, F.col(tc["column"]).cast("string")))
+            fk_folded_ids.add(tc["id"])
+
         pass_col = (
             functools.reduce(
                 operator.and_, [F.col(safe[cid]) for cid in ids]
@@ -450,9 +506,12 @@ class ConstraintSuite:
             else F.lit(True)
         )
         part = F.col(partition_col) if partition_col else F.lit("__all__")
+        fk_safe = {cid: f"__fk{i}__" for i, (cid, _, _) in
+                   enumerate(fk_folded)}
         checked = df.select(
             "*",
             *[p.alias(safe[cid]) for cid, p in plan.predicates],
+            *[ok.alias(fk_safe[cid]) for cid, ok, _ in fk_folded],
         ).withColumn("__pass__", pass_col)
 
         # violations: one row per FAILING source row with the array of its
@@ -470,10 +529,28 @@ class ConstraintSuite:
                 ),
             )
             for cid in ids
+        ] + [
+            F.when(
+                ~F.col(fk_safe[cid]),
+                F.struct(
+                    F.lit(cid).alias("constraint_id"),
+                    obs.alias("observed"),
+                ),
+            )
+            for cid, _ok, obs in fk_folded
         ]
-        failed_rows = checked.filter(~F.col("__pass__")).select(
+        # rows are emitted when ANY row constraint OR folded fk fails;
+        # __rowfail__ preserves the verdict semantics (fk failures are
+        # table-check violations, never verdict fail counts)
+        emit = functools.reduce(
+            operator.or_,
+            [~F.col("__pass__")]
+            + [~F.col(fk_safe[cid]) for cid, _, _ in fk_folded],
+        )
+        failed_rows = checked.filter(emit).select(
             F.col(self.key).cast("string").alias("doc_id"),
             part.alias("__part__"),
+            (~F.col("__pass__")).alias("__rowfail__"),
             F.filter(
                 F.array(*entries)
                 if entries
@@ -491,9 +568,11 @@ class ConstraintSuite:
             "doc_id", F.explode("entries").alias("v")
         ).select("doc_id", "v.constraint_id", "v.observed")
 
-        # table checks → more violations + metrics
+        # table checks → more violations + metrics (folded fk checks
+        # already produced their violations in the predicate pass)
         viol_parts = [row_viol]
-        tv = self.table_check_violations(df, dims=dims)
+        tv = self.table_check_violations(
+            df, dims=dims, skip_ids=fk_folded_ids)
         if tv is not None:
             viol_parts.append(tv)
 
@@ -521,7 +600,10 @@ class ConstraintSuite:
         fail_counts = failed_rows.groupBy(
             F.col("__part__").alias("partition")
         ).agg(
-            F.count(F.lit(1)).alias("n_fail"),
+            # only ROW-constraint failures count toward verdicts — a row
+            # emitted purely for a folded fk violation has __rowfail__
+            # False and contributes nothing here
+            F.sum(F.col("__rowfail__").cast("long")).alias("n_fail"),
             *[_cid_count(cid) for cid in ids],
         ).select(
             "partition",

@@ -192,7 +192,10 @@ def sequences_table_spec():
             }
         ],
         table_checks=[
-            {"kind": "unique", "id": "unique:doc_id", "columns": ["doc_id"]},
+            # hash_compact: duplicate doc_ids are rare plants, so the big
+            # shuffle carries 8-byte xxhash64(doc_id) rows, not strings
+            {"kind": "unique", "id": "unique:doc_id", "columns": ["doc_id"],
+             "hash_compact": True},
             {"kind": "foreign_key", "id": "fk:source", "column": "source",
              "dim": "sources_dim"},
             {"kind": "stats", "columns": ["n_tok"]},
