@@ -615,10 +615,12 @@ def _ann_approx_checked(spark: SparkSession, sf: str, kind: str,
 
 
 def _q_ann_lsh_embeddings(spark: SparkSession, sf: str) -> DataFrame:
-    # multi-table LSH (b=8, L=32, r=1): measured recall@10 = 1.0 at
-    # sf0.001/0.01/0.1 on the near-isotropic synthetic embeddings — the
-    # single-table multiprobe form was recall 0.1 at sf0.01, exposed the
-    # moment the oracle gained its recall floor (VERDICT r3 item 2)
+    # multi-table LSH (b=8, L=24, r=1): measured recall@10 = 1.0/0.9/1.0
+    # at sf0.001/0.01/0.1 on the near-isotropic synthetic embeddings —
+    # the single-table multiprobe form was recall 0.1 at sf0.01, exposed
+    # the moment the oracle gained its recall floor (VERDICT r3 item 2);
+    # the r6 sweep cut L from 32 (L=16 sat on the 0.8 floor at sf0.01)
+    # and moved the signature matmul to float32 vstack batches
     from go_jsonschema_spark.operators.ann import topk_cosine_lsh_multi
 
     e = _t(spark, sf, "embeddings")
