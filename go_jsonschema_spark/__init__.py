@@ -25,6 +25,7 @@ from go_jsonschema_spark.spec import (
     SchemaSpec,
     SpecError,
     TableSpec,
+    deref_expand,
     normalize_spec,
 )
 from go_jsonschema_spark.interp import ValidationOutcome, validate_instance
@@ -36,6 +37,7 @@ __all__ = [
     "SchemaSpec",
     "SpecError",
     "TableSpec",
+    "deref_expand",
     "normalize_spec",
     "ValidationOutcome",
     "validate_instance",

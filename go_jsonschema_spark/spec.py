@@ -439,6 +439,79 @@ class SchemaSpec:
     def to_json(self) -> str:
         return json.dumps(self.root)
 
+    def to_json_deref(self, circular_threshold: int = 3) -> str:
+        """Serialize with every ``$ref`` expanded inline, bounded by
+        ``circular_threshold`` — the DeRef + MarshalJSON pair of the
+        reference (schema_refs.go:131-155 eager resolution;
+        schema.go:206-276 marshal with per-ref ``marshalled`` counters,
+        default threshold 3 at parser.go:11)."""
+        return json.dumps(deref_expand(self, circular_threshold))
+
+
+def deref_expand(spec: "SchemaSpec", circular_threshold: int = 3) -> Any:
+    """The reference's bounded DeRef'd-expansion serialization
+    (deref_test.go golden behavior) as a pure tree transform: every
+    ``$ref`` at a schema position is replaced by its resolved target,
+    expanded recursively; a ref re-entered while ``circular_threshold``
+    of its expansions are already on the walk stack stays a ``$ref``
+    node verbatim (sibling/retained properties kept — schema.go:230-252
+    "keep ignored properties"), which is exactly how the reference's
+    per-ref ``marshalled`` counter behaves: it increments before each
+    nested marshal and resets on unwind (schema.go:223-228), so the
+    counter equals the number of this ref's expansions on the stack.
+    Unresolvable refs also stay verbatim instead of failing the whole
+    serialization.  ``$ref`` inside data positions (enum/const/unknown
+    keywords) is data and never expands."""
+    import copy
+
+    counts: dict[int, int] = {}
+    direct = set(_SUBSCHEMA_KEYS) | set(_SUBSCHEMA_LIST_KEYS) | {
+        "prefixItems", "items"
+    }
+    maps = set(_SUBSCHEMA_MAP_KEYS)
+
+    def walk(node: Any, schema_pos: bool) -> Any:
+        if isinstance(node, list):
+            return [walk(x, schema_pos) for x in node]
+        if not isinstance(node, dict):
+            return node
+        if schema_pos and isinstance(node.get("$ref"), str):
+            c = counts.get(id(node), 0)
+            if c < circular_threshold:
+                try:
+                    target = spec.resolve_ref(node["$ref"], at=node)
+                except SpecError:
+                    target = None
+                if target is not None:
+                    # the expansion REPLACES the whole node (the
+                    # reference marshals *s.Ref.Schema alone —
+                    # schema.go:223-227; $ref siblings drop)
+                    counts[id(node)] = c + 1
+                    try:
+                        return walk(target, True)
+                    finally:
+                        counts[id(node)] = c
+            return copy.deepcopy(node)
+        if not schema_pos:
+            return {k: walk(v, False) for k, v in node.items()}
+        out: dict[str, Any] = {}
+        for k, v in node.items():
+            if k in direct:
+                out[k] = walk(v, True)
+            elif k in maps and isinstance(v, dict):
+                out[k] = {kk: walk(s, True) for kk, s in v.items()}
+            elif k == "dependencies" and isinstance(v, dict):
+                out[k] = {
+                    kk: (copy.deepcopy(d) if isinstance(d, list)
+                         else walk(d, True))
+                    for kk, d in v.items()
+                }
+            else:
+                out[k] = copy.deepcopy(v)
+        return out
+
+    return walk(spec.root, True)
+
 
 def validate_spec_against_metaschema(spec: Any, draft: int = 7) -> list[str]:
     """Validate a schema spec against the embedded draft meta-schema —
