@@ -1866,6 +1866,82 @@ def _q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+
+def _q_fd_source_lang_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Functional-dependency audit (consistency.py fd_violations): does
+    source determine lang?  On the synthetic corpus every source ships
+    all five langs, so every source is a witness that the FD fails —
+    exactly the shape a real curation audit flags.  One distinct
+    (source, lang) aggregation; the shuffle carries distinct pairs."""
+    from go_jsonschema_spark.operators.consistency import fd_violations
+
+    d = _t(spark, sf, "documents")
+    return fd_violations(d, "source", "lang").select(
+        "source",
+        F.col("n_values").cast("long").alias("n_values"),
+        "example_min", "example_max",
+    ).orderBy("source")
+
+
+def _q_reconcile_order_quantities(spark: SparkSession, sf: str) -> DataFrame:
+    """Parent/child aggregate reconciliation (consistency.py
+    reconcile_totals): a deterministically-derived order-grain header
+    table records sum(l_quantity) per order, with a planted +5
+    over-record on every orderkey % 100 == 0 and every orderkey % 977
+    == 0 missing from the header entirely (the orphaned-children case
+    the full-outer join exists for).  l_quantity is integral, so the
+    sums are exact in both engines — no float-order slack."""
+    from go_jsonschema_spark.operators.consistency import reconcile_totals
+
+    li = _t(spark, sf, "lineitem")
+    parent = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("recorded_qty"))
+        .withColumn(
+            "recorded_qty",
+            F.col("recorded_qty")
+            + F.when(F.col("l_orderkey") % 100 == 0, F.lit(5.0))
+            .otherwise(F.lit(0.0)),
+        )
+        .filter(F.col("l_orderkey") % 977 != 0)
+    )
+    out = reconcile_totals(
+        parent, li.select("l_orderkey", "l_quantity"),
+        "l_orderkey", "recorded_qty", F.col("l_quantity"), atol=0.5,
+    )
+    return out.select(
+        "l_orderkey",
+        F.round("parent_total", 2).alias("parent_total"),
+        F.round("child_total", 2).alias("child_total"),
+        F.round("diff", 2).alias("diff"),
+    ).orderBy("l_orderkey")
+
+
+def _q_benford_prices_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    """Benford first-digit conformance (drift.py benford_digits) on
+    l_extendedprice — 9 rows, one map-side-combined digit aggregation.
+    The DuckDB oracle replays the mantissa-renormalized digit
+    extraction and the share math bit-for-bit."""
+    from go_jsonschema_spark.operators.drift import benford_digits
+
+    return benford_digits(_t(spark, sf, "lineitem"), "l_extendedprice")
+
+
+
+def _q_spec_suggestions_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Constraint suggestion (profile.py suggest_constraints — the
+    deequ-style data→spec direction): one bounded aggregation pass +
+    one distinct pass over enum-candidate columns; every emitted
+    (column, keyword, value) row is deterministic and the DuckDB
+    oracle re-derives it.  suggest_spec's self-consistency (suggested
+    spec → zero violations on the profiled table) is pinned in
+    tests/test_profile_suggest.py."""
+    from go_jsonschema_spark.operators.profile import suggest_constraints
+
+    d = _t(spark, sf, "documents")
+    return suggest_constraints(d).orderBy("column", "keyword")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order matters: the driver's CORRECTNESS gate verifies the FIRST 50
     # keys only.  Rounds 1-5 verified 66 distinct queries; the 37 that have
@@ -1913,21 +1989,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample_documents": _q_weighted_sample_documents,
         "completeness_documents": _q_completeness_documents,
         "unpivot_hourly_event_types": _q_unpivot_hourly_event_types,
-        # -- touched in round 6: re-enter the driver window (13) ------------
+        # -- new in round 6 (3): consistency + Benford checks ---------------
+        "fd_source_lang_documents": _q_fd_source_lang_documents,
+        "reconcile_order_quantities": _q_reconcile_order_quantities,
+        "benford_prices_lineitem": _q_benford_prices_lineitem,
+        # -- touched in round 6: re-enter the driver window (9) -------------
         "range_join_ship_windows": _q_range_join_ship_windows,
         "t_closeness_orders": _q_t_closeness_orders,
-        "k_anonymity_customer": _q_k_anonymity_customer,
-        "l_diversity_orders": _q_l_diversity_orders,
         "lm_perplexity_documents": _q_lm_perplexity_documents,
         "ann_lsh_embeddings": _q_ann_lsh_embeddings,
-        "ann_topk_exact": _q_ann_topk_exact,
         "asof_purchase_last_error": _q_asof_purchase_last_error,
         "sequences_validation": _q_sequences_validation,
         "violations_documents": _q_violations_documents,
         "verdicts_by_source": _q_verdicts_by_source,
-        "corpus_curation": _q_corpus_curation,
-        "column_stats_full": _q_column_stats_full,
+        "spec_suggestions_documents": _q_spec_suggestions_documents,
         # -- previously driver-verified (r1-r5), unchanged ------------------
+        "corpus_curation": _q_corpus_curation,
+        "k_anonymity_customer": _q_k_anonymity_customer,
+        "l_diversity_orders": _q_l_diversity_orders,
+        "ann_topk_exact": _q_ann_topk_exact,
+        "column_stats_full": _q_column_stats_full,
         "streaming_violations": _q_streaming_violations,
         "streaming_windowed_verdicts": _q_streaming_windowed_verdicts,
         "streaming_dup_keys": _q_streaming_dup_keys,
@@ -2813,6 +2894,189 @@ def oracle_sql() -> dict[str, str]:
                    count(*) FILTER (WHERE NOT dup) AS n_seg_kept,
                    count(*) FILTER (WHERE dup) AS n_seg_dropped
             FROM tagged GROUP BY doc_id
+        """,
+        # constraint suggestion: the oracle re-derives every data-driven
+        # suggestion (required / enum / bounds / lengths / unique) from
+        # its own aggregates; type rows are schema constants for this
+        # fixed table; enum gates mirror enum_max=20 exactly
+        "spec_suggestions_documents": """
+            WITH agg AS (
+                SELECT count(*) AS n,
+                       count(doc_id) AS nn_doc,
+                       count(DISTINCT doc_id) AS nd_doc,
+                       min(doc_id) AS mn_doc, max(doc_id) AS mx_doc,
+                       count(text) AS nn_text,
+                       count(DISTINCT text) AS nd_text,
+                       min(length(text)) AS mnl_text,
+                       max(length(text)) AS mxl_text,
+                       count(lang) AS nn_lang,
+                       count(DISTINCT lang) AS nd_lang,
+                       min(length(lang)) AS mnl_lang,
+                       max(length(lang)) AS mxl_lang,
+                       count(source) AS nn_src,
+                       count(DISTINCT source) AS nd_src,
+                       min(length(source)) AS mnl_src,
+                       max(length(source)) AS mxl_src,
+                       count(n_chars) AS nn_nc,
+                       count(DISTINCT n_chars) AS nd_nc,
+                       min(n_chars) AS mn_nc, max(n_chars) AS mx_nc
+                FROM documents
+            )
+            SELECT * FROM (
+                SELECT 'doc_id' AS "column", 'type' AS keyword,
+                       'integer' AS value
+                UNION ALL SELECT 'doc_id', 'required', 'true'
+                    FROM agg WHERE nn_doc = n AND n > 0
+                UNION ALL SELECT 'doc_id', 'minimum',
+                       CAST(mn_doc AS VARCHAR) FROM agg WHERE nn_doc > 0
+                UNION ALL SELECT 'doc_id', 'maximum',
+                       CAST(mx_doc AS VARCHAR) FROM agg WHERE nn_doc > 0
+                UNION ALL SELECT 'doc_id', 'unique', 'true'
+                    FROM agg WHERE nd_doc = nn_doc AND nn_doc = n AND n > 0
+                UNION ALL SELECT 'text', 'type', 'string'
+                UNION ALL SELECT 'text', 'required', 'true'
+                    FROM agg WHERE nn_text = n AND n > 0
+                UNION ALL SELECT 'text', 'minLength',
+                       CAST(mnl_text AS VARCHAR) FROM agg WHERE nn_text > 0
+                UNION ALL SELECT 'text', 'maxLength',
+                       CAST(mxl_text AS VARCHAR) FROM agg WHERE nn_text > 0
+                UNION ALL SELECT 'text', 'unique', 'true'
+                    FROM agg WHERE nd_text = nn_text AND nn_text = n
+                                  AND n > 0
+                UNION ALL SELECT 'lang', 'type', 'string'
+                UNION ALL SELECT 'lang', 'required', 'true'
+                    FROM agg WHERE nn_lang = n AND n > 0
+                UNION ALL SELECT 'lang', 'enum', ev FROM (
+                        SELECT '[' || string_agg('"' || v || '"', ', '
+                                                 ORDER BY v) || ']' AS ev
+                        FROM (SELECT DISTINCT lang AS v FROM documents
+                              WHERE lang IS NOT NULL))
+                    WHERE (SELECT nd_lang FROM agg) BETWEEN 1 AND 20
+                UNION ALL SELECT 'lang', 'minLength',
+                       CAST(mnl_lang AS VARCHAR) FROM agg WHERE nn_lang > 0
+                UNION ALL SELECT 'lang', 'maxLength',
+                       CAST(mxl_lang AS VARCHAR) FROM agg WHERE nn_lang > 0
+                UNION ALL SELECT 'lang', 'unique', 'true'
+                    FROM agg WHERE nd_lang = nn_lang AND nn_lang = n
+                                  AND n > 0
+                UNION ALL SELECT 'source', 'type', 'string'
+                UNION ALL SELECT 'source', 'required', 'true'
+                    FROM agg WHERE nn_src = n AND n > 0
+                UNION ALL SELECT 'source', 'enum', ev FROM (
+                        SELECT '[' || string_agg('"' || v || '"', ', '
+                                                 ORDER BY v) || ']' AS ev
+                        FROM (SELECT DISTINCT source AS v FROM documents
+                              WHERE source IS NOT NULL))
+                    WHERE (SELECT nd_src FROM agg) BETWEEN 1 AND 20
+                UNION ALL SELECT 'source', 'minLength',
+                       CAST(mnl_src AS VARCHAR) FROM agg WHERE nn_src > 0
+                UNION ALL SELECT 'source', 'maxLength',
+                       CAST(mxl_src AS VARCHAR) FROM agg WHERE nn_src > 0
+                UNION ALL SELECT 'source', 'unique', 'true'
+                    FROM agg WHERE nd_src = nn_src AND nn_src = n AND n > 0
+                UNION ALL SELECT 'n_chars', 'type', 'integer'
+                UNION ALL SELECT 'n_chars', 'required', 'true'
+                    FROM agg WHERE nn_nc = n AND n > 0
+                UNION ALL SELECT 'n_chars', 'enum', ev FROM (
+                        SELECT '[' || string_agg('"' || CAST(v AS VARCHAR)
+                                                 || '"', ', ' ORDER BY
+                                                 CAST(v AS VARCHAR))
+                               || ']' AS ev
+                        FROM (SELECT DISTINCT n_chars AS v FROM documents
+                              WHERE n_chars IS NOT NULL))
+                    WHERE (SELECT nd_nc FROM agg) BETWEEN 1 AND 20
+                UNION ALL SELECT 'n_chars', 'minimum',
+                       CAST(mn_nc AS VARCHAR) FROM agg WHERE nn_nc > 0
+                UNION ALL SELECT 'n_chars', 'maximum',
+                       CAST(mx_nc AS VARCHAR) FROM agg WHERE nn_nc > 0
+                UNION ALL SELECT 'n_chars', 'unique', 'true'
+                    FROM agg WHERE nd_nc = nn_nc AND nn_nc = n AND n > 0
+            )
+            ORDER BY "column", keyword
+        """,
+        # FD audit: COUNT(DISTINCT) skips NULL in SQL, the operator
+        # counts NULL as a conflicting value — the MAX(CASE...) term
+        # restores parity (no NULL langs in the synthetic corpus, but
+        # the oracle must replay the SEMANTICS, not the data)
+        "fd_source_lang_documents": """
+            SELECT source,
+                   CAST(COUNT(DISTINCT lang)
+                        + MAX(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_values,
+                   MIN(CAST(lang AS VARCHAR)) AS example_min,
+                   MAX(CAST(lang AS VARCHAR)) AS example_max
+            FROM documents
+            GROUP BY source
+            HAVING COUNT(DISTINCT lang)
+                   + MAX(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) > 1
+            ORDER BY source
+        """,
+        # reconciliation: replay the derived header (planted +5 on
+        # %100 keys, %977 keys absent), the child sum, the full-outer
+        # join and the atol filter; integral l_quantity keeps every
+        # sum exact in both engines
+        "reconcile_order_quantities": """
+            WITH child AS (
+                SELECT l_orderkey,
+                       CAST(SUM(l_quantity) AS DOUBLE) AS child_total
+                FROM lineitem GROUP BY l_orderkey
+            ), parent AS (
+                SELECT l_orderkey,
+                       CAST(SUM(l_quantity)
+                            + CASE WHEN l_orderkey % 100 = 0
+                                   THEN 5.0 ELSE 0.0 END
+                            AS DOUBLE) AS parent_total
+                FROM lineitem
+                GROUP BY l_orderkey
+                HAVING l_orderkey % 977 <> 0
+            )
+            SELECT COALESCE(p.l_orderkey, c.l_orderkey) AS l_orderkey,
+                   ROUND(p.parent_total, 2) AS parent_total,
+                   ROUND(c.child_total, 2) AS child_total,
+                   ROUND(p.parent_total - c.child_total, 2) AS diff
+            FROM parent p FULL OUTER JOIN child c
+              ON p.l_orderkey = c.l_orderkey
+            WHERE p.parent_total IS NULL OR c.child_total IS NULL
+               OR abs(p.parent_total - c.child_total) > 0.5
+            ORDER BY l_orderkey
+        """,
+        # Benford: replay the mantissa-renormalized first-digit
+        # extraction (floor(log10) + m<1/m>=10 correction — identical
+        # doubles in both engines), the 9-digit spine, and the
+        # round-then-subtract abs_dev convention
+        "benford_prices_lineitem": """
+            WITH vals AS (
+                SELECT abs(CAST(l_extendedprice AS DOUBLE)) AS x
+                FROM lineitem
+                WHERE l_extendedprice IS NOT NULL
+                  AND abs(CAST(l_extendedprice AS DOUBLE)) > 0
+            ), m0 AS (
+                SELECT x / power(10.0,
+                                 CAST(floor(log10(x)) AS DOUBLE)) AS m
+                FROM vals
+            ), m1 AS (
+                SELECT CASE WHEN m < 1 THEN m * 10
+                            WHEN m >= 10 THEN m / 10
+                            ELSE m END AS m
+                FROM m0
+            ), counts AS (
+                SELECT CAST(floor(m) AS INTEGER) AS digit,
+                       COUNT(*) AS n
+                FROM m1 GROUP BY 1
+            ), spine AS (
+                SELECT CAST(range AS INTEGER) AS digit FROM range(1, 10)
+            ), filled AS (
+                SELECT s.digit, COALESCE(c.n, 0) AS n
+                FROM spine s LEFT JOIN counts c ON s.digit = c.digit
+            ), tot AS (SELECT SUM(n) AS t FROM filled)
+            SELECT digit,
+                   CAST(n AS BIGINT) AS n,
+                   ROUND(CAST(n AS DOUBLE) / t, 6) AS share,
+                   ROUND(log10(1.0 + 1.0 / digit), 6) AS expected,
+                   ROUND(abs(ROUND(CAST(n AS DOUBLE) / t, 6)
+                             - ROUND(log10(1.0 + 1.0 / digit), 6)),
+                         6) AS abs_dev
+            FROM filled, tot ORDER BY digit
         """,
         # binned range join: DuckDB's native BETWEEN join re-derives the
         # per-order count of lineitems shipped inside the 7-day window

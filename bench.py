@@ -405,7 +405,9 @@ def main() -> int:
 Same job (full constraint-validation pass over the identical
 {r8['rows']:,}-row synthetic sequences parquet: compiled row predicates →
 violation rows, per-partition verdicts derived from the violation set,
-salted two-phase uniqueness, broadcast-anti-join referential check) at
+hash-compact uniqueness (8-byte key hashes ride the shuffle), the
+referential check folded into the predicate pass as a driver-collected
+isin — r6) at
 three parallelism levels, one fresh JVM each, warm-up run + probe- and
 spread-gated best-of-3 steady-state runs (polluted attempts discarded
 and re-run; every accepted raw timing shown):

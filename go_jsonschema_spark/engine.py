@@ -342,6 +342,57 @@ class ConstraintSuite:
                         constraint_id=tc["id"],
                     )
                 )
+            elif kind == "functional_dependency":
+                from go_jsonschema_spark.operators.consistency import (
+                    fd_violations,
+                )
+
+                det = tc["determinant"]
+                det_cols = [det] if isinstance(det, str) else list(det)
+                v = fd_violations(df, det, tc["dependent"])
+                doc_id = (
+                    F.to_json(F.struct(*det_cols))
+                    if len(det_cols) > 1
+                    else F.col(det_cols[0]).cast("string")
+                )
+                parts.append(v.select(
+                    doc_id.alias("doc_id"),
+                    F.lit(tc["id"]).alias("constraint_id"),
+                    F.col("n_values").cast("string").alias("observed"),
+                ))
+            elif kind == "reconcile":
+                from go_jsonschema_spark.operators.consistency import (
+                    reconcile_totals,
+                )
+
+                if tc["child"] not in dims:
+                    raise KeyError(
+                        f"reconcile check {tc['id']!r} needs child table "
+                        f"{tc['child']!r} passed via run(..., dims={{...}})"
+                    )
+                keys = tc["key"]
+                key_cols = [keys] if isinstance(keys, str) else list(keys)
+                v = reconcile_totals(
+                    df, dims[tc["child"]], keys,
+                    tc["parent_col"], tc["child_col"],
+                    atol=tc.get("atol", 1e-6),
+                    how=tc.get("how", "full"),
+                )
+                doc_id = (
+                    F.to_json(F.struct(*key_cols))
+                    if len(key_cols) > 1
+                    else F.col(key_cols[0]).cast("string")
+                )
+                parts.append(v.select(
+                    doc_id.alias("doc_id"),
+                    F.lit(tc["id"]).alias("constraint_id"),
+                    F.coalesce(
+                        F.col("diff").cast("string"),
+                        F.when(F.col("parent_total").isNull(),
+                               F.lit("missing_parent"))
+                        .otherwise(F.lit("missing_children")),
+                    ).alias("observed"),
+                ))
             # stats/drift/row_count produce metrics, not violations — exposed
             # via operators.stats / operators.drift and the checkpoint layer
         if not parts:

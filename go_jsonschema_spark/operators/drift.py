@@ -13,10 +13,10 @@ from __future__ import annotations
 import math
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 __all__ = ["histogram", "DriftReport", "ks_statistic", "psi", "drift_check",
-           "psi_per_window", "js_divergence"]
+           "psi_per_window", "js_divergence", "benford_digits"]
 
 
 def histogram(df: DataFrame, column: str, *, bucket_width: float) -> DataFrame:
@@ -198,4 +198,59 @@ def js_divergence(
         F.first("na").cast("long").alias("n_a"),
         F.first("nb").cast("long").alias("n_b"),
         F.count(F.lit(1)).cast("long").alias("n_buckets"),
+    )
+
+
+def benford_digits(df: DataFrame, column: str) -> DataFrame:
+    """First-significant-digit conformance vs Benford's law — the
+    fraud/corruption smoke test for any naturally-multiplicative
+    magnitude column (prices, populations, token counts): digit d
+    should appear with probability log10(1 + 1/d).
+
+    Output: exactly 9 rows ``(digit, n, share, expected, abs_dev)`` —
+    observed count/share per first digit 1-9 (missing digits emit
+    n=0 via a 9-row spine), Benford's expected share, and
+    ``|share - expected|``; ``sum(abs_dev)/9`` is the MAD statistic
+    (conformance thresholds: Nigrini's 0.006/0.012/0.015 ladder).
+
+    Shape: one map-side-combined 9-group aggregation over the scan —
+    the only shuffle carries ≤ 9 rows per map task.  NULLs and zeros
+    carry no first digit and are excluded; negatives contribute
+    |value|.  The digit comes from ``floor(log10|x|)`` with an
+    explicit mantissa re-normalization (``m<1 → ×10``, ``m≥10 →
+    /10``), so an off-by-one-ulp ``log10`` at a power-of-10 boundary
+    still yields the same digit in any IEEE engine — the property the
+    DuckDB oracle replay depends on.
+    """
+    x = F.abs(F.col(column).cast("double"))
+    p = F.floor(F.log10(x))
+    m = x / F.pow(F.lit(10.0), p.cast("double"))
+    m = F.when(m < 1, m * 10).when(m >= 10, m / 10).otherwise(m)
+    digit = F.floor(m).cast("int")
+    counts = (
+        df.filter(F.col(column).isNotNull() & (x > 0))
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    spark = df.sparkSession
+    spine = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    total = F.sum("n").over(Window.partitionBy())
+    filled = spine.join(counts, on="digit", how="left").select(
+        "digit", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    expected = F.round(F.log10(1.0 + 1.0 / F.col("digit")), 6)
+    return (
+        filled.select(
+            "digit",
+            "n",
+            F.round(F.col("n") / total, 6).alias("share"),
+            expected.alias("expected"),
+        )
+        .select(
+            "digit", "n", "share", "expected",
+            F.round(F.abs(F.col("share") - F.col("expected")), 6)
+            .alias("abs_dev"),
+        )
+        .orderBy("digit")
     )

@@ -534,7 +534,8 @@ def validate_spec_against_metaschema(spec: Any, draft: int = 7) -> list[str]:
 # ---------------------------------------------------------------------------
 
 _TABLE_CHECK_KINDS = frozenset(
-    {"unique", "foreign_key", "stats", "drift", "row_count", "completeness"}
+    {"unique", "foreign_key", "stats", "drift", "row_count", "completeness",
+     "functional_dependency", "reconcile"}
 )
 
 
@@ -546,7 +547,9 @@ class TableSpec:
     ``row_checks``   — cross-column SQL boolean expressions, each with an id
                        (e.g. the shape invariant ``n_tok = size(tokens)``).
     ``table_checks`` — dataset-level checks: unique / foreign_key / stats /
-                       drift / row_count (SURVEY.md §2.8 table).
+                       drift / row_count / completeness /
+                       functional_dependency / reconcile (SURVEY.md §2.8
+                       table + the r6 consistency family).
     """
 
     columns: dict[str, Any] = field(default_factory=dict)
