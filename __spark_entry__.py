@@ -1942,6 +1942,25 @@ def _q_spec_suggestions_documents(spark: SparkSession, sf: str) -> DataFrame:
     return suggest_constraints(d).orderBy("column", "keyword")
 
 
+
+def _q_metric_anomalies_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Metrics-history anomaly detection (history.py metric_anomalies —
+    the alerting half of the checkpoint metrics store): per-event-type
+    hourly counts as the tracked metrics, 24-observation trailing
+    window, k=2.  Integer counts keep the trailing mean/std identical
+    across engines; the DuckDB oracle replays the same window frame."""
+    from go_jsonschema_spark.operators.history import metric_anomalies
+
+    ev = _t(spark, sf, "events")
+    hist = (
+        ev.filter(F.col("event_type").isNotNull() & F.col("ts").isNotNull())
+        .groupBy(F.col("event_type").alias("metric"),
+                 F.date_trunc("hour", "ts").alias("ts"))
+        .agg(F.count(F.lit(1)).cast("double").alias("value"))
+    )
+    return metric_anomalies(hist, window=24, k=2.0).orderBy("metric", "ts")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order matters: the driver's CORRECTNESS gate verifies the FIRST 50
     # keys only.  Rounds 1-5 verified 66 distinct queries; the 37 that have
@@ -2001,9 +2020,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_purchase_last_error": _q_asof_purchase_last_error,
         "sequences_validation": _q_sequences_validation,
         "violations_documents": _q_violations_documents,
-        "verdicts_by_source": _q_verdicts_by_source,
         "spec_suggestions_documents": _q_spec_suggestions_documents,
+        "metric_anomalies_events": _q_metric_anomalies_events,
         # -- previously driver-verified (r1-r5), unchanged ------------------
+        "verdicts_by_source": _q_verdicts_by_source,
         "corpus_curation": _q_corpus_curation,
         "k_anonymity_customer": _q_k_anonymity_customer,
         "l_diversity_orders": _q_l_diversity_orders,
@@ -2894,6 +2914,37 @@ def oracle_sql() -> dict[str, str]:
                    count(*) FILTER (WHERE NOT dup) AS n_seg_kept,
                    count(*) FILTER (WHERE dup) AS n_seg_dropped
             FROM tagged GROUP BY doc_id
+        """,
+        # metrics-history anomalies: identical trailing window frame
+        # (24 PRECEDING..1 PRECEDING, per-metric, ts+value order), the
+        # same n_hist>=5 gate and the same zero-variance flag rule
+        "metric_anomalies_events": """
+            WITH hist AS (
+                SELECT event_type AS metric,
+                       date_trunc('hour', ts) AS ts,
+                       CAST(count(*) AS DOUBLE) AS value
+                FROM events
+                WHERE event_type IS NOT NULL AND ts IS NOT NULL
+                GROUP BY 1, 2
+            ), base AS (
+                SELECT metric, ts, value,
+                       COUNT(value) OVER w AS n_hist,
+                       AVG(value) OVER w AS m,
+                       STDDEV_SAMP(value) OVER w AS s
+                FROM hist
+                WINDOW w AS (PARTITION BY metric
+                             ORDER BY ts ASC, value ASC
+                             ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+            )
+            SELECT metric, ts, value,
+                   ROUND(m, 6) AS mean_trailing,
+                   ROUND(s, 6) AS std_trailing,
+                   ROUND(CASE WHEN s > 0 THEN (value - m) / s END, 6) AS z
+            FROM base
+            WHERE n_hist >= 5
+              AND ((s > 0 AND abs(value - m) > 2.0 * s)
+                   OR (s = 0 AND abs(value - m) > 0))
+            ORDER BY metric, ts
         """,
         # constraint suggestion: the oracle re-derives every data-driven
         # suggestion (required / enum / bounds / lengths / unique) from

@@ -103,6 +103,48 @@ class SuiteResult:
     verdicts: DataFrame  # per-partition pass/fail + counts
     constraint_ids: list[str] = field(default_factory=list)
     row_violations: DataFrame | None = None  # persisted handle (unpersist me)
+    fk_constraint_ids: list[str] = field(default_factory=list)  # folded fks
+
+    def split(self, *, include_reasons: bool = False,
+              quarantine_fk: bool = True) -> tuple[DataFrame, DataFrame]:
+        """Quarantine split: ``(clean, quarantined)`` — the ETL routing
+        action (write clean rows onward, bad rows to a review sink)
+        derived from the SAME one-pass ``checked`` plan the verdicts
+        came from: no second scan, no join back.
+
+        ``quarantine_fk`` also routes rows failing a folded
+        foreign-key check (they are table-check violations, so they
+        never count in verdict ``n_fail`` — but a row with an unknown
+        source is usually not a row to ship).  ``include_reasons``
+        appends a ``__reasons__`` array of failed constraint ids to
+        the quarantined side (original column set otherwise —
+        internal predicate columns are dropped from both sides)."""
+        row_safe = [(f"__c{i}__", cid)
+                    for i, cid in enumerate(self.constraint_ids)]
+        fk_safe = [(f"__fk{i}__", cid)
+                   for i, cid in enumerate(self.fk_constraint_ids)]
+        ok = F.col("__pass__")
+        if quarantine_fk:
+            for col, _cid in fk_safe:
+                ok = ok & F.col(col)
+        internal = ["__pass__"] + [c for c, _ in row_safe + fk_safe]
+        clean = self.checked.filter(ok).drop(*internal)
+        bad = self.checked.filter(~ok)
+        if include_reasons:
+            pairs = row_safe + (fk_safe if quarantine_fk else [])
+            reasons = (
+                F.filter(
+                    F.array(*[
+                        F.when(~F.col(col), F.lit(cid))
+                        for col, cid in pairs
+                    ]),
+                    lambda x: x.isNotNull(),
+                )
+                if pairs
+                else F.array().cast("array<string>")
+            )
+            bad = bad.withColumn("__reasons__", reasons)
+        return clean, bad.drop(*internal)
 
 
 def _observed_col(col: Column, dtype: T.DataType) -> Column:
@@ -678,4 +720,5 @@ class ConstraintSuite:
         return SuiteResult(
             checked, violations, verdicts, ids,
             row_violations=failed_rows if persist_violations else None,
+            fk_constraint_ids=[cid for cid, _, _ in fk_folded],
         )

@@ -109,3 +109,43 @@ def test_hash_compact_duplicate_keys_exact(spark):
 
     with pytest.raises(ValueError, match="alternative"):
         duplicate_keys(df, "k", hash_compact=True, salt_buckets=4)
+
+
+# ------------------------------------------------------ quarantine split
+def test_split_routes_rows_one_plan(spark):
+    from go_jsonschema_spark import ConstraintSuite, TableSpec
+
+    df = spark.createDataFrame(
+        [(1, 5, "ok"), (2, -1, "ok"), (3, 7, "bad_src"), (4, 9, "ok")],
+        ["doc_id", "v", "src"])
+    dim = spark.createDataFrame([("ok",)], ["src"])
+    ts = TableSpec(
+        columns={"v": {"type": "integer", "minimum": 0}},
+        table_checks=[{"kind": "foreign_key", "id": "fk:src",
+                       "column": "src", "dim": "d"}])
+    res = ConstraintSuite(ts, key="doc_id").run(df, dims={"d": dim})
+    clean, bad = res.split(include_reasons=True)
+    assert {r["doc_id"] for r in clean.collect()} == {1, 4}
+    got = {r["doc_id"]: sorted(r["__reasons__"]) for r in bad.collect()}
+    assert got[2] == ["v.minimum"] or got[2] == ["v.minimum", "v.type"] \
+        or any("v." in x for x in got[2])
+    assert "fk:src" in got[3]
+    # internal predicate columns leak into neither side
+    for frame in (clean, bad):
+        assert not [c for c in frame.columns if c.startswith("__c")]
+        assert "__pass__" not in frame.columns
+
+
+def test_split_without_fk_quarantine(spark):
+    from go_jsonschema_spark import ConstraintSuite, TableSpec
+
+    df = spark.createDataFrame(
+        [(1, 5, "ok"), (2, 5, "nope")], ["doc_id", "v", "src"])
+    dim = spark.createDataFrame([("ok",)], ["src"])
+    ts = TableSpec(
+        columns={"v": {"minimum": 0}},
+        table_checks=[{"kind": "foreign_key", "id": "fk:src",
+                       "column": "src", "dim": "d"}])
+    res = ConstraintSuite(ts, key="doc_id").run(df, dims={"d": dim})
+    clean, bad = res.split(quarantine_fk=False)
+    assert clean.count() == 2 and bad.count() == 0
