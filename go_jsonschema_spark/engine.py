@@ -506,6 +506,69 @@ class ConstraintSuite:
                 }
         return out
 
+    def verdict_counts(
+        self, df: DataFrame, *, partition_col: str | None = None,
+    ) -> DataFrame:
+        """Counts-only fast path: the ``run().verdicts`` numbers
+        (``partition, n_rows, n_fail, fail_by_constraint, n_pass,
+        passed``) from ONE map-side-combined aggregation over the
+        predicate scan — ZERO violation materialization: no failing-row
+        filter branch, no per-row constraint arrays, no explode, no
+        persist, nothing row-scaled on the shuffle (each map task emits
+        one partial row per partition key).  Equality with
+        ``run().verdicts`` is pinned by test.
+
+        This is the batch-gate shape at 10^12 rows: when the decision
+        is "ship or quarantine the batch", the violation DETAIL stream
+        (the dominant shuffle-write cost of the full pass — the r5→r6
+        scaling-gap attribution) never needs to exist.  Run the full
+        ``run()`` afterwards on only the partitions that failed."""
+        import functools
+        import operator
+
+        plan = self.compile(df)
+        ids = [cid for cid, _ in plan.predicates]
+        preds = dict(plan.predicates)
+        pass_col = (
+            functools.reduce(operator.and_, [preds[cid] for cid in ids])
+            if ids else F.lit(True)
+        )
+        part = F.col(partition_col) if partition_col else F.lit("__all__")
+        # a NULL predicate never survives run()'s violation filter (NULL
+        # is not true there), so it counts as non-failing — coalesce to
+        # True, NOT False, to mirror run().verdicts exactly
+        agged = df.groupBy(part.alias("partition")).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum((~F.coalesce(pass_col, F.lit(True)))
+                  .cast("long")).alias("n_fail"),
+            *[
+                F.sum((~F.coalesce(preds[cid], F.lit(True)))
+                      .cast("long")).alias(f"__n{i}__")
+                for i, cid in enumerate(ids)
+            ],
+        )
+        return agged.select(
+            "partition",
+            "n_rows",
+            "n_fail",
+            (
+                # run() leaves the map NULL when no row failed (its
+                # left join finds no fail_counts row) — mirror that
+                F.when(
+                    F.col("n_fail") > 0,
+                    F.map_from_arrays(
+                        F.array(*[F.lit(cid) for cid in ids]),
+                        F.array(*[F.col(f"__n{i}__")
+                                  for i in range(len(ids))]),
+                    ),
+                )
+                if ids
+                else F.lit(None).cast("map<string,bigint>")
+            ).alias("fail_by_constraint"),
+            (F.col("n_rows") - F.col("n_fail")).alias("n_pass"),
+            (F.col("n_fail") == 0).alias("passed"),
+        )
+
     def row_only(self) -> "ConstraintSuite":
         """A copy of this suite with the dataset-level checks stripped —
         what the checkpoint layer runs per partition batch."""

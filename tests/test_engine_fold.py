@@ -149,3 +149,51 @@ def test_split_without_fk_quarantine(spark):
     res = ConstraintSuite(ts, key="doc_id").run(df, dims={"d": dim})
     clean, bad = res.split(quarantine_fk=False)
     assert clean.count() == 2 and bad.count() == 0
+
+
+# ----------------------------------------------- counts-only fast path
+def test_verdict_counts_equals_run_verdicts(spark):
+    from go_jsonschema_spark import ConstraintSuite
+    from go_jsonschema_spark.sources import synth
+
+    df = synth.sequences(spark, 4000)
+    from go_jsonschema_spark.spec import TableSpec
+    spec = synth.sequences_table_spec()
+    row_spec = TableSpec(columns=spec.columns, row_checks=spec.row_checks,
+                         table_checks=[], draft=spec.draft)
+    suite = ConstraintSuite(row_spec, key="doc_id",
+                            non_null_elements=("tokens",))
+    full = {r["partition"]: r for r in suite.run(
+        df, partition_col="part").verdicts.collect()}
+    fast = {r["partition"]: r for r in suite.verdict_counts(
+        df, partition_col="part").collect()}
+    assert set(full) == set(fast)
+    for p in full:
+        for c in ("n_rows", "n_fail", "n_pass", "passed",
+                  "fail_by_constraint"):
+            assert full[p][c] == fast[p][c], (p, c)
+
+
+def test_verdict_counts_plan_has_no_violation_branch(spark):
+    from go_jsonschema_spark import ConstraintSuite, TableSpec
+
+    df = spark.createDataFrame(
+        [(i, i % 7, f"p{i % 3}") for i in range(100)],
+        ["doc_id", "v", "part"])
+    ts = TableSpec(columns={"v": {"type": "integer", "maximum": 5}})
+    suite = ConstraintSuite(ts, key="doc_id")
+    plan = suite.verdict_counts(
+        df, partition_col="part")._jdf.queryExecution().executedPlan().toString()
+    # one aggregation, no Filter/Generate (explode) stages
+    assert "Generate" not in plan and "Filter" not in plan
+    assert plan.count("HashAggregate") <= 4  # partial+final (+AQE variants)
+
+
+def test_verdict_counts_no_constraints(spark):
+    from go_jsonschema_spark import ConstraintSuite, TableSpec
+
+    df = spark.createDataFrame([(1, "a")], ["doc_id", "s"])
+    out = ConstraintSuite(TableSpec(), key="doc_id").verdict_counts(df)
+    r = out.collect()[0]
+    assert r["n_rows"] == 1 and r["n_fail"] == 0 and r["passed"]
+    assert r["fail_by_constraint"] is None
