@@ -1,0 +1,105 @@
+"""Token-array operators over pre-tokenized sequences — the
+BASELINE.json input shape ``(doc_id, tokens: array<int32>, n_tok,
+source)``.
+
+The engine's flagship validates token arrays structurally (bounds,
+shape, uniqueness); these ops answer the next question a training
+pipeline asks: are the token IDS themselves legal against the
+tokenizer's vocabulary, and how much of the stream is out-of-vocab?
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["oov_rate", "oov_rate_expr"]
+
+
+def oov_rate_expr(tokens_col, vocab_ids) -> "F.Column":
+    """Per-row OOV count as a native column expression: a fold over the
+    token array against a broadcast-by-closure vocab set.
+
+    For vocab sets small enough to inline (the common 32k-250k
+    tokenizer range produces a large literal — see :func:`oov_rate`
+    for the Arrow path), this uses ``array_except``-free membership
+    via a sorted-literal ``isin``-style fold only when the vocab is
+    TINY (≤ 64 ids, e.g. special-token audits).  Raises otherwise."""
+    ids = sorted(set(int(x) for x in vocab_ids))
+    if len(ids) > 64:
+        raise ValueError(
+            "oov_rate_expr inlines the vocab into the plan; "
+            f"{len(ids)} ids would bloat codegen — use oov_rate()")
+    return F.aggregate(
+        tokens_col,
+        F.lit(0),
+        lambda acc, t: acc + (~t.isin(ids)).cast("int"),
+    )
+
+
+def oov_rate(
+    df: DataFrame,
+    vocab: DataFrame,
+    *,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    vocab_col: str = "token_id",
+) -> DataFrame:
+    """Per-document out-of-vocabulary audit:
+    ``(doc_id, n_tok, n_oov, oov_rate)`` — exact membership of every
+    token against the vocabulary table, with ZERO explode: the vocab
+    (bounded by tokenizer size, ≤ a few hundred thousand ids) collects
+    once on the driver and ships to executors inside the Arrow-batched
+    UDF closure; each batch answers membership with one vectorized
+    ``np.isin`` over the concatenated token buffer.  The explode
+    alternative shuffles ``Σ n_tok`` rows (the decoded token stream —
+    terabytes at 10^12 sequences) just to count misses; this op
+    shuffles NOTHING and scans once.
+
+    NULL token elements count as OOV (no vocabulary contains NULL);
+    NULL/empty arrays yield ``n_tok = 0`` and a NULL ``oov_rate``
+    (0/0 — nothing to judge).  ``oov_rate`` is rounded to 6.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    ids = [r[0] for r in vocab.select(vocab_col).distinct().collect()]
+    vocab_arr = np.asarray(
+        sorted(int(x) for x in ids if x is not None), dtype=np.int64)
+
+    @pandas_udf("long")
+    def oov_count(tokens: pd.Series) -> pd.Series:
+        out = np.zeros(len(tokens), dtype=np.int64)
+        arrs = tokens.to_numpy()
+        lens = np.fromiter(
+            (0 if a is None else len(a) for a in arrs),
+            dtype=np.int64, count=len(arrs))
+        if lens.sum() == 0:
+            return pd.Series(out)
+        # one concatenated buffer → one np.isin per Arrow batch; NULL
+        # elements arrive as NaN in a float buffer and count as OOV
+        flat = np.concatenate(
+            [np.asarray(a, dtype=np.float64) for a in arrs if a is not None
+             and len(a)])
+        miss = ~np.isin(flat.astype(np.int64), vocab_arr)
+        miss |= np.isnan(flat)  # NaN casts to int64 garbage — force OOV
+        idx = np.repeat(np.arange(len(arrs)), lens)
+        np.add.at(out, idx, miss.astype(np.int64))
+        return pd.Series(out)
+
+    n_tok = F.coalesce(F.size(F.col(tokens_col)), F.lit(0))
+    # size() is -1 for NULL arrays pre-coalesce on some paths — clamp
+    n_tok = F.when(n_tok < 0, F.lit(0)).otherwise(n_tok)
+    return df.select(
+        F.col(id_col),
+        n_tok.cast("long").alias("n_tok"),
+        F.when(n_tok > 0, oov_count(F.col(tokens_col)))
+        .otherwise(F.lit(0)).cast("long").alias("n_oov"),
+    ).select(
+        id_col, "n_tok", "n_oov",
+        F.round(
+            F.when(F.col("n_tok") > 0,
+                   F.col("n_oov") / F.col("n_tok")),
+            6,
+        ).alias("oov_rate"),
+    )
