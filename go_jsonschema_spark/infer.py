@@ -132,7 +132,8 @@ def _profile_rows(
     for c in cols:
         rows.append((
             c, _jtype(dtypes[c]), int(row["__n__"]),
-            int(row[f"{c}__null"]), int(row[f"{c}__nd"]),
+            # sum() over zero rows is NULL — an EMPTY table has 0 nulls
+            int(row[f"{c}__null"] or 0), int(row[f"{c}__nd"]),
             d.get(f"{c}__min"), d.get(f"{c}__max"),
             d.get(f"{c}__minl"), d.get(f"{c}__maxl"),
             None,

@@ -1,22 +1,21 @@
 """Constraint suggestion: profile a table and propose the spec that
-already holds — the reverse direction of the engine (data → TableSpec
-instead of TableSpec → verdicts), the workflow-starter a validation
-engine needs when a user points it at an unspecced table (deequ's
-ConstraintSuggestionRunner is the public prior art; the reference has
-no analogue — its specs are always authored).
+already holds — the keyword-level PRESENTATION of the spec-inference
+core (infer.py, r5).  ``infer.infer_table_spec`` answers "give me a
+runnable TableSpec"; this module answers the review-workflow question
+"show me each proposed constraint as a row I can accept or reject"
+(deequ's ConstraintSuggestionRunner is the public prior art; the
+reference has no analogue — its specs are always authored).
 
-Two bounded passes, both scale-honest at 10^12 rows:
-
-1. ONE aggregation pass computing, per profiled column: row count,
-   non-null count, exact distinct count, numeric min/max, string
-   min/max length.  The result is a single collected row (bounded by
-   #columns, never rows).
-2. For columns whose distinct count ≤ ``enum_max``: one distinct pass
-   over just those columns (narrow (column, value) explode →
-   distinct), collected bounded by ``n_candidates × enum_max``.
+The heavy lifting is NOT duplicated: the single-pass per-column
+aggregation and the bounded string-enum collection are
+``infer._profile_rows`` (one collected row bounded by #columns + one
+collect bounded by n_candidates × enum_max).  This module adds only a
+numeric-enum candidate collect (categorical integer codes — a case
+infer.py's TableSpec generator deliberately maps to bounds instead)
+and the row-shaped output.
 
 Suggestions are DETERMINISTIC rows ``(column, keyword, value)`` —
-DuckDB can replay every one — and :func:`suggest_spec` assembles them
+DuckDB replays every one — and :func:`suggest_spec` assembles them
 into a runnable :class:`~go_jsonschema_spark.spec.TableSpec` whose
 defining property is self-consistency: running the suggested spec on
 the profiled table yields zero violations (pinned by test).
@@ -29,12 +28,13 @@ import json
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
+from go_jsonschema_spark.infer import _NUMERIC as _INFER_NUMERIC
+from go_jsonschema_spark.infer import _profile_rows
+
 __all__ = ["suggest_constraints", "suggest_spec"]
 
-_NUMERIC = (
-    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
-    T.FloatType, T.DoubleType, T.DecimalType,
-)
+_NUMERIC = _INFER_NUMERIC + (T.DecimalType,)
+_TYPED = {"string", "integer", "number", "boolean"}
 
 
 def _fmt(v) -> str:
@@ -51,17 +51,27 @@ def suggest_constraints(
     columns: list[str] | None = None,
     *,
     enum_max: int = 20,
+    approx: bool = False,
 ) -> DataFrame:
     """Suggestion rows ``(column, keyword, value)``, ordered by
     (column, keyword).  Keywords emitted:
 
-    - ``type``       — the Spark column type's JSON-Schema name
+    - ``type``       — the column type's JSON-Schema name (only for
+      string/integer/number/boolean columns; temporal and nested types
+      have no faithful JSON scalar type)
     - ``required``   — when the column has zero NULLs
-    - ``enum``       — sorted JSON array, when distinct ≤ ``enum_max``
-    - ``minimum`` / ``maximum``           — numeric observed bounds
-    - ``minLength`` / ``maxLength``       — string observed length bounds
-    - ``unique``     — when distinct count == non-null count == rows
-      (a key candidate → ``{"kind": "unique"}`` table check)
+    - ``enum``       — sorted JSON array of the distinct values (as
+      strings), when ``0 < distinct ≤ enum_max``; string AND numeric
+      columns qualify (categorical integer codes are enums too)
+    - ``minimum`` / ``maximum``       — numeric observed bounds
+    - ``minLength`` / ``maxLength``   — string observed length bounds
+    - ``unique``     — when distinct == non-null == rows (a key
+      candidate → ``{"kind": "unique"}`` table check)
+
+    ``approx=True`` is the 10^12-row form: HLL
+    ``approx_count_distinct`` replaces the exact distinct count, enum
+    gating uses the estimate, and ``unique`` suggestions are SUPPRESSED
+    (a sketch cannot prove exact distinctness).
     """
     spark = df.sparkSession
     fields = {f.name: f.dataType for f in df.schema.fields}
@@ -70,65 +80,45 @@ def suggest_constraints(
         if c not in fields:
             raise KeyError(f"suggest_constraints: no column {c!r}")
 
-    aggs = [F.count(F.lit(1)).alias("__rows__")]
-    for c in cols:
-        aggs.append(F.count(F.col(c)).alias(f"nn::{c}"))
-        aggs.append(F.count_distinct(F.col(c)).alias(f"nd::{c}"))
-        if isinstance(fields[c], _NUMERIC):
-            aggs.append(F.min(F.col(c)).alias(f"min::{c}"))
-            aggs.append(F.max(F.col(c)).alias(f"max::{c}"))
-        elif isinstance(fields[c], T.StringType):
-            aggs.append(F.min(F.length(F.col(c))).alias(f"minl::{c}"))
-            aggs.append(F.max(F.length(F.col(c))).alias(f"maxl::{c}"))
-    prof = df.agg(*aggs).first()
-    n_rows = prof["__rows__"]
+    rows, str_enums = _profile_rows(df, cols, enum_max=enum_max,
+                                    approx=approx)
+    prof = {r[0]: r for r in rows}
 
-    enum_cands = [
+    # numeric enum candidates — one extra bounded collect, same
+    # discipline as the string-enum pass in _profile_rows
+    num_cands = [
         c for c in cols
-        if 0 < prof[f"nd::{c}"] <= enum_max
-        and isinstance(fields[c], (T.StringType, *_NUMERIC))
+        if isinstance(fields[c], _NUMERIC)
+        and 0 < prof[c][4] <= enum_max
     ]
-    enum_values: dict[str, list] = {}
-    if enum_cands:
-        # one distinct pass over only the candidate columns; the
-        # collect is bounded by n_candidates × enum_max by construction
-        pairs = df.select(F.explode(F.array(*[
-            F.struct(F.lit(c).alias("c"),
-                     F.col(c).cast("string").alias("v"))
-            for c in enum_cands
-        ])).alias("p")).select("p.c", "p.v").filter(
-            F.col("v").isNotNull()).distinct()
-        for r in pairs.collect():
-            enum_values.setdefault(r["c"], []).append(r["v"])
+    num_enums: dict[str, list[str]] = {}
+    if num_cands:
+        erow = df.agg(*[
+            F.collect_set(F.col(c).cast("string")).alias(c)
+            for c in num_cands
+        ]).first()
+        for c in num_cands:
+            num_enums[c] = sorted(erow[c])
 
-    # date/timestamp columns get no type suggestion: the engine
-    # validates JSON types against the column's native Spark type, and
-    # a temporal column is neither string nor number
-    _TYPE = {
-        "string": "string", "long": "integer", "int": "integer",
-        "short": "integer", "byte": "integer", "double": "number",
-        "float": "number", "boolean": "boolean",
-    }
     out: list[tuple[str, str, str]] = []
     for c in cols:
-        t = fields[c].simpleName() if hasattr(fields[c], "simpleName") \
-            else fields[c].typeName()
-        jt = _TYPE.get(fields[c].typeName())
-        if jt:
+        _, jt, n, n_null, nd, mn, mx, minl, maxl, _ = prof[c]
+        nn = n - n_null
+        if jt in _TYPED:
             out.append((c, "type", jt))
-        nn, nd = prof[f"nn::{c}"], prof[f"nd::{c}"]
-        if nn == n_rows and n_rows > 0:
+        if n_null == 0 and n > 0:
             out.append((c, "required", "true"))
-        if c in enum_values:
-            vals = sorted(enum_values[c])
+        vals = (str_enums.get(c) if isinstance(fields[c], T.StringType)
+                else num_enums.get(c))
+        if vals:
             out.append((c, "enum", json.dumps(vals)))
-        if isinstance(fields[c], _NUMERIC) and nn > 0:
-            out.append((c, "minimum", _fmt(prof[f"min::{c}"])))
-            out.append((c, "maximum", _fmt(prof[f"max::{c}"])))
-        elif isinstance(fields[c], T.StringType) and nn > 0:
-            out.append((c, "minLength", _fmt(prof[f"minl::{c}"])))
-            out.append((c, "maxLength", _fmt(prof[f"maxl::{c}"])))
-        if n_rows > 0 and nd == nn == n_rows:
+        if isinstance(fields[c], _NUMERIC) and mn is not None:
+            out.append((c, "minimum", _fmt(mn)))
+            out.append((c, "maximum", _fmt(mx)))
+        elif isinstance(fields[c], T.StringType) and minl is not None:
+            out.append((c, "minLength", _fmt(minl)))
+            out.append((c, "maxLength", _fmt(maxl)))
+        if not approx and n > 0 and nd == nn == n:
             out.append((c, "unique", "true"))
     out.sort()
     return spark.createDataFrame(
@@ -144,12 +134,15 @@ def suggest_spec(
 ) -> "TableSpec":
     """Assemble :func:`suggest_constraints` rows into a runnable
     TableSpec.  Numeric bounds/enums become per-column keywords;
-    ``unique`` suggestions become table checks.  Type suggestions for
-    string-typed date/timestamp columns stay ``string`` (the engine
-    validates the stored representation, not the logical type).
+    ``unique`` suggestions become table checks.
 
     Self-consistency contract (pinned by test): running the suggested
-    spec over the profiled DataFrame produces ZERO violations.
+    spec over the profiled DataFrame produces ZERO violations.  NULL
+    is a JSON type, so a column observed WITH nulls gets
+    ``[type, "null"]`` and a NULL-admitting enum — same rule as
+    ``infer.infer_table_spec``, which remains the direct one-call
+    data→TableSpec path (and adds array-shape constraints this
+    keyword-row surface does not model).
     """
     from go_jsonschema_spark.spec import TableSpec
 
@@ -162,9 +155,6 @@ def suggest_spec(
         c, kw, v = r["column"], r["keyword"], r["value"]
         spec = col_specs.setdefault(c, {})
         if kw == "type":
-            # NULL is a JSON type: a column observed WITH nulls must
-            # admit them or the suggested spec flags the very rows it
-            # was profiled on (self-consistency contract)
             spec["type"] = v if c in required else [v, "null"]
         elif kw == "required":
             pass  # already folded into the type suggestion above
