@@ -63,6 +63,13 @@ def main() -> int:
                     choices=["parquet", "iceberg"],
                     help="read --input as a parquet path or an Iceberg "
                     "table identifier")
+    ap.add_argument("--counts-only", action="store_true",
+                    help="batch-gate mode: per-partition verdict counts "
+                    "from ONE aggregation (engine.verdict_counts — no "
+                    "violation rows materialized or written); prints the "
+                    "verdict table as JSON and exits non-zero if any "
+                    "partition failed.  Run the full job afterwards on "
+                    "only the partitions this mode flags.")
     args = ap.parse_args()
     if not args.checkpoint and not args.iceberg_table:
         ap.error("one of --checkpoint or --iceberg-table is required")
@@ -103,6 +110,26 @@ def main() -> int:
         store = CheckpointStore(args.checkpoint)
     nne = tuple(c for c in args.trust_non_null_elements.split(",") if c)
     suite = ConstraintSuite(ts, key="doc_id", non_null_elements=nne)
+
+    if args.counts_only:
+        rows = suite.verdict_counts(
+            df, partition_col=args.partition_col).collect()
+        verdicts = [
+            {"partition": str(r["partition"]), "n_rows": r["n_rows"],
+             "n_fail": r["n_fail"], "passed": bool(r["passed"])}
+            for r in rows
+        ]
+        print(json.dumps({
+            "run_id": args.run_id, "mode": "counts_only",
+            "n_rows": sum(v["n_rows"] for v in verdicts),
+            "n_fail": sum(v["n_fail"] for v in verdicts),
+            "failed_partitions": sorted(
+                v["partition"] for v in verdicts if not v["passed"]),
+            "verdicts": sorted(verdicts, key=lambda v: v["partition"]),
+        }))
+        spark.stop()
+        return 0 if all(v["passed"] for v in verdicts) else 3
+
     rv = ResumableValidation(
         suite, store,
         partition_col=args.partition_col, batch_size=args.batch_size,
