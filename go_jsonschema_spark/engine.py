@@ -229,6 +229,45 @@ class ConstraintSuite:
     def register(self, name: str, spec: Any) -> None:
         self.registry[name] = spec
 
+    def _tolerant_passed(self, ids, cnt_for, n_rows):
+        """The verdict ``passed`` expression under ``spec.tolerances``
+        (Great-Expectations ``mostly``): constraint ``c`` is within budget
+        when pass_count(c) >= mostly_c * n_rows, evaluated as the EXACT
+        integer rule ``(n_rows - fails) * den >= num * n_rows`` via
+        ``Fraction(str(mostly))`` — no binary-float edge on either side
+        (0.9 of 1000 is exactly 900).  Constraints without a declared
+        tolerance stay strict.  Violation rows are unaffected — tolerance
+        is a GATE concept, not row routing; ``split()`` still quarantines
+        every failing row.
+
+        ``cnt_for(cid)`` maps a constraint id to its per-partition fail
+        count Column; ``n_rows`` is the partition row count Column."""
+        import functools
+        import operator
+        from fractions import Fraction
+
+        unknown = set(self.spec.tolerances) - set(ids)
+        if unknown:
+            raise KeyError(
+                f"tolerances reference unknown row-constraint ids "
+                f"{sorted(unknown)}; known ids: {sorted(ids)} "
+                "(table checks cannot be tolerated — they are not "
+                "verdict constraints)")
+        terms = []
+        for cid in ids:
+            cnt = cnt_for(cid)
+            m = self.spec.tolerances.get(cid)
+            if m is None:
+                terms.append(cnt == 0)
+            else:
+                fr = Fraction(str(m))
+                terms.append(
+                    (n_rows - cnt) * F.lit(fr.denominator)
+                    >= F.lit(fr.numerator) * n_rows
+                )
+        return (functools.reduce(operator.and_, terms)
+                if terms else F.lit(True))
+
     # -- compile ----------------------------------------------------------
     def compile(self, df: DataFrame) -> ConstraintPlan:
         dtypes = {f.name: f.dataType for f in df.schema.fields}
@@ -547,6 +586,15 @@ class ConstraintSuite:
                 for i, cid in enumerate(ids)
             ],
         )
+        passed = (
+            self._tolerant_passed(
+                ids,
+                lambda cid: F.col(f"__n{ids.index(cid)}__"),
+                F.col("n_rows"),
+            )
+            if self.spec.tolerances
+            else F.col("n_fail") == 0
+        )
         return agged.select(
             "partition",
             "n_rows",
@@ -566,7 +614,7 @@ class ConstraintSuite:
                 else F.lit(None).cast("map<string,bigint>")
             ).alias("fail_by_constraint"),
             (F.col("n_rows") - F.col("n_fail")).alias("n_pass"),
-            (F.col("n_fail") == 0).alias("passed"),
+            passed.alias("passed"),
         )
 
     def row_only(self) -> "ConstraintSuite":
@@ -577,6 +625,7 @@ class ConstraintSuite:
             row_checks=self.spec.row_checks,
             table_checks=[],
             draft=self.spec.draft,
+            tolerances=self.spec.tolerances,
         )
         s = ConstraintSuite(spec, key=self.key)
         s.registry = self.registry
@@ -777,8 +826,23 @@ class ConstraintSuite:
             row_counts.join(fail_counts, "partition", "left")
             .withColumn("n_fail", F.coalesce(F.col("n_fail"), F.lit(0)))
             .withColumn("n_pass", F.col("n_rows") - F.col("n_fail"))
-            .withColumn("passed", F.col("n_fail") == 0)
         )
+        if self.spec.tolerances:
+            # per-constraint budget gate; the NULL map (no failing rows in
+            # the partition) coalesces to all-zero counts
+            verdicts = verdicts.withColumn(
+                "passed",
+                self._tolerant_passed(
+                    ids,
+                    lambda cid: F.coalesce(
+                        F.element_at("fail_by_constraint", F.lit(cid)),
+                        F.lit(0),
+                    ),
+                    F.col("n_rows"),
+                ),
+            )
+        else:
+            verdicts = verdicts.withColumn("passed", F.col("n_fail") == 0)
 
         return SuiteResult(
             checked, violations, verdicts, ids,

@@ -550,14 +550,33 @@ class TableSpec:
                        drift / row_count / completeness /
                        functional_dependency / reconcile (SURVEY.md §2.8
                        table + the r6 consistency family).
+    ``tolerances``   — {constraint_id: mostly} pass-fraction floors (the
+                       Great-Expectations ``mostly`` semantics): a
+                       partition verdict treats constraint ``c`` as
+                       passing when pass_fraction(c) >= mostly, i.e. a
+                       bounded failure BUDGET instead of zero-tolerance.
+                       Violation rows still materialize for every failing
+                       row (detail is never suppressed); only the verdict
+                       gate is tolerant.  Constraints absent from the map
+                       stay strict (0 failures).  Values must be in
+                       (0, 1]; the pass rule is evaluated in EXACT
+                       integer arithmetic (``Fraction(str(mostly))``) so
+                       0.9 of 1000 rows means exactly 900, immune to
+                       binary-float rounding on either side.
     """
 
     columns: dict[str, Any] = field(default_factory=dict)
     row_checks: list[dict[str, Any]] = field(default_factory=list)
     table_checks: list[dict[str, Any]] = field(default_factory=list)
     draft: int = 7
+    tolerances: dict[str, float] = field(default_factory=dict)
 
     def __post_init__(self) -> None:
+        for cid, mostly in self.tolerances.items():
+            if not isinstance(mostly, (int, float)) or not (0 < mostly <= 1):
+                raise SpecError(
+                    f"tolerance for {cid!r} must be a fraction in (0, 1], "
+                    f"got {mostly!r}")
         for name, spec in self.columns.items():
             # {"kind": "json", "schema": ...} declares a STRING column of
             # dynamic JSON payloads; the engine routes it through
@@ -590,14 +609,16 @@ class TableSpec:
             row_checks=d.get("row_checks", []),
             table_checks=d.get("table_checks", []),
             draft=d.get("draft", 7),
+            tolerances=d.get("tolerances", {}),
         )
 
     def to_json(self) -> str:
-        return json.dumps(
-            {
-                "columns": self.columns,
-                "row_checks": self.row_checks,
-                "table_checks": self.table_checks,
-                "draft": self.draft,
-            }
-        )
+        out = {
+            "columns": self.columns,
+            "row_checks": self.row_checks,
+            "table_checks": self.table_checks,
+            "draft": self.draft,
+        }
+        if self.tolerances:
+            out["tolerances"] = self.tolerances
+        return json.dumps(out)
