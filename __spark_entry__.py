@@ -2042,6 +2042,44 @@ def _q_tolerant_verdicts_sequences(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("part")
 
 
+def _q_sequence_audit_by_source(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-sequence sanity audit (tokens.py sequence_audit — one
+    whole-stage-codegen projection: F.aggregate run-length fold +
+    array_distinct + try_element_at boundary flags; zero explode/
+    shuffle/Python) rolled up per source.  distinct_over_total divides
+    two exact integer sums, so the single rounding is engine-portable;
+    the DuckDB oracle rebuilds max_run from scratch with a
+    gaps-and-islands window over the unnested stream keyed by
+    (filename, file_row_number) — duplicate doc_ids never collapse."""
+    import os
+
+    from go_jsonschema_spark.operators.tokens import sequence_audit
+    from go_jsonschema_spark.sources import synth
+
+    path = _sequences_oracle_path()
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        synth.sequences(spark, _SEQ_ORACLE_N).write.mode(
+            "overwrite").parquet(path)
+    aud = sequence_audit(spark.read.parquet(path), bos_id=0, eos_id=0)
+    agg = aud.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("n_tok_audit") == 0).cast("long")).alias("n_empty"),
+        F.sum((F.col("max_run") >= 2).cast("long")).alias("n_run2"),
+        F.max("max_run").alias("max_run"),
+        F.sum("n_distinct").alias("__sd__"),
+        F.sum("n_tok_audit").alias("__st__"),
+        F.sum(F.col("bos_ok").cast("long")).alias("n_bos0"),
+        F.sum(F.col("eos_ok").cast("long")).alias("n_eos0"),
+    )
+    return agg.select(
+        "source", "n_docs", "n_empty", "n_run2", "max_run",
+        F.when(F.col("__st__") > 0,
+               F.round(F.col("__sd__") / F.col("__st__"), 6))
+        .alias("distinct_over_total"),
+        "n_bos0", "n_eos0",
+    ).orderBy("source")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order matters: the driver's CORRECTNESS gate verifies the FIRST 50
     # keys only.  Rounds 1-5 verified 66 distinct queries; the 37 that have
@@ -2107,6 +2145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # range_join r6 fix keeps pytest + local-oracle coverage and was
         # driver-green r3/r4) --
         "oov_sequences": _q_oov_sequences,
+        "sequence_audit_by_source": _q_sequence_audit_by_source,
         "range_join_ship_windows": _q_range_join_ship_windows,
         # -- previously driver-verified (r1-r5), unchanged ------------------
         "asof_purchase_last_error": _q_asof_purchase_last_error,
@@ -3081,6 +3120,60 @@ def oracle_sql() -> dict[str, str]:
                     AND c_ntok_max = 0 AND c_doc_min = 0
                     AND c_doc_pat = 0) AS passed
             FROM per ORDER BY part
+        """,
+        # sequence-audit replay: max_run rebuilt from scratch via
+        # gaps-and-islands over the unnested token stream, keyed by
+        # (filename, file_row_number) so duplicate doc_ids stay distinct
+        # rows; boundary flags via 1-based/-1 list indexing (NULL on
+        # empty -> coalesce false); distinct_over_total = one rounding
+        # of an exact-integer-sum ratio
+        "sequence_audit_by_source": f"""
+            WITH s AS (
+                SELECT filename || ':' || file_row_number AS rid, *
+                FROM read_parquet('{_sequences_oracle_path()}/*.parquet',
+                                  filename=true, file_row_number=true)
+            ), t AS (
+                SELECT rid, generate_subscripts(tokens, 1) AS ord,
+                       unnest(tokens) AS tok
+                FROM s
+            ), r AS (
+                SELECT rid, tok,
+                       ord - ROW_NUMBER() OVER (PARTITION BY rid, tok
+                                                ORDER BY ord) AS grp
+                FROM t
+            ), m AS (
+                SELECT rid, max(rl) AS max_run
+                FROM (SELECT rid, count(*) AS rl
+                      FROM r GROUP BY rid, tok, grp)
+                GROUP BY rid
+            ), d AS (
+                SELECT rid, count(DISTINCT tok) AS n_distinct
+                FROM t GROUP BY rid
+            ), per AS (
+                SELECT s.source,
+                       CAST(len(s.tokens) AS BIGINT) AS n_tok,
+                       CAST(COALESCE(m.max_run, 0) AS BIGINT) AS max_run,
+                       CAST(COALESCE(d.n_distinct, 0) AS BIGINT)
+                           AS n_distinct,
+                       COALESCE(s.tokens[1] = 0, false) AS bos_ok,
+                       COALESCE(s.tokens[-1] = 0, false) AS eos_ok
+                FROM s LEFT JOIN m USING (rid) LEFT JOIN d USING (rid)
+            )
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN n_tok = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_empty,
+                   CAST(sum(CASE WHEN max_run >= 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_run2,
+                   max(max_run) AS max_run,
+                   CASE WHEN sum(n_tok) > 0 THEN
+                       round(CAST(sum(n_distinct) AS DOUBLE)
+                             / sum(n_tok), 6) END AS distinct_over_total,
+                   CAST(sum(CASE WHEN bos_ok THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_bos0,
+                   CAST(sum(CASE WHEN eos_ok THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_eos0
+            FROM per GROUP BY source ORDER BY source
         """,
         # metrics-history anomalies: identical trailing window frame
         # (24 PRECEDING..1 PRECEDING, per-metric, ts+value order), the

@@ -14,7 +14,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["oov_rate", "oov_rate_expr"]
+__all__ = ["oov_rate", "oov_rate_expr", "sequence_audit"]
 
 
 def oov_rate_expr(tokens_col, vocab_ids) -> "F.Column":
@@ -103,3 +103,89 @@ def oov_rate(
             6,
         ).alias("oov_rate"),
     )
+
+
+def sequence_audit(
+    df: DataFrame,
+    *,
+    tokens_col: str = "tokens",
+    bos_id: int | None = None,
+    eos_id: int | None = None,
+) -> DataFrame:
+    """Per-sequence sanity audit — the degenerate-generation /
+    corrupt-tokenization signals a training pipeline gates on BEFORE
+    sequences reach a loss: appends to every input row
+
+    - ``n_tok``         — ``size(tokens)`` (0 for empty/NULL arrays)
+    - ``max_run``       — longest run of one repeated token (the
+      pathological ``the the the ...`` / padding-leak shape); 0 for
+      empty arrays
+    - ``n_distinct``    — distinct token count
+    - ``distinct_ratio``— ``n_distinct / n_tok`` rounded to 6 (NULL for
+      empty arrays): near-zero means a looping generator
+    - ``bos_ok``/``eos_ok`` (only when ``bos_id``/``eos_id`` given) —
+      first/last token equals the declared special id; False for empty
+      arrays (a sequence with no BOS is malformed, not vacuously fine)
+
+    Everything is ONE narrow projection in whole-stage codegen: the run
+    scan is a single ``F.aggregate`` fold over the array (state =
+    (prev, run, best)), ``n_distinct`` is ``array_distinct`` — no
+    explode, no shuffle, no Python.  At 10^12 sequences this audit
+    rides the same scan as the validation pass it usually joins.
+    """
+    toks = F.col(tokens_col)
+    n_tok = F.coalesce(F.size(toks), F.lit(0))
+    n_tok = F.when(n_tok < 0, F.lit(0)).otherwise(n_tok)
+
+    # gaps-and-islands as a fold: eqNullSafe so a (pathological) run of
+    # NULL tokens still counts as a run; prev starts NULL and never
+    # null-safe-equals a real first token
+    run_state = F.aggregate(
+        F.coalesce(toks, F.array().cast(df.schema[tokens_col].dataType)),
+        F.struct(
+            F.lit(None).cast("long").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        lambda acc, t: F.struct(
+            t.cast("long").alias("prev"),
+            F.when(t.cast("long").eqNullSafe(acc.getField("prev")),
+                   acc.getField("run") + 1)
+            .otherwise(F.lit(1).cast("long")).alias("run"),
+            F.greatest(
+                acc.getField("best"),
+                F.when(t.cast("long").eqNullSafe(acc.getField("prev")),
+                       acc.getField("run") + 1)
+                .otherwise(F.lit(1).cast("long")),
+            ).alias("best"),
+        ),
+        lambda acc: acc.getField("best"),
+    )
+    n_distinct = F.when(
+        n_tok > 0, F.size(F.array_distinct(toks)).cast("long")
+    ).otherwise(F.lit(0).cast("long"))
+
+    out = df.select(
+        "*",
+        n_tok.cast("long").alias("n_tok_audit"),
+        run_state.alias("max_run"),
+        n_distinct.alias("n_distinct"),
+        F.round(
+            F.when(n_tok > 0, n_distinct / n_tok), 6
+        ).alias("distinct_ratio"),
+    )
+    if bos_id is not None:
+        out = out.withColumn(
+            "bos_ok",
+            F.coalesce(F.try_element_at(toks, F.lit(1)) == F.lit(int(bos_id)),
+                       F.lit(False)),
+        )
+    if eos_id is not None:
+        out = out.withColumn(
+            "eos_ok",
+            F.coalesce(F.try_element_at(toks, F.lit(-1)) == F.lit(int(eos_id)),
+                       F.lit(False)),
+        )
+    return out
+
+
