@@ -2080,6 +2080,34 @@ def _q_sequence_audit_by_source(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("source")
 
 
+def _q_token_decontam_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-ID-level 13-gram decontamination (tokens.py
+    token_ngram_contamination — probe windows collected once, shipped
+    as ONE literal; corpus side zero shuffle/explode): the probe set is
+    40-token subarrays of the snapshot's first hundred documents, so
+    the contaminated set is exactly the rows containing those windows.
+    String (oracle-replayable) window form; the hashed 8-byte form is
+    pinned equal by pytest."""
+    import os
+
+    from go_jsonschema_spark.operators.tokens import token_ngram_contamination
+    from go_jsonschema_spark.sources import synth
+
+    path = _sequences_oracle_path()
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        synth.sequences(spark, _SEQ_ORACLE_N).write.mode(
+            "overwrite").parquet(path)
+    df = spark.read.parquet(path)
+    probes = df.filter(
+        F.col("doc_id").startswith("doc0000000000")
+        & (F.size("tokens") >= 64)
+    ).select(F.slice("tokens", 9, 40).alias("tokens"))
+    out = token_ngram_contamination(df, probes, n=13, hashed=False)
+    return out.filter("contaminated").select(
+        "doc_id", "n_windows", "n_hits"
+    ).orderBy("doc_id", "n_hits")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order matters: the driver's CORRECTNESS gate verifies the FIRST 50
     # keys only.  Rounds 1-5 verified 66 distinct queries; the 37 that have
@@ -2146,6 +2174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver-green r3/r4) --
         "oov_sequences": _q_oov_sequences,
         "sequence_audit_by_source": _q_sequence_audit_by_source,
+        "token_decontam_sequences": _q_token_decontam_sequences,
         "range_join_ship_windows": _q_range_join_ship_windows,
         # -- previously driver-verified (r1-r5), unchanged ------------------
         "asof_purchase_last_error": _q_asof_purchase_last_error,
@@ -3174,6 +3203,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN eos_ok THEN 1 ELSE 0 END)
                         AS BIGINT) AS n_eos0
             FROM per GROUP BY source ORDER BY source
+        """,
+        # token 13-gram decontamination replay: identical probe
+        # construction (40-token subarrays, '-'-joined windows) and
+        # DISTINCT-hit intersection; range(a,b) is end-exclusive so
+        # short arrays yield empty window lists on both engines
+        "token_decontam_sequences": f"""
+            WITH s AS (
+                SELECT * FROM read_parquet('{_sequences_oracle_path()}/*.parquet')
+            ), p AS (
+                SELECT DISTINCT unnest(list_transform(range(1, 29), i ->
+                    array_to_string(sub[i:i+12], '-'))) AS w
+                FROM (SELECT tokens[9:48] AS sub FROM s
+                      WHERE doc_id LIKE 'doc0000000000%'
+                        AND len(tokens) >= 64)
+            ), pl AS (
+                SELECT list(w) AS ws FROM p
+            ), c AS (
+                SELECT doc_id,
+                       CAST(GREATEST(len(tokens) - 12, 0) AS BIGINT)
+                           AS n_windows,
+                       CAST(len(list_intersect(
+                           list_transform(range(1, len(tokens) - 11), i ->
+                               array_to_string(tokens[i:i+12], '-')),
+                           pl.ws)) AS BIGINT) AS n_hits
+                FROM s, pl
+            )
+            SELECT doc_id, n_windows, n_hits
+            FROM c WHERE n_hits > 0 ORDER BY doc_id, n_hits
         """,
         # metrics-history anomalies: identical trailing window frame
         # (24 PRECEDING..1 PRECEDING, per-metric, ts+value order), the

@@ -14,7 +14,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["oov_rate", "oov_rate_expr", "sequence_audit"]
+__all__ = ["oov_rate", "oov_rate_expr", "sequence_audit",
+           "token_ngram_contamination"]
 
 
 def oov_rate_expr(tokens_col, vocab_ids) -> "F.Column":
@@ -187,5 +188,78 @@ def sequence_audit(
                        F.lit(False)),
         )
     return out
+
+
+def _token_windows(tokens_col, n: int, *, hashed: bool):
+    """All n-token windows of an array as one `transform` over a
+    position `sequence` — ``xxhash64(slice)`` (8-byte, the scale form)
+    or ``array_join(slice, '-')`` (exact string form an external SQL
+    engine can replay).  Arrays shorter than ``n`` yield an empty
+    window list (``sequence(1, k)`` with k < 1 would RAISE, so the
+    short case is gated to an empty array)."""
+    toks = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    last = F.size(toks) - F.lit(n - 1)
+    win = (lambda i: F.xxhash64(F.slice(toks, i, n))) if hashed else (
+        lambda i: F.array_join(F.slice(toks, i, n), "-"))
+    empty = F.array().cast("array<bigint>" if hashed else "array<string>")
+    return F.when(
+        last >= 1,
+        F.transform(F.sequence(F.lit(1), last), win),
+    ).otherwise(empty)
+
+
+def token_ngram_contamination(
+    df: DataFrame,
+    probes: DataFrame,
+    *,
+    n: int = 13,
+    tokens_col: str = "tokens",
+    probe_tokens_col: str | None = None,
+    id_col: str = "doc_id",
+    hashed: bool = True,
+    max_probe_windows: int = 200_000,
+) -> DataFrame:
+    """Token-ID-level benchmark decontamination (the Dolma/paloma-style
+    13-gram rule, applied BEFORE detokenization): flag corpus sequences
+    sharing any ``n``-token window with an evaluation/benchmark set.
+
+    Returns ``(doc_id, n_windows, n_hits, contaminated)`` where
+    ``n_hits`` counts DISTINCT probe windows found in the document.
+
+    Scale shape mirrors decontam.py's text path (same reasoning): the
+    probe side is small by nature, so its distinct windows collect once
+    on the driver (bounded — raises past ``max_probe_windows``) and
+    ship as ONE literal array; the corpus side never shuffles and never
+    explodes — each row builds its window list with a `transform` over
+    a position `sequence` and intersects against the literal
+    (`array_intersect` hashes the literal once per batch).  With
+    ``hashed=True`` windows travel as 8-byte ``xxhash64`` values (a
+    100k-window probe literal ≈ 800 KB); ``hashed=False`` keeps exact
+    '-'-joined id strings so an external engine (the DuckDB oracle) can
+    recompute the identical intersection.
+    """
+    pcol = probe_tokens_col or tokens_col
+    probe_windows = (
+        probes.select(
+            F.explode(_token_windows(pcol, n, hashed=hashed)).alias("w"))
+        .distinct().limit(max_probe_windows + 1).collect()
+    )
+    if len(probe_windows) > max_probe_windows:
+        raise ValueError(
+            f"probe set yields >{max_probe_windows} token {n}-gram "
+            "windows; raise max_probe_windows or pre-reduce the probes")
+    plist = sorted(r["w"] for r in probe_windows)
+    windows = _token_windows(tokens_col, n, hashed=hashed)
+    hits = (
+        F.size(F.array_intersect(
+            windows, F.lit(plist).cast(
+                "array<bigint>" if hashed else "array<string>")))
+        if plist else F.lit(0)
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(windows).cast("long").alias("n_windows"),
+        hits.cast("long").alias("n_hits"),
+    ).withColumn("contaminated", F.col("n_hits") > 0)
 
 
