@@ -2108,6 +2108,40 @@ def _q_token_decontam_sequences(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("doc_id", "n_hits")
 
 
+def _q_token_freq_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-frequency spectrum head (tokens.py token_frequency —
+    explode feeding a PARTIAL aggregation, so each task's shuffle write
+    is vocab-bounded, not token-stream-bounded): top-50 tokens with
+    deterministic (cnt desc, token asc) ranks and the cumulative share
+    of the stream they cover.  cum_share divides two exact integer
+    sums — single rounding, engine-portable.  zipf_slope over the same
+    spectrum is pinned by pytest against numpy's OLS (float-fragile
+    regression is not oracle material)."""
+    import os
+
+    from pyspark.sql import Window
+
+    from go_jsonschema_spark.operators.tokens import token_frequency
+    from go_jsonschema_spark.sources import synth
+
+    path = _sequences_oracle_path()
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        synth.sequences(spark, _SEQ_ORACLE_N).write.mode(
+            "overwrite").parquet(path)
+    freq = token_frequency(spark.read.parquet(path))
+    cum = F.sum("cnt").over(
+        Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, 0))
+    total = F.sum("cnt").over(
+        Window.partitionBy())
+    return (
+        freq.select(
+            "token", "cnt", "rank",
+            F.round(cum.cast("double") / total, 6).alias("cum_share"))
+        .filter(F.col("rank") <= 50)
+        .orderBy("rank")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order matters: the driver's CORRECTNESS gate verifies the FIRST 50
     # keys only.  Rounds 1-5 verified 66 distinct queries; the 37 that have
@@ -2175,6 +2209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "oov_sequences": _q_oov_sequences,
         "sequence_audit_by_source": _q_sequence_audit_by_source,
         "token_decontam_sequences": _q_token_decontam_sequences,
+        "token_freq_sequences": _q_token_freq_sequences,
         "range_join_ship_windows": _q_range_join_ship_windows,
         # -- previously driver-verified (r1-r5), unchanged ------------------
         "asof_purchase_last_error": _q_asof_purchase_last_error,
@@ -3231,6 +3266,29 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, n_windows, n_hits
             FROM c WHERE n_hits > 0 ORDER BY doc_id, n_hits
+        """,
+        # token-frequency head replay: identical (cnt desc, token asc)
+        # ranking, prefix-sum over BIGINTs, ONE division then round
+        "token_freq_sequences": f"""
+            WITH s AS (
+                SELECT * FROM read_parquet('{_sequences_oracle_path()}/*.parquet')
+            ), t AS (
+                SELECT unnest(tokens) AS token FROM s
+            ), f AS (
+                SELECT token, CAST(count(*) AS BIGINT) AS cnt
+                FROM t WHERE token IS NOT NULL GROUP BY token
+            ), r AS (
+                SELECT token, cnt,
+                       CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC)
+                            AS BIGINT) AS rank,
+                       CAST(sum(cnt) OVER (ORDER BY cnt DESC, token ASC)
+                            AS BIGINT) AS cum,
+                       CAST(sum(cnt) OVER () AS BIGINT) AS total
+                FROM f
+            )
+            SELECT token, cnt, rank,
+                   round(CAST(cum AS DOUBLE) / total, 6) AS cum_share
+            FROM r WHERE rank <= 50 ORDER BY rank
         """,
         # metrics-history anomalies: identical trailing window frame
         # (24 PRECEDING..1 PRECEDING, per-metric, ts+value order), the

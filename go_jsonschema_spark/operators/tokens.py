@@ -15,7 +15,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["oov_rate", "oov_rate_expr", "sequence_audit",
-           "token_ngram_contamination"]
+           "token_frequency", "token_ngram_contamination", "zipf_slope"]
 
 
 def oov_rate_expr(tokens_col, vocab_ids) -> "F.Column":
@@ -263,3 +263,56 @@ def token_ngram_contamination(
     ).withColumn("contaminated", F.col("n_hits") > 0)
 
 
+
+def token_frequency(
+    df: DataFrame,
+    *,
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Corpus token-frequency spectrum ``(token, cnt, rank)`` — rank 1 =
+    most frequent, ties broken by token id (fully deterministic).
+
+    The ONLY scale-honest plan is explode + hash aggregate: the
+    generate feeds a partial (map-side) aggregation, so each task's
+    shuffle write is bounded by the VOCABULARY (≤ a few hundred
+    thousand rows), not by its token count; the final exchange then
+    moves `tasks × vocab` partial rows, independent of corpus size.
+    Per-row map-merging alternatives (`aggregate` into map columns)
+    centralize the same combine work in slower expression code without
+    removing the exchange.  The single-partition rank window runs over
+    vocab-bounded data — negligible by construction.
+
+    NULL token elements are dropped (they are OOV, not a frequency
+    class; `oov_rate` counts them)."""
+    freq = (
+        df.select(F.explode(tokens_col).alias("token"))
+        .filter(F.col("token").isNotNull())
+        .groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    return freq.select(
+        "token", "cnt", F.row_number().over(w).cast("long").alias("rank"))
+
+
+def zipf_slope(
+    freq: DataFrame,
+    *,
+    max_rank: int | None = None,
+) -> float:
+    """OLS slope of ``ln(cnt) ~ ln(rank)`` over the frequency spectrum
+    of :func:`token_frequency` — a healthy natural-language corpus sits
+    near -1 (Zipf's law); a flat slope (~0) means synthetic/uniform
+    token noise, a cliff means a degenerate vocabulary.  One JVM-side
+    ``regr_slope`` aggregate over the (vocab-bounded) spectrum; driver
+    receives a single float.  ``max_rank`` restricts the fit to the
+    head, where Zipf behaviour is diagnostic and rank estimates are
+    stable."""
+    if max_rank is not None:
+        freq = freq.filter(F.col("rank") <= max_rank)
+    row = freq.agg(
+        F.regr_slope(F.log(F.col("cnt").cast("double")),
+                     F.log(F.col("rank").cast("double"))).alias("slope")
+    ).first()
+    return None if row is None else row["slope"]
