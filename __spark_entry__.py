@@ -2142,6 +2142,40 @@ def _q_token_freq_sequences(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_scoped_violations_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """Row-conditioned constraints (kind=scoped column wrapper + row_check
+    `where` — the Great-Expectations row_condition analogue): a minimum
+    n_tok floor judged ONLY in src0 and the shape invariant judged ONLY
+    in src1; out-of-scope rows pass unjudged.  Both gates live inside
+    the same one-pass predicate scan — the scope is a `when` around each
+    predicate, not a second filtered job."""
+    import os
+
+    from go_jsonschema_spark.engine import ConstraintSuite
+    from go_jsonschema_spark.sources import synth
+    from go_jsonschema_spark.spec import TableSpec
+
+    path = _sequences_oracle_path()
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        synth.sequences(spark, _SEQ_ORACLE_N).write.mode(
+            "overwrite").parquet(path)
+    df = spark.read.parquet(path)
+    ts = TableSpec(
+        columns={
+            "n_tok": {"kind": "scoped", "where": "source = 'src0'",
+                      "schema": {"type": "integer", "minimum": 64}},
+        },
+        row_checks=[
+            {"id": "scoped.shape_src1", "expr": "n_tok = size(tokens)",
+             "where": "source = 'src1'", "observed": "n_tok"},
+        ],
+    )
+    res = ConstraintSuite(ts, key="doc_id").run(df)
+    return res.violations.filter(
+        F.col("constraint_id").isin("n_tok.minimum", "scoped.shape_src1")
+    ).orderBy("doc_id", "constraint_id", "observed")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order matters: the driver's CORRECTNESS gate verifies the FIRST 50
     # keys only.  Rounds 1-5 verified 66 distinct queries; the 37 that have
@@ -2210,6 +2244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_audit_by_source": _q_sequence_audit_by_source,
         "token_decontam_sequences": _q_token_decontam_sequences,
         "token_freq_sequences": _q_token_freq_sequences,
+        "scoped_violations_sequences": _q_scoped_violations_sequences,
         "range_join_ship_windows": _q_range_join_ship_windows,
         # -- previously driver-verified (r1-r5), unchanged ------------------
         "asof_purchase_last_error": _q_asof_purchase_last_error,
@@ -3289,6 +3324,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT token, cnt, rank,
                    round(CAST(cum AS DOUBLE) / total, 6) AS cum_share
             FROM r WHERE rank <= 50 ORDER BY rank
+        """,
+        # scoped-constraint replay: the scope is a plain WHERE on each
+        # violation class; out-of-scope rows never appear
+        "scoped_violations_sequences": f"""
+            WITH s AS (
+                SELECT * FROM read_parquet('{_sequences_oracle_path()}/*.parquet')
+            )
+            SELECT doc_id, constraint_id, observed FROM (
+                SELECT doc_id, 'n_tok.minimum' AS constraint_id,
+                       CAST(n_tok AS VARCHAR) AS observed
+                FROM s WHERE source = 'src0' AND n_tok < 64
+                UNION ALL
+                SELECT doc_id, 'scoped.shape_src1',
+                       CAST(n_tok AS VARCHAR)
+                FROM s WHERE source = 'src1' AND n_tok <> len(tokens)
+            ) ORDER BY doc_id, constraint_id, observed
         """,
         # metrics-history anomalies: identical trailing window frame
         # (24 PRECEDING..1 PRECEDING, per-metric, ts+value order), the

@@ -283,6 +283,22 @@ class ConstraintSuite:
             if (name in self.non_null_elements
                     and isinstance(dt, T.ArrayType) and dt.containsNull):
                 dt = T.ArrayType(dt.elementType, False)
+
+            # {"kind": "scoped", "where": ..., "schema": ...} — the
+            # row_condition analogue: every predicate this column
+            # produces is gated on ``where``; out-of-scope rows pass
+            # (they are not judged, so they neither violate nor count
+            # toward a tolerance budget).  NULL scope = out of scope.
+            def wrap(p: Column) -> Column:
+                return p
+
+            if isinstance(schema, dict) and schema.get("kind") == "scoped":
+                in_scope = F.coalesce(F.expr(schema["where"]), F.lit(False))
+
+                def wrap(p: Column, _s: Column = in_scope) -> Column:
+                    return F.when(_s, p).otherwise(F.lit(True))
+
+                schema = schema["schema"]
             if isinstance(schema, dict) and schema.get("kind") == "json":
                 # dynamic JSON string column → json_column_predicate_auto
                 # picks the zero-Python native path (from_json + typed
@@ -300,7 +316,8 @@ class ConstraintSuite:
                 cid = f"{name}.json"
                 judge = json_column_predicate_auto(
                     schema["schema"], draft=draft)
-                preds.append((cid, F.coalesce(judge(col), F.lit(False))))
+                preds.append(
+                    (cid, wrap(F.coalesce(judge(col), F.lit(False)))))
                 observed[cid] = F.substring(col, 1, 256)
                 continue
             sspec = SchemaSpec(schema)
@@ -311,8 +328,8 @@ class ConstraintSuite:
             }
             if not isinstance(schema, dict):
                 cid = f"{name}.schema"
-                preds.append((cid, compile_predicate(schema, col, dt,
-                                                     draft=draft, spec=sspec)))
+                preds.append((cid, wrap(compile_predicate(
+                    schema, col, dt, draft=draft, spec=sspec))))
                 observed[cid] = _observed_col(col, dt)
                 continue
             # per-keyword decomposition → violation granularity matches the
@@ -352,12 +369,18 @@ class ConstraintSuite:
                     # shape as json_column_predicate_auto
                     pred = _interp_group_predicate(
                         tuple(sub), schema, registry_raw, draft, col)
-                preds.append((cid, pred))
+                preds.append((cid, wrap(pred)))
                 observed[cid] = _observed_col(col, dt)
 
         for rc in self.spec.row_checks:
             cid = rc["id"]
-            preds.append((cid, F.coalesce(F.expr(rc["expr"]), F.lit(False))))
+            pred = F.coalesce(F.expr(rc["expr"]), F.lit(False))
+            if rc.get("where"):
+                # scoped row check: out-of-scope rows pass unjudged
+                pred = F.when(
+                    F.coalesce(F.expr(rc["where"]), F.lit(False)), pred
+                ).otherwise(F.lit(True))
+            preds.append((cid, pred))
             obs = rc.get("observed")
             observed[cid] = (
                 F.substring(F.expr(obs).cast("string"), 1, 256)

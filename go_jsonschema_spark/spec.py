@@ -587,6 +587,21 @@ class TableSpec:
                     raise SpecError(
                         f"column {name!r}: kind=json needs a 'schema'")
                 spec = spec["schema"]
+            # {"kind": "scoped", "where": <sql bool>, "schema": ...}
+            # applies the schema only to rows satisfying ``where`` (the
+            # Great-Expectations row_condition analogue); out-of-scope
+            # rows pass.  The inner schema must be a plain schema — no
+            # nested kind wrappers.
+            elif isinstance(spec, dict) and spec.get("kind") == "scoped":
+                if "schema" not in spec or "where" not in spec:
+                    raise SpecError(
+                        f"column {name!r}: kind=scoped needs 'where' "
+                        "and 'schema'")
+                spec = spec["schema"]
+                if isinstance(spec, dict) and "kind" in spec:
+                    raise SpecError(
+                        f"column {name!r}: kind=scoped cannot wrap "
+                        "another kind= column spec")
             try:
                 normalize_spec(spec)
             except SpecError as e:
