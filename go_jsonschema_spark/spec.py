@@ -637,3 +637,99 @@ class TableSpec:
         if self.tolerances:
             out["tolerances"] = self.tolerances
         return json.dumps(out)
+
+
+def spec_diff(old: "TableSpec", new: "TableSpec") -> list[dict]:
+    """Structural diff of two TableSpecs — the expectation-suite-diff a
+    validation pipeline reviews when the spec evolves (tightened bounds,
+    retired checks, suggester output vs the deployed spec).
+
+    Returns deterministic rows ``{section, target, change, before,
+    after}`` sorted by (section, target, change):
+
+    - ``column``     — a whole column entered/left the spec (its body is
+                       the before/after), or a non-dict (boolean) schema
+                       changed wholesale
+    - ``keyword``    — one keyword of an existing column changed; target
+                       is ``col.keyword`` (the violation constraint_id,
+                       so a diff row names the verdict stream it will
+                       create or retire)
+    - ``row_check`` / ``table_check`` — keyed by check id; any field
+                       change reports the whole check body
+    - ``tolerance``  — a ``mostly`` budget added/removed/retuned
+    - ``draft``      — dialect switch
+
+    Values render as canonical JSON (``sort_keys``), so dict-order
+    noise never reports as a change.  Driver-side and pure — specs are
+    bounded metadata, never data-scale."""
+    def _j(v) -> str:
+        return json.dumps(v, sort_keys=True)
+
+    rows: list[dict] = []
+
+    def _emit(section, target, change, before, after):
+        rows.append({
+            "section": section, "target": target, "change": change,
+            "before": None if before is _MISSING else _j(before),
+            "after": None if after is _MISSING else _j(after),
+        })
+
+    _MISSING = object()
+
+    # columns — per-keyword where both sides are dicts
+    for name in sorted(set(old.columns) | set(new.columns)):
+        o = old.columns.get(name, _MISSING)
+        n = new.columns.get(name, _MISSING)
+        if o is _MISSING:
+            _emit("column", name, "added", _MISSING, n)
+        elif n is _MISSING:
+            _emit("column", name, "removed", o, _MISSING)
+        elif isinstance(o, dict) and isinstance(n, dict):
+            for kw in sorted(set(o) | set(n)):
+                ov = o.get(kw, _MISSING)
+                nv = n.get(kw, _MISSING)
+                if ov is _MISSING:
+                    _emit("keyword", f"{name}.{kw}", "added", _MISSING, nv)
+                elif nv is _MISSING:
+                    _emit("keyword", f"{name}.{kw}", "removed", ov, _MISSING)
+                elif _j(ov) != _j(nv):
+                    _emit("keyword", f"{name}.{kw}", "changed", ov, nv)
+        elif _j(o) != _j(n):
+            _emit("column", name, "changed", o, n)
+
+    # row/table checks — keyed by id (unkeyed checks key as kind#index)
+    def _checks(section, olds, news):
+        def keyed(checks):
+            return {
+                c.get("id", f"{c.get('kind', 'check')}#{i}"): c
+                for i, c in enumerate(checks)
+            }
+        ok, nk = keyed(olds), keyed(news)
+        for cid in sorted(set(ok) | set(nk)):
+            o = ok.get(cid, _MISSING)
+            n = nk.get(cid, _MISSING)
+            if o is _MISSING:
+                _emit(section, cid, "added", _MISSING, n)
+            elif n is _MISSING:
+                _emit(section, cid, "removed", o, _MISSING)
+            elif _j(o) != _j(n):
+                _emit(section, cid, "changed", o, n)
+
+    _checks("row_check", old.row_checks, new.row_checks)
+    _checks("table_check", old.table_checks, new.table_checks)
+
+    for cid in sorted(set(old.tolerances) | set(new.tolerances)):
+        o = old.tolerances.get(cid, _MISSING)
+        n = new.tolerances.get(cid, _MISSING)
+        if o is _MISSING:
+            _emit("tolerance", cid, "added", _MISSING, n)
+        elif n is _MISSING:
+            _emit("tolerance", cid, "removed", o, _MISSING)
+        elif o != n:
+            _emit("tolerance", cid, "changed", o, n)
+
+    if old.draft != new.draft:
+        _emit("draft", "draft", "changed", old.draft, new.draft)
+
+    rows.sort(key=lambda r: (r["section"], r["target"], r["change"]))
+    return rows
