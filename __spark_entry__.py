@@ -2176,6 +2176,49 @@ def _q_scoped_violations_sequences(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("doc_id", "constraint_id", "observed")
 
 
+_SKEWED_ORACLE_N = 20000
+
+
+def _skewed_oracle_path() -> str:
+    """Parquet snapshot of the Zipf-skewed sequences fixture (heavy
+    hitters need a head; the uniform snapshot has none)."""
+    import hashlib
+    import os
+
+    from go_jsonschema_spark.sources import synth
+
+    tag = hashlib.md5(repr(
+        (_SKEWED_ORACLE_N, 1000, synth.MAX_LEN, "zipf2")
+    ).encode()).hexdigest()[:10]
+    root = os.path.dirname(os.path.abspath(__file__))
+    return os.path.join(root, ".benchdata", "oracle", f"skewed_{tag}")
+
+
+def _q_heavy_hitter_bigrams(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT top-20 token bigrams via bounded-state candidate generation
+    (tokens.py token_ngram_heavy_hitters: per-partition batched
+    Misra-Gries over int64-packed codes — the n-gram stream is never
+    hash-aggregated or shuffled at its own diversity — then a
+    Spark-native recount of candidates behind a broadcast semi-join,
+    plus the N/capacity exactness certificate).  The DuckDB oracle
+    recounts ALL bigrams brute-force and replays the certificate
+    arithmetic — the algorithm's bounded path must equal the unbounded
+    truth."""
+    import os
+
+    from go_jsonschema_spark.operators.tokens import (
+        token_ngram_heavy_hitters,
+    )
+    from go_jsonschema_spark.sources import synth
+
+    path = _skewed_oracle_path()
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        synth.skewed_sequences(spark, _SKEWED_ORACLE_N).write.mode(
+            "overwrite").parquet(path)
+    df = spark.read.parquet(path)
+    return token_ngram_heavy_hitters(df, n=2, k=20, capacity=4096)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order matters: the driver's CORRECTNESS gate verifies the FIRST 50
     # keys only.  Rounds 1-5 verified 66 distinct queries; the 37 that have
@@ -2245,6 +2288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_decontam_sequences": _q_token_decontam_sequences,
         "token_freq_sequences": _q_token_freq_sequences,
         "scoped_violations_sequences": _q_scoped_violations_sequences,
+        "heavy_hitter_bigrams": _q_heavy_hitter_bigrams,
         "range_join_ship_windows": _q_range_join_ship_windows,
         # -- previously driver-verified (r1-r5), unchanged ------------------
         "asof_purchase_last_error": _q_asof_purchase_last_error,
@@ -3340,6 +3384,31 @@ def oracle_sql() -> dict[str, str]:
                        CAST(n_tok AS VARCHAR)
                 FROM s WHERE source = 'src1' AND n_tok <> len(tokens)
             ) ORDER BY doc_id, constraint_id, observed
+        """,
+        # heavy-hitter replay: brute-force exact bigram counts over the
+        # skewed snapshot + the same (cnt desc, t1, t2) order and the
+        # same kth*capacity > N certificate arithmetic
+        "heavy_hitter_bigrams": f"""
+            WITH s AS (
+                SELECT * FROM read_parquet('{_skewed_oracle_path()}/*.parquet')
+            ), t AS (
+                SELECT tokens, unnest(range(1, len(tokens))) AS i FROM s
+            ), c AS (
+                SELECT tokens[i] AS t1, tokens[i + 1] AS t2,
+                       CAST(count(*) AS BIGINT) AS cnt
+                FROM t GROUP BY 1, 2
+            ), top AS (
+                SELECT t1, t2, cnt,
+                       CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, t1, t2)
+                            AS BIGINT) AS rank
+                FROM c QUALIFY rank <= 20
+            ), cert AS (
+                SELECT (SELECT min(cnt) FROM top) * 4096 >
+                       (SELECT CAST(sum(GREATEST(len(tokens) - 1, 0))
+                                    AS BIGINT) FROM s) AS exact
+            )
+            SELECT t1, t2, cnt, rank, exact
+            FROM top, cert ORDER BY rank
         """,
         # metrics-history anomalies: identical trailing window frame
         # (24 PRECEDING..1 PRECEDING, per-metric, ts+value order), the

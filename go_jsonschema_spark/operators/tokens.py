@@ -15,7 +15,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["oov_rate", "oov_rate_expr", "sequence_audit",
-           "token_frequency", "token_ngram_contamination", "zipf_slope"]
+           "token_frequency", "token_ngram_contamination",
+           "token_ngram_heavy_hitters", "zipf_slope"]
 
 
 def oov_rate_expr(tokens_col, vocab_ids) -> "F.Column":
@@ -316,3 +317,130 @@ def zipf_slope(
                      F.log(F.col("rank").cast("double"))).alias("slope")
     ).first()
     return None if row is None else row["slope"]
+
+def token_ngram_heavy_hitters(
+    df: DataFrame,
+    *,
+    n: int = 2,
+    k: int = 20,
+    capacity: int = 4096,
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """EXACT top-``k`` token n-grams (n ≤ 3) with an exactness
+    certificate, without ever shuffling or hash-aggregating the n-gram
+    stream.
+
+    The problem at 10^12 sequences: distinct n-grams grow ~|V|^n, so
+    the naive explode → groupBy builds hash tables (and a shuffle) the
+    size of the N-GRAM VOCABULARY.  This operator bounds all state by
+    ``capacity``:
+
+    1. **Candidates** (one scan, bounded state, zero shuffle of the
+       stream): each partition runs a batched Misra-Gries summary of
+       size ``capacity`` over its n-grams — vectorized numpy (windows
+       packed into one int64 with 21-bit fields, ``np.unique`` per
+       Arrow batch), never a per-token Python loop.  Union guarantee
+       (pigeonhole over partitions): any n-gram with GLOBAL count
+       > N/capacity survives in at least one partition's summary.
+    2. **Exact recount** (one scan, candidate-bounded state): Spark-
+       native window codes explode into a broadcast semi-join against
+       the candidate set, so the aggregation hash table holds at most
+       ``capacity × partitions`` entries regardless of n-gram
+       diversity; counts for candidates are EXACT.
+    3. **Certificate**: with N = total windows, every non-candidate has
+       count ≤ N/capacity; ``exact`` is true iff the k-th candidate
+       count strictly beats that bound — then the top-k is provably the
+       true top-k.  A false certificate means "raise capacity", never a
+       silently wrong answer.
+
+    Output: ``(t1..tn, cnt, rank, exact)`` — token ids as separate int
+    columns so deterministic (cnt desc, t1, t2, ...) ordering is
+    engine-portable.  Token ids must be in [0, 2^21) (any real
+    tokenizer; enforced — packing would silently corrupt otherwise).
+    """
+    if n not in (1, 2, 3):
+        raise ValueError("token_ngram_heavy_hitters supports n in {1,2,3}")
+    if k > capacity:
+        raise ValueError("k must be <= capacity")
+    spark = df.sparkSession
+
+    # ---- phase 1: per-partition batched Misra-Gries over packed codes
+    def _mg(it):
+        summary: dict[int, int] = {}
+        for pdf in it:
+            codes_parts = []
+            for arr in pdf[tokens_col]:
+                if arr is None or len(arr) < n:
+                    continue
+                a = np.asarray(arr, dtype=np.int64)
+                if a.min() < 0 or a.max() >= (1 << 21):
+                    raise ValueError("token ids must be in [0, 2^21)")
+                L = len(a) - n + 1
+                acc = a[0:L].copy()
+                for off in range(1, n):
+                    acc = (acc << 21) | a[off:off + L]
+                codes_parts.append(acc)
+            if not codes_parts:
+                continue
+            codes, cnts = np.unique(
+                np.concatenate(codes_parts), return_counts=True)
+            for c, ct in zip(codes.tolist(), cnts.tolist()):
+                summary[c] = summary.get(c, 0) + ct
+            if len(summary) > capacity:
+                vals = np.fromiter(summary.values(), dtype=np.int64,
+                                   count=len(summary))
+                # batched MG decrement: subtract the (len-capacity)-th
+                # smallest count from everyone, drop the non-positive —
+                # total undercount per survivor ≤ N_partition/capacity
+                d = int(np.partition(vals, len(summary) - capacity - 1)
+                        [len(summary) - capacity - 1])
+                summary = {c: ct - d for c, ct in summary.items()
+                           if ct - d > 0}
+        yield pd.DataFrame({"code": list(summary.keys())})
+
+    cand = (
+        df.select(tokens_col)
+        .mapInPandas(_mg, "code long")
+        .distinct()
+    )
+
+    # ---- phase 2: Spark-native exact recount of the candidate set
+    toks = F.col(tokens_col)
+    last = F.size(toks) - F.lit(n - 1)
+
+    def _code(i):
+        acc = F.element_at(toks, i).cast("long")
+        for off in range(1, n):
+            acc = F.shiftleft(acc, 21).bitwiseOR(
+                F.element_at(toks, i + off).cast("long"))
+        return acc
+
+    codes = F.when(
+        last >= 1, F.transform(F.sequence(F.lit(1), last), _code)
+    ).otherwise(F.array().cast("array<bigint>"))
+    exploded = df.select(F.explode(codes).alias("code"))
+    counted = (
+        exploded.join(F.broadcast(cand), "code")
+        .groupBy("code").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = counted.orderBy(F.desc("cnt"), F.asc("code")).limit(k)
+
+    # ---- phase 3: certificate — N windows vs the k-th candidate count
+    n_windows = df.select(
+        F.sum(F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0)))
+        .alias("nw")).first()["nw"] or 0
+    rows = top.collect()
+    kth = rows[-1]["cnt"] if len(rows) >= k else 0
+    exact = bool(len(rows) >= k and kth * capacity > n_windows)
+
+    # unpack codes into token-id columns; deterministic rank
+    out_rows = []
+    for r_i, r in enumerate(
+            sorted(rows, key=lambda r: (-r["cnt"], r["code"]))):
+        code = r["code"]
+        ts = [(code >> (21 * (n - 1 - j))) & ((1 << 21) - 1)
+              for j in range(n)]
+        out_rows.append(tuple(ts) + (r["cnt"], r_i + 1, exact))
+    schema = (", ".join(f"t{j + 1} int" for j in range(n))
+              + ", cnt long, rank long, exact boolean")
+    return spark.createDataFrame(out_rows, schema)

@@ -137,6 +137,40 @@ def sequences(
     )
 
 
+def skewed_sequences(
+    spark: SparkSession,
+    n_rows: int,
+    *,
+    zipf_vocab: int = 1000,
+) -> DataFrame:
+    """Zipf-skewed token sequences ``(doc_id, tokens, n_tok, source)`` —
+    the heavy-hitter fixture (uniform xxhash tokens have NO heavy
+    hitters, so :func:`sequences` cannot exercise top-k machinery).
+
+    ``token = floor(zipf_vocab / (1 + u))`` with ``u`` uniform on
+    [0, zipf_vocab) gives P(token=t) ≈ t⁻² (a Zipf-2 head): token 1
+    covers ~half the stream.  Entirely Spark-native and deterministic
+    (xxhash64 of (id, position)), like :func:`sequences`."""
+    df = spark.range(n_rows)
+    length = (F.pmod(F.xxhash64("id"), F.lit(MAX_LEN - 1)) + 1).cast("int")
+    u = lambda i: F.pmod(F.xxhash64(F.col("id"), i), F.lit(zipf_vocab))
+    tokens = F.transform(
+        F.sequence(F.lit(1), length),
+        lambda i: F.floor(F.lit(zipf_vocab) / (u(i) + 1)).cast("int"),
+    )
+    tokens = F.transform(tokens, lambda x: F.coalesce(x, F.lit(0)))
+    return df.select(
+        F.format_string("doc%012d", F.col("id")).alias("doc_id"),
+        tokens.alias("tokens"),
+        F.size(tokens).cast("int").alias("n_tok"),
+        F.concat(
+            F.lit("src"),
+            F.pmod(F.xxhash64(F.col("id"), F.lit(3)),
+                   F.lit(N_SOURCES)).cast("string"),
+        ).alias("source"),
+    )
+
+
 def sources_dim(spark: SparkSession) -> DataFrame:
     """Allowed-values dimension ``(source, active)`` — the broadcast side of
     the referential check (FIXTURES.md §1)."""
