@@ -2219,6 +2219,38 @@ def _q_heavy_hitter_bigrams(spark: SparkSession, sf: str) -> DataFrame:
     return token_ngram_heavy_hitters(df, n=2, k=20, capacity=4096)
 
 
+def _q_token_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup pairs over TOKEN sequences (tokens.py token_minhash_pairs
+    — MinHash-LSH on distinct token 5-gram windows through the same
+    banded core as the text pipeline): fixture pairs each unique
+    sub-100 snapshot doc with a tail-truncated variant (drop the last
+    token → jaccard ≥ ~0.97), where the deterministic 8-band S-curve
+    detects every pair; the DuckDB oracle brute-forces ALL-pairs exact
+    window Jaccard at the same threshold."""
+    import os
+
+    from go_jsonschema_spark.operators.tokens import token_minhash_pairs
+    from go_jsonschema_spark.sources import synth
+
+    path = _sequences_oracle_path()
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        synth.sequences(spark, _SEQ_ORACLE_N).write.mode(
+            "overwrite").parquet(path)
+    s = spark.read.parquet(path)
+    uniq = (s.filter(F.col("doc_id").startswith("doc0000000000"))
+            .groupBy("doc_id").agg(F.count(F.lit(1)).alias("c"))
+            .filter("c = 1").select("doc_id"))
+    base = s.join(uniq, "doc_id").filter(F.size("tokens") >= 40).select(
+        "doc_id", "tokens")
+    variants = base.select(
+        F.concat(F.col("doc_id"), F.lit("_v2")).alias("doc_id"),
+        F.slice("tokens", 1, F.size("tokens") - 1).alias("tokens"),
+    )
+    corp = base.unionByName(variants)
+    return token_minhash_pairs(
+        corp, n=5, threshold=0.9).orderBy("a", "b")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order matters: the driver's CORRECTNESS gate verifies the FIRST 50
     # keys only.  Rounds 1-5 verified 66 distinct queries; the 37 that have
@@ -2289,6 +2321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_freq_sequences": _q_token_freq_sequences,
         "scoped_violations_sequences": _q_scoped_violations_sequences,
         "heavy_hitter_bigrams": _q_heavy_hitter_bigrams,
+        "token_minhash_pairs": _q_token_minhash_pairs,
         "range_join_ship_windows": _q_range_join_ship_windows,
         # -- previously driver-verified (r1-r5), unchanged ------------------
         "asof_purchase_last_error": _q_asof_purchase_last_error,
@@ -3409,6 +3442,43 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT t1, t2, cnt, rank, exact
             FROM top, cert ORDER BY rank
+        """,
+        # token near-dup replay: identical fixture construction (unique
+        # sub-100 docs + tail-truncated variants), then brute-force
+        # ALL-pairs exact Jaccard of distinct 5-gram windows at the
+        # same threshold — LSH recall on this deterministic fixture is
+        # total, which the equality itself proves
+        "token_minhash_pairs": f"""
+            WITH s AS (
+                SELECT * FROM read_parquet('{_sequences_oracle_path()}/*.parquet')
+            ), ids AS (
+                SELECT doc_id FROM s WHERE doc_id LIKE 'doc0000000000%'
+                GROUP BY doc_id HAVING count(*) = 1
+            ), base AS (
+                SELECT s.doc_id, s.tokens FROM s JOIN ids USING (doc_id)
+                WHERE len(s.tokens) >= 40
+            ), corp AS (
+                SELECT doc_id, tokens FROM base
+                UNION ALL
+                SELECT doc_id || '_v2', tokens[1:len(tokens) - 1]
+                FROM base
+            ), sh AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, len(tokens) - 3),
+                           i -> array_to_string(tokens[i:i+4], '-'))) AS s
+                FROM corp
+            ), p AS (
+                SELECT l.doc_id AS a, r.doc_id AS b,
+                       CASE WHEN len(list_distinct(list_concat(l.s, r.s))) = 0
+                            THEN 1.0
+                            ELSE len(list_intersect(l.s, r.s)) * 1.0
+                                 / len(list_distinct(list_concat(l.s, r.s)))
+                       END AS jac
+                FROM sh l JOIN sh r ON l.doc_id < r.doc_id
+            )
+            SELECT a, b, round(jac, 6) AS jaccard
+            FROM p WHERE round(jac, 6) >= 0.9 ORDER BY a, b
         """,
         # metrics-history anomalies: identical trailing window frame
         # (24 PRECEDING..1 PRECEDING, per-metric, ts+value order), the

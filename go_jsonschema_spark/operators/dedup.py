@@ -253,11 +253,27 @@ def minhash_lsh_pairs(
     count.  For recall-critical production set bands=16 (r=4) and accept
     the larger candidate join.  ``max_bucket`` caps degenerate band
     buckets (see :func:`_cap_buckets`); run exact dedup first."""
-    r = k // bands
     base = _spread(df).select(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col), shingle_n).alias("sh"),
     ).filter(F.size("sh") > 0)
+    return _lsh_pairs_from_shingles(
+        base, k=k, bands=bands, threshold=threshold, max_bucket=max_bucket)
+
+
+def _lsh_pairs_from_shingles(
+    base: DataFrame,
+    *,
+    k: int,
+    bands: int,
+    threshold: float,
+    max_bucket: int | None,
+) -> DataFrame:
+    """The signature→band→bucket-join→exact-verify core shared by the
+    text (:func:`minhash_lsh_pairs`) and token
+    (operators.tokens.token_minhash_pairs) front-ends; ``base`` is
+    ``(id, sh: array<string>)`` with non-empty shingle sets."""
+    r = k // bands
     sig = base.select(
         "id", "sh", minhash_signature(F.col("sh"), k).alias("sig")
     )

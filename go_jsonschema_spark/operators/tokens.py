@@ -16,7 +16,8 @@ from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["oov_rate", "oov_rate_expr", "sequence_audit",
            "token_frequency", "token_ngram_contamination",
-           "token_ngram_heavy_hitters", "zipf_slope"]
+           "token_minhash_pairs", "token_ngram_heavy_hitters",
+           "zipf_slope"]
 
 
 def oov_rate_expr(tokens_col, vocab_ids) -> "F.Column":
@@ -444,3 +445,36 @@ def token_ngram_heavy_hitters(
     schema = (", ".join(f"t{j + 1} int" for j in range(n))
               + ", cnt long, rank long, exact boolean")
     return spark.createDataFrame(out_rows, schema)
+
+def token_minhash_pairs(
+    df: DataFrame,
+    *,
+    n: int = 5,
+    k: int = 64,
+    bands: int = 8,
+    threshold: float = 0.8,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    max_bucket: int | None = 1024,
+) -> DataFrame:
+    """Near-duplicate pairs over TOKEN sequences ``(a, b, jaccard)`` —
+    MinHash-LSH where the shingle set is the document's DISTINCT token
+    ``n``-gram windows (the tokens-payload twin of the text pipeline:
+    dedup BEFORE detokenization, so byte-identical and
+    whitespace-variant re-tokenizations collapse on the ids the model
+    actually trains on).
+
+    Thin front-end over the same signature→band→bucket-join→
+    exact-Jaccard core as ``dedup.minhash_lsh_pairs`` (one candidate
+    shuffle carrying 8-byte ids, shingle arrays never enter it);
+    windows are '-'-joined id strings, so the DuckDB oracle replays the
+    exact Jaccard verification."""
+    from go_jsonschema_spark.operators.dedup import _lsh_pairs_from_shingles
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(
+            _token_windows(tokens_col, n, hashed=False)).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    return _lsh_pairs_from_shingles(
+        base, k=k, bands=bands, threshold=threshold, max_bucket=max_bucket)
