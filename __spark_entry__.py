@@ -2251,6 +2251,29 @@ def _q_token_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
         corp, n=5, threshold=0.9).orderBy("a", "b")
 
 
+def _q_dataset_card_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """One-call dataset card (profile.py dataset_card — three bounded
+    aggregation passes: shape metrics, key distinct-count, and the
+    suite's counts-only predicate scan; everything else is lazy
+    single-row explosion, zero driver collection).  The DuckDB oracle
+    replays every metric from plain SQL counts plus the full
+    constraint-predicate replay."""
+    import os
+
+    from go_jsonschema_spark.engine import ConstraintSuite
+    from go_jsonschema_spark.operators.profile import dataset_card
+    from go_jsonschema_spark.sources import synth
+
+    path = _sequences_oracle_path()
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        synth.sequences(spark, _SEQ_ORACLE_N).write.mode(
+            "overwrite").parquet(path)
+    df = spark.read.parquet(path)
+    suite = ConstraintSuite(synth.sequences_table_spec(), key="doc_id",
+                            non_null_elements=("tokens",))
+    return dataset_card(df, suite, key="doc_id").orderBy("metric")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order matters: the driver's CORRECTNESS gate verifies the FIRST 50
     # keys only.  Rounds 1-5 verified 66 distinct queries; the 37 that have
@@ -2322,6 +2345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scoped_violations_sequences": _q_scoped_violations_sequences,
         "heavy_hitter_bigrams": _q_heavy_hitter_bigrams,
         "token_minhash_pairs": _q_token_minhash_pairs,
+        "dataset_card_sequences": _q_dataset_card_sequences,
         "range_join_ship_windows": _q_range_join_ship_windows,
         # -- previously driver-verified (r1-r5), unchanged ------------------
         "asof_purchase_last_error": _q_asof_purchase_last_error,
@@ -3479,6 +3503,75 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT a, b, round(jac, 6) AS jaccard
             FROM p WHERE round(jac, 6) >= 0.9 ORDER BY a, b
+        """,
+        # dataset-card replay: every metric from plain SQL counts; the
+        # fail.<cid> block replays each constraint predicate exactly
+        # (same rules as the tolerant-verdict oracle), values as DOUBLE
+        "dataset_card_sequences": f"""
+            WITH s AS (
+                SELECT * FROM read_parquet('{_sequences_oracle_path()}/*.parquet')
+            ), agg AS (
+                SELECT CAST(count(*) AS DOUBLE) AS n,
+                    CAST(count(*) - count(DISTINCT doc_id) AS DOUBLE)
+                        AS ndup,
+                    CAST(sum(CASE WHEN len(tokens) = 0 THEN 1 ELSE 0 END)
+                         AS DOUBLE) AS nempty,
+                    CAST(sum(CASE WHEN
+                        n_tok <> len(tokens)
+                        OR len(list_filter(tokens, t ->
+                               t < 0 OR t >= 32000)) > 0
+                        OR len(tokens) < 1
+                        OR n_tok < 1 OR n_tok > 514
+                        OR NOT regexp_matches(source, '^src[0-9]+$')
+                        OR len(doc_id) < 1
+                        OR NOT regexp_matches(doc_id, '^doc')
+                        THEN 1 ELSE 0 END) AS DOUBLE) AS nfail,
+                    CAST(sum(CASE WHEN len(list_filter(tokens, t ->
+                            t < 0 OR t >= 32000)) > 0
+                        THEN 1 ELSE 0 END) AS DOUBLE) AS c_items,
+                    CAST(sum(CASE WHEN len(tokens) < 1 THEN 1 ELSE 0 END)
+                         AS DOUBLE) AS c_minitems,
+                    CAST(sum(CASE WHEN n_tok < 1 THEN 1 ELSE 0 END)
+                         AS DOUBLE) AS c_ntok_min,
+                    CAST(sum(CASE WHEN n_tok > 514 THEN 1 ELSE 0 END)
+                         AS DOUBLE) AS c_ntok_max,
+                    CAST(sum(CASE WHEN
+                        NOT regexp_matches(source, '^src[0-9]+$')
+                        THEN 1 ELSE 0 END) AS DOUBLE) AS c_src_pat,
+                    CAST(sum(CASE WHEN len(doc_id) < 1 THEN 1 ELSE 0 END)
+                         AS DOUBLE) AS c_doc_min,
+                    CAST(sum(CASE WHEN NOT regexp_matches(doc_id, '^doc')
+                        THEN 1 ELSE 0 END) AS DOUBLE) AS c_doc_pat,
+                    CAST(sum(CASE WHEN n_tok <> len(tokens)
+                        THEN 1 ELSE 0 END) AS DOUBLE) AS c_shape
+                FROM s
+            )
+            SELECT metric, value FROM (
+                SELECT 'n_rows' AS metric, n AS value FROM agg
+                UNION ALL SELECT 'n_dup_key_rows', ndup FROM agg
+                UNION ALL SELECT 'null_ratio.doc_id', 0.0 FROM agg
+                UNION ALL SELECT 'null_ratio.tokens', 0.0 FROM agg
+                UNION ALL SELECT 'null_ratio.n_tok', 0.0 FROM agg
+                UNION ALL SELECT 'null_ratio.source', 0.0 FROM agg
+                UNION ALL SELECT 'null_ratio.part', 0.0 FROM agg
+                UNION ALL SELECT 'empty_ratio.tokens',
+                                 round(nempty / n, 6) FROM agg
+                UNION ALL SELECT 'n_row_fail', nfail FROM agg
+                UNION ALL SELECT 'row_fail_ratio',
+                                 round(nfail / n, 6) FROM agg
+                UNION ALL SELECT 'fail.doc_id.type', 0.0 FROM agg
+                UNION ALL SELECT 'fail.doc_id.minLength', c_doc_min FROM agg
+                UNION ALL SELECT 'fail.doc_id.pattern', c_doc_pat FROM agg
+                UNION ALL SELECT 'fail.tokens.type', 0.0 FROM agg
+                UNION ALL SELECT 'fail.tokens.items', c_items FROM agg
+                UNION ALL SELECT 'fail.tokens.minItems', c_minitems FROM agg
+                UNION ALL SELECT 'fail.n_tok.type', 0.0 FROM agg
+                UNION ALL SELECT 'fail.n_tok.minimum', c_ntok_min FROM agg
+                UNION ALL SELECT 'fail.n_tok.maximum', c_ntok_max FROM agg
+                UNION ALL SELECT 'fail.source.type', 0.0 FROM agg
+                UNION ALL SELECT 'fail.source.pattern', c_src_pat FROM agg
+                UNION ALL SELECT 'fail.shape.n_tok', c_shape FROM agg
+            ) ORDER BY metric
         """,
         # metrics-history anomalies: identical trailing window frame
         # (24 PRECEDING..1 PRECEDING, per-metric, ts+value order), the

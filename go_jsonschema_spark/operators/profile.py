@@ -31,7 +31,7 @@ from pyspark.sql import types as T
 from go_jsonschema_spark.infer import _NUMERIC as _INFER_NUMERIC
 from go_jsonschema_spark.infer import _profile_rows
 
-__all__ = ["suggest_constraints", "suggest_spec"]
+__all__ = ["dataset_card", "suggest_constraints", "suggest_spec"]
 
 _NUMERIC = _INFER_NUMERIC + (T.DecimalType,)
 _TYPED = {"string", "integer", "number", "boolean"}
@@ -176,3 +176,84 @@ def suggest_spec(
             table_checks.append(
                 {"kind": "unique", "id": f"unique:{c}", "columns": [c]})
     return TableSpec(columns=col_specs, table_checks=table_checks)
+
+def dataset_card(
+    df: DataFrame,
+    suite=None,
+    *,
+    key: str = "doc_id",
+    dims: dict | None = None,
+) -> DataFrame:
+    """One-call dataset card: the long-format ``(metric, value)`` summary
+    a data-readiness review starts from, assembled LAZILY (no collect —
+    the card is a DataFrame you can write next to the batch it
+    describes).
+
+    Metrics (all double; counts are exact integers in double form):
+
+    - ``n_rows``; ``n_dup_key_rows`` (rows beyond the first per ``key``)
+    - ``null_ratio.<col>`` for every column, and ``empty_ratio.<col>``
+      for array columns (empty arrays are a distinct pathology from
+      NULLs — a tokenizer that emits [] did not emit nothing)
+    - with ``suite``: ``n_row_fail`` / ``row_fail_ratio`` and a
+      ``fail.<constraint_id>`` row per constraint — from the suite's
+      counts-only fast path (ONE predicate-scan aggregation, zero
+      violation materialization)
+
+    Plan shape: one map-side-combined aggregation over the scan for the
+    shape metrics, one count-distinct aggregation for the key, one
+    predicate-scan aggregation for the suite block; the single-row
+    results explode into rows driver-free and union — everything stays
+    a lazy plan, nothing scales with data except those three passes."""
+    cols = [f.name for f in df.schema.fields]
+    arrays = [f.name for f in df.schema.fields
+              if isinstance(f.dataType, T.ArrayType)]
+    aggs = [
+        F.count(F.lit(1)).alias("__n__"),
+        F.count_distinct(F.col(key)).alias("__nd__"),
+        *[F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{i}__")
+          for i, c in enumerate(cols)],
+        *[F.sum((F.coalesce(F.size(F.col(c)), F.lit(-1)) == 0)
+                .cast("long")).alias(f"__empty_{i}__")
+          for i, c in enumerate(cols) if c in arrays],
+    ]
+    one = df.agg(*aggs)
+    entries = [
+        F.struct(F.lit("n_rows").alias("metric"),
+                 F.col("__n__").cast("double").alias("value")),
+        F.struct(F.lit("n_dup_key_rows").alias("metric"),
+                 (F.col("__n__") - F.col("__nd__"))
+                 .cast("double").alias("value")),
+    ]
+    for i, c in enumerate(cols):
+        entries.append(F.struct(
+            F.lit(f"null_ratio.{c}").alias("metric"),
+            F.round(F.col(f"__null_{i}__") / F.col("__n__"), 6)
+            .alias("value")))
+        if c in arrays:
+            entries.append(F.struct(
+                F.lit(f"empty_ratio.{c}").alias("metric"),
+                F.round(F.col(f"__empty_{i}__") / F.col("__n__"), 6)
+                .alias("value")))
+    card = one.select(F.explode(F.array(*entries)).alias("e")).select(
+        "e.metric", "e.value")
+    if suite is None:
+        return card
+    vc = suite.verdict_counts(df)
+    fail_entries = [
+        F.struct(F.lit("n_row_fail").alias("metric"),
+                 F.col("n_fail").cast("double").alias("value")),
+        F.struct(F.lit("row_fail_ratio").alias("metric"),
+                 F.round(F.col("n_fail") / F.col("n_rows"), 6)
+                 .alias("value")),
+    ] + [
+        F.struct(F.lit(f"fail.{cid}").alias("metric"),
+                 F.coalesce(
+                     F.element_at("fail_by_constraint", F.lit(cid)),
+                     F.lit(0)).cast("double").alias("value"))
+        for cid, _ in suite.compile(df).predicates
+    ]
+    suite_rows = vc.select(
+        F.explode(F.array(*fail_entries)).alias("e")).select(
+        "e.metric", "e.value")
+    return card.unionByName(suite_rows)
