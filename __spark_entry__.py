@@ -2331,10 +2331,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_embeddings": _q_ann_lsh_embeddings,
         "verdict_counts_by_source": _q_verdict_counts_by_source,
         "tolerant_verdicts_sequences": _q_tolerant_verdicts_sequences,
-        "sequences_validation": _q_sequences_validation,
-        "violations_documents": _q_violations_documents,
         "spec_suggestions_documents": _q_spec_suggestions_documents,
         "metric_anomalies_events": _q_metric_anomalies_events,
+        # -- r6-late, never driver-verified: the two most algorithmically
+        # involved take the last window slots; the flagship pair
+        # (sequences_validation / violations_documents) moves just below
+        # the window — driver-green r3/r4/r5, smoke-checked via entry(),
+        # and locally oracle-green both SFs this session
+        "heavy_hitter_bigrams": _q_heavy_hitter_bigrams,
+        "token_minhash_pairs": _q_token_minhash_pairs,
+        "sequences_validation": _q_sequences_validation,
+        "violations_documents": _q_violations_documents,
         # -- new in r6, outside the 50-query window (rotates in next round;
         # range_join r6 fix keeps pytest + local-oracle coverage and was
         # driver-green r3/r4) --
@@ -2343,8 +2350,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_decontam_sequences": _q_token_decontam_sequences,
         "token_freq_sequences": _q_token_freq_sequences,
         "scoped_violations_sequences": _q_scoped_violations_sequences,
-        "heavy_hitter_bigrams": _q_heavy_hitter_bigrams,
-        "token_minhash_pairs": _q_token_minhash_pairs,
         "dataset_card_sequences": _q_dataset_card_sequences,
         "range_join_ship_windows": _q_range_join_ship_windows,
         # -- previously driver-verified (r1-r5), unchanged ------------------
