@@ -291,25 +291,53 @@ def windowed_verdicts(
     ts_col: str,
     window: str = "5 minutes",
     watermark: str = "10 minutes",
+    with_passed: bool = False,
 ) -> DataFrame:
     """Event-time-windowed verdict counts with late-data watermark:
     ``(window, n_rows, n_pass, n_fail)`` in append mode once the watermark
-    passes — the streaming analogue of per-partition verdicts."""
-    checked, _, _, _ = _checked(suite, stream)
+    passes — the streaming analogue of per-partition verdicts.
+
+    ``with_passed=True`` appends a per-window ``passed`` gate computed
+    with the SAME rule as batch verdicts — strict (zero failures) by
+    default, per-constraint ``spec.tolerances`` budgets when declared
+    (the exact-integer ``mostly`` rule; one extra sum per constraint in
+    the same windowed aggregation, no second pass).  Off by default to
+    keep the established output schema."""
+    checked, _, ids, safe = _checked(suite, stream)
     # watermarks need TIMESTAMP (with zone); parquet often stores NTZ
     ts_field = dict((f.name, f.dataType.simpleString())
                     for f in stream.schema.fields).get(ts_col)
     if ts_field == "timestamp_ntz":
         checked = checked.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
-    return (
+    aggs = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("__pass__").cast("long")).alias("n_pass"),
+        F.sum((~F.col("__pass__")).cast("long")).alias("n_fail"),
+    ]
+    if with_passed:
+        aggs += [
+            F.sum((~F.coalesce(F.col(safe[cid]), F.lit(True)))
+                  .cast("long")).alias(f"__n{i}__")
+            for i, cid in enumerate(ids)
+        ]
+    out = (
         checked.withWatermark(ts_col, watermark)
         .groupBy(F.window(F.col(ts_col), window))
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum(F.col("__pass__").cast("long")).alias("n_pass"),
-            F.sum((~F.col("__pass__")).cast("long")).alias("n_fail"),
-        )
+        .agg(*aggs)
     )
+    if with_passed:
+        passed = (
+            suite._tolerant_passed(
+                ids,
+                lambda cid: F.col(f"__n{ids.index(cid)}__"),
+                F.col("n_rows"),
+            )
+            if suite.spec.tolerances
+            else F.col("n_fail") == 0
+        )
+        out = out.withColumn("passed", passed).drop(
+            *[f"__n{i}__" for i in range(len(ids))])
+    return out
 
 
 def stream_sessions(
