@@ -2246,7 +2246,11 @@ def _q_token_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
         F.concat(F.col("doc_id"), F.lit("_v2")).alias("doc_id"),
         F.slice("tokens", 1, F.size("tokens") - 1).alias("tokens"),
     )
-    corp = base.unionByName(variants)
+    # the LSH core reads its input three times (signature plan + two
+    # shingle re-attach joins); without this the groupBy+join fixture
+    # upstream re-executes each time (measured 11.6 s -> the checkpoint
+    # collapses it to one pass over ~180 tiny rows)
+    corp = base.unionByName(variants).localCheckpoint()
     return token_minhash_pairs(
         corp, n=5, threshold=0.9).orderBy("a", "b")
 
