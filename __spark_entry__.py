@@ -2278,6 +2278,34 @@ def _q_dataset_card_sequences(spark: SparkSession, sf: str) -> DataFrame:
     return dataset_card(df, suite, key="doc_id").orderBy("metric")
 
 
+def _q_sketch_distinct_sources(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable HLL distinct sketches (operators/sketches.py — the
+    north rule's checkpointed stats sketches): per-source exact distinct
+    doc_id count next to the sketch estimate's accuracy verdict.  The
+    oracle cannot replay DataSketches, so it pins the CONTRACT instead:
+    exact counts must match SQL, and within_bound must be uniformly
+    true (an estimate drifting past the 5% HLL bound breaks the hash)."""
+    import os
+
+    from go_jsonschema_spark.sources import synth
+
+    path = _sequences_oracle_path()
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        synth.sequences(spark, _SEQ_ORACLE_N).write.mode(
+            "overwrite").parquet(path)
+    df = spark.read.parquet(path)
+    agg = df.groupBy("source").agg(
+        F.count_distinct("doc_id").alias("n_distinct_exact"),
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg("doc_id", F.lit(12))).alias("__est__"),
+    )
+    return agg.select(
+        "source", "n_distinct_exact",
+        (F.abs(F.col("__est__") - F.col("n_distinct_exact"))
+         <= 0.05 * F.col("n_distinct_exact")).alias("within_bound"),
+    ).orderBy("source")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order matters: the driver's CORRECTNESS gate verifies the FIRST 50
     # keys only.  Rounds 1-5 verified 66 distinct queries; the 37 that have
@@ -2355,6 +2383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_freq_sequences": _q_token_freq_sequences,
         "scoped_violations_sequences": _q_scoped_violations_sequences,
         "dataset_card_sequences": _q_dataset_card_sequences,
+        "sketch_distinct_sources": _q_sketch_distinct_sources,
         "range_join_ship_windows": _q_range_join_ship_windows,
         # -- previously driver-verified (r1-r5), unchanged ------------------
         "asof_purchase_last_error": _q_asof_purchase_last_error,
@@ -3581,6 +3610,17 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL SELECT 'fail.source.pattern', c_src_pat FROM agg
                 UNION ALL SELECT 'fail.shape.n_tok', c_shape FROM agg
             ) ORDER BY metric
+        """,
+        # sketch-contract replay: exact distincts from SQL; within_bound
+        # is literally true — if the Spark-side HLL estimate ever drifts
+        # past its 5% bound the value-hash breaks and the driver flags it
+        "sketch_distinct_sources": f"""
+            SELECT source,
+                   CAST(count(DISTINCT doc_id) AS BIGINT)
+                       AS n_distinct_exact,
+                   true AS within_bound
+            FROM read_parquet('{_sequences_oracle_path()}/*.parquet')
+            GROUP BY source ORDER BY source
         """,
         # metrics-history anomalies: identical trailing window frame
         # (24 PRECEDING..1 PRECEDING, per-metric, ts+value order), the

@@ -191,11 +191,17 @@ class ResumableValidation:
     """Partition-batched, resumable execution of a ConstraintSuite."""
 
     def __init__(self, suite, store: CheckpointStore, *,
-                 partition_col: str, batch_size: int = 4) -> None:
+                 partition_col: str, batch_size: int = 4,
+                 sketch_cols: tuple[str, ...] = ()) -> None:
         self.suite = suite
         self.store = store
         self.partition_col = partition_col
         self.batch_size = batch_size
+        # columns whose per-batch HLL distinct sketches are stored in the
+        # manifest (operators/sketches.py): running distinct estimates
+        # then come from a driver-side union over manifests, never a
+        # rescan of completed batches
+        self.sketch_cols = tuple(sketch_cols)
 
     def run(
         self,
@@ -238,7 +244,10 @@ class ResumableValidation:
                 str(p) for p in batch
             ]:
                 n_skip += 1
-                part_metrics.update(prev["metrics"])
+                part_metrics.update({
+                    k: v for k, v in prev["metrics"].items()
+                    if k != "__sketches__"
+                })
                 continue
             # partition pruning: the filter reaches the scan, so completed
             # partitions are never re-read.  ROW-level checks only — the
@@ -263,6 +272,14 @@ class ResumableValidation:
                 for r in verdicts
             }
             part_metrics.update(metrics)
+            if self.sketch_cols:
+                from go_jsonschema_spark.operators.sketches import (
+                    batch_distinct_sketch,
+                )
+
+                metrics = dict(metrics)
+                metrics["__sketches__"] = batch_distinct_sketch(
+                    sub, list(self.sketch_cols))
             self.store.mark_complete(run_id, key, [*batch], metrics, out_path)
             n_run += 1
 
