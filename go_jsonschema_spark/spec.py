@@ -577,6 +577,17 @@ class TableSpec:
                 raise SpecError(
                     f"tolerance for {cid!r} must be a fraction in (0, 1], "
                     f"got {mostly!r}")
+            from fractions import Fraction
+
+            # the exact integer gate computes den*n_rows in BIGINT; a
+            # denominator past 10^6 could overflow at 10^12-row
+            # partitions (1e6 * 9.2e12 is the int64 ceiling) — and a
+            # 7-decimal `mostly` is not a meaningful budget anyway
+            if Fraction(str(mostly)).denominator > 1_000_000:
+                raise SpecError(
+                    f"tolerance for {cid!r}: at most 6 decimal places "
+                    f"(got {mostly!r}) — the exact integer gate must not "
+                    "overflow BIGINT at 10^12-row partitions")
         for name, spec in self.columns.items():
             # {"kind": "json", "schema": ...} declares a STRING column of
             # dynamic JSON payloads; the engine routes it through

@@ -113,3 +113,33 @@ def test_tolerances_roundtrip_json():
     assert again.tolerances == {"v.minimum": 0.99}
     # and row_only() carries them into the checkpoint layer's suite
     assert ConstraintSuite(ts).row_only().spec.tolerances == ts.tolerances
+
+
+def test_mostly_denominator_capped():
+    # 7+ decimal places would overflow BIGINT den*n_rows at 1e12 rows
+    with pytest.raises(SpecError, match="6 decimal places"):
+        TableSpec(columns={}, tolerances={"c": 0.1234567})
+    TableSpec(columns={}, tolerances={"c": 0.123456})  # 6 is fine
+
+
+def test_integer_rule_property_matches_rational_comparison():
+    # the engine's gate is (n-f)*den >= num*n; property-check it against
+    # exact rational arithmetic over a deterministic sweep of knife edges
+    from fractions import Fraction
+
+    mostlies = [0.9, 0.99, 0.999, 0.5, 0.123456, 0.875, 1.0]
+    for m in mostlies:
+        fr = Fraction(str(m))
+        for n in (1, 2, 3, 10, 1000, 10**6, 10**12):
+            for f in {0, 1, n // 1000, n // 100, n // 10, n - 1, n,
+                      max(0, int(n * (1 - m))),
+                      max(0, int(n * (1 - m)) - 1),
+                      min(n, int(n * (1 - m)) + 1)}:
+                if f > n:
+                    continue
+                gate = (n - f) * fr.denominator >= fr.numerator * n
+                truth = Fraction(n - f, n) >= fr
+                assert gate == truth, (m, n, f)
+                # and BIGINT safety at the documented ceiling
+                assert (n - f) * fr.denominator < 2**63
+                assert fr.numerator * n < 2**63
