@@ -31,7 +31,8 @@ from pyspark.sql import types as T
 from go_jsonschema_spark.infer import _NUMERIC as _INFER_NUMERIC
 from go_jsonschema_spark.infer import _profile_rows
 
-__all__ = ["dataset_card", "suggest_constraints", "suggest_spec"]
+__all__ = ["dataset_card", "suggest_constraints", "suggest_spec",
+           "suggest_tolerances"]
 
 _NUMERIC = _INFER_NUMERIC + (T.DecimalType,)
 _TYPED = {"string", "integer", "number", "boolean"}
@@ -257,3 +258,41 @@ def dataset_card(
         F.explode(F.array(*fail_entries)).alias("e")).select(
         "e.metric", "e.value")
     return card.unionByName(suite_rows)
+
+def suggest_tolerances(
+    df: DataFrame,
+    suite,
+    *,
+    margin: float = 0.0,
+    quantize: int = 4,
+) -> dict[str, float]:
+    """Propose ``TableSpec.tolerances`` from observed failure rates — the
+    budget-review analogue of :func:`suggest_spec`: profile the batch
+    with the suite's counts-only pass (ONE predicate-scan aggregation,
+    zero violation materialization), then for every constraint that has
+    failures suggest the largest ``mostly`` the batch satisfies,
+    floored to ``quantize`` decimal places (≤ 6 — the spec's BIGINT
+    overflow cap) minus ``margin``.
+
+    Self-consistency contract (pinned by test): re-running the suite
+    with the suggested tolerances on the SAME batch passes.  Constraints
+    with zero failures are omitted — absence means strict, and a clean
+    constraint should stay strict."""
+    if not 0 < quantize <= 6:
+        raise ValueError("quantize must be in 1..6 (spec denominator cap)")
+    row = suite.verdict_counts(df).first()
+    if row is None or not row["n_rows"]:
+        return {}
+    n = row["n_rows"]
+    fails = row["fail_by_constraint"] or {}
+    scale = 10 ** quantize
+    out: dict[str, float] = {}
+    for cid, f in sorted(fails.items()):
+        if not f:
+            continue
+        # floor((n-f)/n * scale) in exact integer math, then the margin
+        q = ((n - f) * scale) // n - round(margin * scale)
+        if q <= 0:
+            q = 1  # an all-failing constraint still gets a valid budget
+        out[cid] = q / scale
+    return out
