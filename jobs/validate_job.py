@@ -63,6 +63,11 @@ def main() -> int:
                     choices=["parquet", "iceberg"],
                     help="read --input as a parquet path or an Iceberg "
                     "table identifier")
+    ap.add_argument("--sketch-cols", default="",
+                    help="comma-separated columns whose per-batch HLL "
+                         "distinct sketches are stored in the checkpoint "
+                         "manifests (running estimates via "
+                         "operators.sketches.running_distinct, no rescan)")
     ap.add_argument("--counts-only", action="store_true",
                     help="batch-gate mode: per-partition verdict counts "
                     "from ONE aggregation (engine.verdict_counts — no "
@@ -130,9 +135,12 @@ def main() -> int:
         spark.stop()
         return 0 if all(v["passed"] for v in verdicts) else 3
 
+    sketch_cols = tuple(
+        c.strip() for c in args.sketch_cols.split(",") if c.strip())
     rv = ResumableValidation(
         suite, store,
         partition_col=args.partition_col, batch_size=args.batch_size,
+        sketch_cols=sketch_cols,
     )
     dims = {"sources_dim": synth.sources_dim(spark)}
     report = rv.run(df, args.run_id, args.out, dims=dims)
@@ -143,6 +151,11 @@ def main() -> int:
         "n_rows": sum(m["n_rows"] for m in report.partitions.values()),
         "n_fail": sum(m["n_fail"] for m in report.partitions.values()),
     }
+    if sketch_cols:
+        from go_jsonschema_spark.operators.sketches import running_distinct
+
+        summary["distinct_estimates"] = running_distinct(
+            spark, store, args.run_id, list(sketch_cols))
     print(json.dumps(summary))
     spark.stop()
     return 0
