@@ -2306,6 +2306,25 @@ def _q_sketch_distinct_sources(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("source")
 
 
+def _q_packing_efficiency_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """Context-length sweep (packing.py packing_efficiency — ONE shared
+    integer-column aggregation computes every candidate L; utilization
+    is a single rounding of exact integer sums): the pad-per-doc vs
+    concat-and-chunk waste numbers that pick a training context
+    length."""
+    import os
+
+    from go_jsonschema_spark.operators.packing import packing_efficiency
+    from go_jsonschema_spark.sources import synth
+
+    path = _sequences_oracle_path()
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        synth.sequences(spark, _SEQ_ORACLE_N).write.mode(
+            "overwrite").parquet(path)
+    return packing_efficiency(
+        spark.read.parquet(path), [128, 256, 512, 1024])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order matters: the driver's CORRECTNESS gate verifies the FIRST 50
     # keys only.  Rounds 1-5 verified 66 distinct queries; the 37 that have
@@ -2384,6 +2403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scoped_violations_sequences": _q_scoped_violations_sequences,
         "dataset_card_sequences": _q_dataset_card_sequences,
         "sketch_distinct_sources": _q_sketch_distinct_sources,
+        "packing_efficiency_sequences": _q_packing_efficiency_sequences,
         "range_join_ship_windows": _q_range_join_ship_windows,
         # -- previously driver-verified (r1-r5), unchanged ------------------
         "asof_purchase_last_error": _q_asof_purchase_last_error,
@@ -3621,6 +3641,34 @@ def oracle_sql() -> dict[str, str]:
                    true AS within_bound
             FROM read_parquet('{_sequences_oracle_path()}/*.parquet')
             GROUP BY source ORDER BY source
+        """,
+        # packing-efficiency replay: identical integer ceil arithmetic,
+        # one rounding per utilization; NULL/non-positive n_tok ignored
+        "packing_efficiency_sequences": f"""
+            WITH s AS (
+                SELECT n_tok
+                FROM read_parquet('{_sequences_oracle_path()}/*.parquet')
+                WHERE n_tok IS NOT NULL AND n_tok > 0
+            ), ls AS (
+                SELECT unnest([128, 256, 512, 1024]) AS context_len
+            ), agg AS (
+                SELECT ls.context_len,
+                       CAST(sum(s.n_tok) AS BIGINT) AS total_tokens,
+                       CAST(sum(((s.n_tok + ls.context_len - 1)
+                                 // ls.context_len) * ls.context_len)
+                            AS BIGINT) AS pad_per_doc_slots
+                FROM s, ls GROUP BY ls.context_len
+            )
+            SELECT CAST(context_len AS INTEGER) AS context_len,
+                   total_tokens, pad_per_doc_slots,
+                   round(CAST(total_tokens AS DOUBLE) / pad_per_doc_slots,
+                         6) AS pad_per_doc_util,
+                   CAST(((total_tokens + context_len - 1) // context_len)
+                        * context_len AS BIGINT) AS concat_chunk_slots,
+                   round(CAST(total_tokens AS DOUBLE) /
+                         (((total_tokens + context_len - 1) // context_len)
+                          * context_len), 6) AS concat_chunk_util
+            FROM agg ORDER BY context_len
         """,
         # metrics-history anomalies: identical trailing window frame
         # (24 PRECEDING..1 PRECEDING, per-metric, ts+value order), the

@@ -25,7 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql import types as T
 
-__all__ = ["pack_chunks", "pack_greedy", "pack_summary", "chunk_grid"]
+__all__ = ["pack_chunks", "pack_greedy", "pack_summary", "chunk_grid",
+           "packing_efficiency"]
 
 
 def pack_chunks(
@@ -198,3 +199,60 @@ def chunk_grid(
         .withColumn("chunk_start", F.col("chunk_id") * stride)
         .withColumn("chunk_end", F.least(F.col("chunk_start") + size, n))
     )
+
+def packing_efficiency(
+    df: DataFrame,
+    lengths: list[int],
+    *,
+    n_tok_col: str = "n_tok",
+) -> DataFrame:
+    """Context-length sweep: for each candidate ``L`` report how much of
+    the padded token grid each packing POLICY wastes — the number a
+    training team actually uses to pick a context length:
+
+    - ``pad_per_doc``: every document padded to a multiple of L
+      (no cross-doc packing; chunked docs pad only their last chunk)
+    - ``concat_chunk``: the whole corpus concatenated then chunked
+      (pack_chunks policy — waste is only the final partial block)
+
+    One aggregation pass over ONE integer column computes every L
+    (each L adds two sums to the same map-side-combined agg — the scan
+    is shared, nothing rescans per L).  Output per L: total real
+    tokens, padded slot counts and utilization (round 6, a single
+    division of exact integer sums).  NULL/negative ``n_tok`` rows are
+    ignored (shape violations are the validator's finding, not a
+    packing input)."""
+    if not lengths or any(
+            not isinstance(x, int) or x <= 0 for x in lengths):
+        raise ValueError("lengths must be positive ints")
+    n = F.col(n_tok_col)
+    ok = n.isNotNull() & (n > 0)
+    aggs = [F.sum(F.when(ok, n).otherwise(F.lit(0))).alias("__tok__")]
+    for i, L in enumerate(sorted(set(lengths))):
+        # pad_per_doc slots: ceil(n/L)*L per doc
+        slots = (F.floor((n + F.lit(L - 1)) / F.lit(L)) * F.lit(L))
+        aggs.append(F.sum(F.when(ok, slots).otherwise(F.lit(0)))
+                    .alias(f"__s{i}__"))
+    one = df.agg(*aggs)
+    Ls = sorted(set(lengths))
+    entries = [
+        F.struct(
+            F.lit(L).cast("int").alias("context_len"),
+            F.col("__tok__").cast("long").alias("total_tokens"),
+            F.col(f"__s{i}__").cast("long").alias("pad_per_doc_slots"),
+            # concat_chunk: one global grid — ceil(total/L)*L
+            (F.floor((F.col("__tok__") + F.lit(L - 1)) / F.lit(L))
+             * F.lit(L)).cast("long").alias("concat_chunk_slots"),
+        )
+        for i, L in enumerate(Ls)
+    ]
+    rows = one.select(F.explode(F.array(*entries)).alias("e")).select("e.*")
+    return rows.select(
+        "context_len", "total_tokens",
+        "pad_per_doc_slots",
+        F.round(F.col("total_tokens") / F.col("pad_per_doc_slots"), 6)
+        .alias("pad_per_doc_util"),
+        "concat_chunk_slots",
+        F.round(F.col("total_tokens") / F.col("concat_chunk_slots"), 6)
+        .alias("concat_chunk_util"),
+    ).orderBy("context_len")
