@@ -2325,6 +2325,57 @@ def _q_packing_efficiency_sequences(spark: SparkSession, sf: str) -> DataFrame:
         spark.read.parquet(path), [128, 256, 512, 1024])
 
 
+def _rebalance_u_path() -> str:
+    import os
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    return os.path.join(root, ".benchdata", "oracle", "rebal_u_s42_r1m")
+
+
+def _q_rebalance_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-share mixture rebalancing (sampling.py
+    rebalance_by_token_share — exact-integer per-source thresholds from
+    one bounded totals aggregation; the sample is a scan-level filter,
+    reproducible and stable under incremental ingestion).  The xxhash64
+    uniform is the one piece DuckDB cannot recompute, so the query
+    snapshots the DISTINCT (doc_id, u) map once (u is a pure function
+    of doc_id) and the oracle independently re-derives totals, the
+    binding source, every threshold and the kept aggregates from the
+    raw parquet + that map."""
+    import os
+
+    from go_jsonschema_spark.operators.sampling import (
+        rebalance_by_token_share,
+    )
+    from go_jsonschema_spark.sources import synth
+
+    path = _sequences_oracle_path()
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        synth.sequences(spark, _SEQ_ORACLE_N).write.mode(
+            "overwrite").parquet(path)
+    df = spark.read.parquet(path)
+    upath = _rebalance_u_path()
+    if not os.path.exists(os.path.join(upath, "_SUCCESS")):
+        df.select(
+            "doc_id",
+            F.pmod(F.xxhash64(F.col("doc_id"), F.lit(42)),
+                   F.lit(1_000_000)).alias("u"),
+        ).distinct().write.mode("overwrite").parquet(upath)
+    sampled, thr = rebalance_by_token_share(
+        df, {"src0": 5, "src1": 3, "src2": 2})
+    agg = sampled.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs_kept"),
+        F.sum("n_tok").alias("tokens_kept"),
+    )
+    thr_col = F.create_map(
+        *[x for s, t in sorted(thr.items())
+          for x in (F.lit(s), F.lit(t))])
+    return agg.select(
+        "source", "n_docs_kept", "tokens_kept",
+        F.element_at(thr_col, F.col("source")).cast("long").alias("thr"),
+    ).orderBy("source")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order matters: the driver's CORRECTNESS gate verifies the FIRST 50
     # keys only.  Rounds 1-5 verified 66 distinct queries; the 37 that have
@@ -2404,6 +2455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_card_sequences": _q_dataset_card_sequences,
         "sketch_distinct_sources": _q_sketch_distinct_sources,
         "packing_efficiency_sequences": _q_packing_efficiency_sequences,
+        "rebalance_sequences": _q_rebalance_sequences,
         "range_join_ship_windows": _q_range_join_ship_windows,
         # -- previously driver-verified (r1-r5), unchanged ------------------
         "asof_purchase_last_error": _q_asof_purchase_last_error,
@@ -3669,6 +3721,45 @@ def oracle_sql() -> dict[str, str]:
                          (((total_tokens + context_len - 1) // context_len)
                           * context_len), 6) AS concat_chunk_util
             FROM agg ORDER BY context_len
+        """,
+        # rebalance replay: totals, binding source (argmin tokens/weight,
+        # ties by name), exact-integer thresholds and kept aggregates all
+        # re-derived in SQL; only the xxhash64 uniform comes from the
+        # snapshotted (doc_id, u) map — a pure per-doc_id function
+        "rebalance_sequences": f"""
+            WITH s AS (
+                SELECT * FROM read_parquet('{_sequences_oracle_path()}/*.parquet')
+            ), w AS (
+                SELECT * FROM (VALUES ('src0', 5), ('src1', 3),
+                                      ('src2', 2)) AS t(source, wt)
+            ), tot AS (
+                SELECT w.source, w.wt,
+                       CAST(sum(CASE WHEN s.n_tok > 0 THEN s.n_tok
+                                ELSE 0 END) AS BIGINT) AS toks
+                FROM s JOIN w USING (source) GROUP BY w.source, w.wt
+            ), m AS (
+                SELECT source AS msrc, wt AS mwt, toks AS mtoks
+                FROM tot ORDER BY CAST(toks AS DOUBLE) / wt, source
+                LIMIT 1
+            ), thr AS (
+                SELECT tot.source,
+                       LEAST(1000000, (1000000 * tot.wt * m.mtoks)
+                             // (m.mwt * tot.toks)) AS thr
+                FROM tot, m
+            ), u AS (
+                SELECT * FROM read_parquet('{_rebalance_u_path()}/*.parquet')
+            ), kept AS (
+                SELECT s.source, s.n_tok, thr.thr
+                FROM s
+                JOIN thr USING (source)
+                JOIN u USING (doc_id)
+                WHERE u.u < thr.thr
+            )
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs_kept,
+                   CAST(sum(n_tok) AS BIGINT) AS tokens_kept,
+                   CAST(max(thr) AS BIGINT) AS thr
+            FROM kept GROUP BY source ORDER BY source
         """,
         # metrics-history anomalies: identical trailing window frame
         # (24 PRECEDING..1 PRECEDING, per-metric, ts+value order), the

@@ -20,10 +20,12 @@ nothing needs to be persisted to re-derive a split.
 
 from __future__ import annotations
 
+from fractions import Fraction
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 __all__ = ["hash_split", "hash_sample", "stratified_sample", "hash_bucket",
-           "mixing_weights",
+           "mixing_weights", "rebalance_by_token_share",
            "cap_per_group", "diversity_sample", "weighted_sample"]
 
 _BUCKETS = 1_000_000
@@ -219,3 +221,67 @@ def mixing_weights(
             F.round(F.col("weight") / F.col("p"), 6).alias("multiplier"),
         )
     )
+
+def rebalance_by_token_share(
+    df: DataFrame,
+    weights: dict[str, int],
+    *,
+    token_col: str = "n_tok",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    resolution: int = 1_000_000,
+) -> tuple[DataFrame, dict[str, int]]:
+    """Deterministic mixture rebalancing by TOKEN share: sample each
+    source down so kept-token totals approach the ratio given by
+    integer ``weights`` (e.g. ``{"web": 7, "code": 2, "wiki": 1}``),
+    without discarding more than necessary — the most-constrained
+    source (smallest ``tokens/weight``) keeps EVERYTHING and every
+    other source thins toward it.
+
+    Exactness discipline: per-source keep thresholds are computed in
+    pure integer arithmetic — ``thr_s = floor(resolution * w_s *
+    tokens_m / (w_m * tokens_s))`` with ``m`` the binding source — and
+    a row is kept iff ``pmod(xxhash64(id, seed), resolution) < thr_s``:
+    a pure function of the row, so the sample is reproducible
+    run-to-run, engine-replayable given the hash values, and adding or
+    removing OTHER rows never flips a kept row (stable under
+    incremental ingestion).  One bounded aggregation (per-source token
+    totals, ≤ #sources rows collected) plans the thresholds; the
+    sample itself is a scan-level filter — no shuffle of the corpus.
+
+    Returns ``(sampled_df, thresholds)``; sources absent from
+    ``weights`` are dropped (a mixture is a whitelist)."""
+    if not weights or any(
+            not isinstance(w, int) or w <= 0 for w in weights.values()):
+        raise ValueError("weights must be positive integers per source")
+    totals = {
+        r[0]: r[1]
+        for r in df.filter(F.col(source_col).isin([*weights]))
+        .groupBy(source_col)
+        .agg(F.sum(F.when(F.col(token_col) > 0, F.col(token_col))
+                   .otherwise(F.lit(0))).alias("t"))
+        .collect()
+    }
+    missing = [s for s in weights if not totals.get(s)]
+    if missing:
+        raise ValueError(
+            f"sources with no tokens cannot anchor a mixture: {missing}")
+    # binding source m: smallest tokens/weight, ties by name — exact
+    # rational comparison via cross-multiplication
+    m = min(weights, key=lambda s: (Fraction(totals[s], weights[s]), s))
+    thr = {
+        s: min(
+            resolution,
+            (resolution * weights[s] * totals[m])
+            // (weights[m] * totals[s]),
+        )
+        for s in weights
+    }
+    u = F.pmod(F.xxhash64(F.col(id_col), F.lit(int(seed))),
+               F.lit(resolution))
+    rule = None
+    for s, t in sorted(thr.items()):
+        cond = (F.col(source_col) == s) & (u < F.lit(t))
+        rule = cond if rule is None else (rule | cond)
+    return df.filter(rule), thr
