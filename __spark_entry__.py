@@ -255,6 +255,42 @@ def _q_streaming_drift_psi(spark: SparkSession, sf: str) -> DataFrame:
         "window_start", "n_rows", F.round("psi", 4).alias("psi"))
 
 
+def _q_streaming_fk_violations(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming referential integrity (r6): orders streamed AvailableNow
+    against a STATIC customer dimension restricted to the BUILDING
+    segment — streaming/validate.py stream_fk_violations is a stateless
+    broadcast stream-static left-anti join (no state store, no
+    watermark), so the union of all micro-batch outputs equals the batch
+    anti-join the DuckDB oracle replays with NOT EXISTS.  Locks the
+    last stateless streaming surface (violations locked the predicate
+    path; this locks the dimension-join path)."""
+    from go_jsonschema_spark.streaming.validate import stream_fk_violations
+
+    qname = "streaming_fk_mem"
+    try:
+        spark.catalog.dropTempView(qname)
+    except Exception:
+        pass
+    schema = spark.read.parquet(f"{sf}/orders.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "orders.parquet")
+        .parquet(sf)
+    )
+    dim = _t(spark, sf, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING")
+    q = (
+        stream_fk_violations(stream, "o_custkey", dim, "c_custkey",
+                             key="o_orderkey",
+                             constraint_id="fk:o_custkey:building")
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    _await_stream(q, 300)
+    return spark.table(qname).select(
+        F.col("doc_id").alias("o_orderkey"), "constraint_id", "observed")
+
+
 def _q_verdicts_by_source(spark: SparkSession, sf: str) -> DataFrame:
     res = _documents_suite().run(_t(spark, sf, "documents"),
                                  partition_col="source")
@@ -2470,6 +2506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dup_keys": _q_streaming_dup_keys,
         "streaming_drift_psi": _q_streaming_drift_psi,
         "streaming_sessions": _q_streaming_sessions,
+        "streaming_fk_violations": _q_streaming_fk_violations,
         "stats_lineitem": _q_stats_lineitem,
         "dup_custkeys_orders": _q_dup_custkeys_orders,
         "fk_violations_events": _q_fk_violations_events,
@@ -4948,6 +4985,18 @@ def oracle_sql() -> dict[str, str]:
                CAST(floor(epoch(max(ts))) AS BIGINT) AS sess_last,
                CAST(count(*) AS BIGINT) AS n_events
         FROM s2 GROUP BY user_id, sid
+    """
+    # stateless stream-static anti-join == batch anti-join over the
+    # same (complete) input; NULL o_custkey never matches the dim, so
+    # NOT EXISTS keeps it — identical to Spark's left_anti semantics
+    out["streaming_fk_violations"] = """
+        SELECT CAST(o_orderkey AS VARCHAR) AS o_orderkey,
+               'fk:o_custkey:building' AS constraint_id,
+               CAST(o_custkey AS VARCHAR) AS observed
+        FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey
+                            AND c.c_mktsegment = 'BUILDING')
     """
     # quantile normalization: rank only over non-null rows (the
     # operator unions NULLs back untouched), cume_dist is tie-stable
