@@ -938,6 +938,29 @@ def _q_tfidf_keywords_documents(spark: SparkSession, sf: str) -> DataFrame:
     return tfidf_keywords(_t(spark, sf, "documents"), top_k=3)
 
 
+def _q_pmi_bigrams_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Collocation mining (r6): top-50 bigrams by pointwise mutual
+    information with a min-count guard — corpus counts map-side combine
+    from per-doc multiplicities, unigram/totals broadcast, top-k via
+    TakeOrderedAndProject.  DuckDB recomputes all four count tables and
+    the five-term log sum; rank replays on (rounded pmi DESC, w1, w2)."""
+    from go_jsonschema_spark.operators.corpus import pmi_collocations
+
+    return pmi_collocations(_t(spark, sf, "documents"),
+                            min_count=5, top_k=50)
+
+
+def _q_vocab_overlap_sources(spark: SparkSession, sf: str) -> DataFrame:
+    """Vocabulary Jaccard between every source pair (r6): one distinct
+    (source, word) aggregation, a word-keyed self-join bounded by the
+    group count per word, and an all-pairs skeleton so empty
+    intersections still emit.  DuckDB replays set sizes + intersection
+    exactly."""
+    from go_jsonschema_spark.operators.corpus import vocab_overlap
+
+    return vocab_overlap(_t(spark, sf, "documents"), group_col="source")
+
+
 def _q_k_anonymity_customer(spark: SparkSession, sf: str) -> DataFrame:
     """k-anonymity check (r5): equivalence classes of the customer
     quasi-identifiers (nation, market segment) smaller than k=8 — the
@@ -2542,6 +2565,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diversity_sample_embeddings": _q_diversity_sample_embeddings,
         "semantic_dedup_embeddings": _q_semantic_dedup_embeddings,
         "tfidf_keywords_documents": _q_tfidf_keywords_documents,
+        "pmi_bigrams_documents": _q_pmi_bigrams_documents,
+        "vocab_overlap_sources": _q_vocab_overlap_sources,
         "props_json_validation": _q_props_json_validation,
         "props_json_native": _q_props_json_native,
         "props_json_suite": _q_props_json_suite,
@@ -4503,6 +4528,67 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, word, CAST(tf AS BIGINT) AS tf, tfidf,
                CAST(rank AS BIGINT) AS rank
         FROM r WHERE rank <= 3
+    """
+    # PMI collocations: all four count tables recomputed from scratch;
+    # the five-term log sum is ln of exact integers in the same
+    # left-to-right order, rounded to 4 (the lm_perplexity precision);
+    # rank replays (rounded pmi DESC, w1, w2) with LIMIT
+    out["pmi_bigrams_documents"] = r"""
+        WITH w AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(
+                       lower(trim(coalesce(text, ''))), '\s+'),
+                       x -> len(x) > 0) AS ws
+            FROM documents
+        ), g AS (
+            SELECT ws[i] AS w1, ws[i + 1] AS w2
+            FROM w, UNNEST(range(1, greatest(len(ws) - 1, 0) + 1)) AS t(i)
+        ), big AS (
+            SELECT w1, w2, count(*) AS c12 FROM g GROUP BY 1, 2
+            HAVING count(*) >= 5
+        ), uni AS (
+            SELECT u AS word, count(*) AS c
+            FROM (SELECT unnest(ws) AS u FROM w) GROUP BY 1
+        ), tt AS (SELECT sum(c) AS t FROM uni),
+        bt AS (SELECT count(*) AS b FROM g)
+        SELECT big.w1, big.w2, CAST(big.c12 AS BIGINT) AS c12,
+               round(ln(CAST(big.c12 AS DOUBLE))
+                     + 2.0 * ln(CAST(tt.t AS DOUBLE))
+                     - ln(CAST(bt.b AS DOUBLE))
+                     - ln(CAST(u1.c AS DOUBLE))
+                     - ln(CAST(u2.c AS DOUBLE)), 4) AS pmi
+        FROM big
+        JOIN uni u1 ON u1.word = big.w1
+        JOIN uni u2 ON u2.word = big.w2
+        CROSS JOIN tt CROSS JOIN bt
+        ORDER BY pmi DESC, big.w1, big.w2
+        LIMIT 50
+    """
+    # vocabulary overlap: distinct (source, word) sets, intersection by
+    # self-join, all-pairs skeleton keeps empty intersections
+    out["vocab_overlap_sources"] = r"""
+        WITH v AS (
+            SELECT DISTINCT source AS g, u AS w
+            FROM (SELECT source,
+                         unnest(list_filter(regexp_split_to_array(
+                             lower(trim(coalesce(text, ''))), '\s+'),
+                             x -> len(x) > 0)) AS u
+                  FROM documents WHERE source IS NOT NULL)
+        ), sz AS (
+            SELECT g, count(*) AS v FROM v GROUP BY g
+        ), inter AS (
+            SELECT a.g AS g1, b.g AS g2, count(*) AS n_common
+            FROM v a JOIN v b ON a.w = b.w AND a.g < b.g
+            GROUP BY 1, 2
+        )
+        SELECT s1.g AS g1, s2.g AS g2,
+               CAST(s1.v AS BIGINT) AS v1, CAST(s2.v AS BIGINT) AS v2,
+               CAST(coalesce(i.n_common, 0) AS BIGINT) AS n_common,
+               round(CAST(coalesce(i.n_common, 0) AS DOUBLE)
+                     / CAST(s1.v + s2.v - coalesce(i.n_common, 0)
+                            AS DOUBLE), 6) AS jaccard
+        FROM sz s1 JOIN sz s2 ON s1.g < s2.g
+        LEFT JOIN inter i ON i.g1 = s1.g AND i.g2 = s2.g
     """
     # k-anonymity: plain GROUP BY + HAVING over the quasi-identifiers —
     # DuckDB shares Spark's groupBy NULL semantics (NULLs form a class)

@@ -210,3 +210,82 @@ def test_bm25_take_ordered_plan(spark):
     plan = buf.getvalue()
     assert "TakeOrderedAndProject" in plan  # distributed top-k, no sort-all
     assert "BatchEvalPython" not in plan
+
+
+# --- pmi_collocations / vocab_overlap (r6) ---------------------------------
+
+
+def test_pmi_hand_computed(spark):
+    from go_jsonschema_spark.operators.corpus import pmi_collocations
+
+    # corpus: "a b" x3 docs + "a c" -> bigrams: ab,ab,ab,ac (B=4)
+    # unigrams: a x4, b x3, c x1 (T=8)
+    df = _docs(spark, [(1, "a b"), (2, "a b"), (3, "a b"), (4, "a c")])
+    got = {(r["w1"], r["w2"]): r for r in
+           pmi_collocations(df, min_count=1, top_k=10).collect()}
+    T, B = 8, 4
+    pmi_ab = (math.log(3) + 2 * math.log(T) - math.log(B)
+              - math.log(4) - math.log(3))
+    pmi_ac = (math.log(1) + 2 * math.log(T) - math.log(B)
+              - math.log(4) - math.log(1))
+    assert got[("a", "b")]["c12"] == 3
+    assert got[("a", "b")]["pmi"] == pytest.approx(pmi_ab, abs=1e-4)
+    assert got[("a", "c")]["pmi"] == pytest.approx(pmi_ac, abs=1e-4)
+
+
+def test_pmi_min_count_and_top_k(spark):
+    from go_jsonschema_spark.operators.corpus import pmi_collocations
+
+    df = _docs(spark, [(1, "a b"), (2, "a b"), (3, "a c")])
+    got = pmi_collocations(df, min_count=2, top_k=10).collect()
+    assert [(r["w1"], r["w2"]) for r in got] == [("a", "b")]
+    # top_k truncates deterministically on (pmi desc, w1, w2)
+    one = pmi_collocations(df, min_count=1, top_k=1).collect()
+    assert len(one) == 1
+
+
+def test_pmi_rejects_bad_min_count(spark):
+    from go_jsonschema_spark.operators.corpus import pmi_collocations
+
+    with pytest.raises(ValueError, match="min_count"):
+        pmi_collocations(_docs(spark, [(1, "a b")]), min_count=0)
+
+
+def test_pmi_null_and_short_docs_ignored(spark):
+    from go_jsonschema_spark.operators.corpus import pmi_collocations
+
+    df = _docs(spark, [(1, "a b"), (2, "a b"), (3, None), (4, "solo")])
+    got = pmi_collocations(df, min_count=1, top_k=10).collect()
+    # only the ab bigram exists; solo/null docs contribute unigram mass
+    assert [(r["w1"], r["w2"], r["c12"]) for r in got] == [("a", "b", 2)]
+
+
+def test_vocab_overlap_hand_computed(spark):
+    from go_jsonschema_spark.operators.corpus import vocab_overlap
+
+    df = spark.createDataFrame(
+        [(1, "a b c", "s1"), (2, "b c d", "s2"), (3, "x y", "s3"),
+         (4, "c", "s1"), (5, None, "s2"), (6, "z", None)],
+        "doc_id long, text string, source string")
+    rows = {(r["g1"], r["g2"]): r for r in
+            vocab_overlap(df, group_col="source").collect()}
+    assert len(rows) == 3  # all pairs of s1,s2,s3 (null source dropped)
+    r12 = rows[("s1", "s2")]
+    assert (r12["v1"], r12["v2"], r12["n_common"]) == (3, 3, 2)  # {b,c}
+    assert r12["jaccard"] == pytest.approx(2 / 4, abs=1e-6)
+    # disjoint vocabularies still emit, with zero overlap
+    r13 = rows[("s1", "s3")]
+    assert (r13["n_common"], r13["jaccard"]) == (0, 0.0)
+
+
+def test_vocab_overlap_null_text_is_empty_vocab(spark):
+    from go_jsonschema_spark.operators.corpus import vocab_overlap
+
+    df = spark.createDataFrame(
+        [(1, "a", "s1"), (2, None, "s2")],
+        "doc_id long, text string, source string")
+    rows = vocab_overlap(df, group_col="source").collect()
+    # s2 has no tokens at all -> it has no vocab rows, so no pair emits
+    # (the skeleton is built from groups WITH vocab; an all-null-text
+    # group has v = 0 and an undefined jaccard)
+    assert rows == [] or all(r["g2"] != "s2" for r in rows)

@@ -260,3 +260,24 @@ def test_simhash_pairs_no_dedup_exchange(spark):
     assert "hashpartitioning(a" not in plan
     # and the exact-hamming filter still runs (verify not lost)
     assert "bit_count" in plan
+
+
+def test_pmi_and_vocab_overlap_native_plans(spark):
+    """r6: both corpus collocation/overlap ops stay JVM-side (no Python
+    eval nodes) and the small dimension tables broadcast — the unigram/
+    totals tables in PMI, the per-group size skeleton in vocab_overlap."""
+    from go_jsonschema_spark.operators.corpus import (
+        pmi_collocations, vocab_overlap)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pmi_plan = _plan(pmi_collocations(docs, min_count=5, top_k=50))
+    assert "BatchEvalPython" not in pmi_plan
+    assert "ArrowEvalPython" not in pmi_plan
+    assert "BroadcastExchange" in pmi_plan        # totals/bigram mass
+    assert "TakeOrderedAndProject" in pmi_plan    # top-k, no global sort
+
+    vo_plan = _plan(vocab_overlap(docs, group_col="source"))
+    assert "BatchEvalPython" not in vo_plan
+    assert "BroadcastExchange" in vo_plan         # sizes skeleton
+    # the fact scan is pruned to the two needed columns
+    assert "n_chars" not in vo_plan
