@@ -2365,6 +2365,30 @@ def _q_sketch_distinct_sources(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("source")
 
 
+def _q_sketch_quantiles_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable quantile sketches (r6, the HLL story for percentiles):
+    per-source p50/p90/p99 of n_tok from the base-2/16-sub-bucket
+    log-histogram — bucketing is EXACT integer bit arithmetic
+    (len(bin(x)), shifts), so unlike HLL the DuckDB oracle replays the
+    WHOLE sketch: histogram, exact Fraction rank rule, and lower-bound
+    doubles, value-for-value."""
+    import os
+
+    from go_jsonschema_spark.operators.sketches import (
+        grouped_sketch_quantiles,
+    )
+    from go_jsonschema_spark.sources import synth
+
+    path = _sequences_oracle_path()
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        synth.sequences(spark, _SEQ_ORACLE_N).write.mode(
+            "overwrite").parquet(path)
+    df = spark.read.parquet(path)
+    return grouped_sketch_quantiles(
+        df, "n_tok", {"p50": "0.5", "p90": "0.9", "p99": "0.99"},
+        group_col="source")
+
+
 def _q_packing_efficiency_sequences(spark: SparkSession, sf: str) -> DataFrame:
     """Context-length sweep (packing.py packing_efficiency — ONE shared
     integer-column aggregation computes every candidate L; utilization
@@ -2513,6 +2537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scoped_violations_sequences": _q_scoped_violations_sequences,
         "dataset_card_sequences": _q_dataset_card_sequences,
         "sketch_distinct_sources": _q_sketch_distinct_sources,
+        "sketch_quantiles_sequences": _q_sketch_quantiles_sequences,
         "packing_efficiency_sequences": _q_packing_efficiency_sequences,
         "rebalance_sequences": _q_rebalance_sequences,
         "range_join_ship_windows": _q_range_join_ship_windows,
@@ -3755,6 +3780,51 @@ def oracle_sql() -> dict[str, str]:
                    true AS within_bound
             FROM read_parquet('{_sequences_oracle_path()}/*.parquet')
             GROUP BY source ORDER BY source
+        """,
+        # quantile-sketch FULL replay (unlike HLL this sketch is exact
+        # integer bit arithmetic): same bucket rule via bin()/shifts,
+        # same ceil-rank integer rule, same power-of-two lower-bound
+        # doubles — value-for-value
+        "sketch_quantiles_sequences": f"""
+            WITH seq AS (
+                SELECT source, CAST(n_tok AS BIGINT) AS x
+                FROM read_parquet('{_sequences_oracle_path()}/*.parquet')
+                WHERE n_tok IS NOT NULL
+            ), b AS (
+                SELECT source,
+                       CASE WHEN x = 0 THEN CAST(-1 AS BIGINT)
+                            ELSE CAST(length(bin(x)) - 1 AS BIGINT) * 16
+                                 + ((x - (CAST(1 AS BIGINT)
+                                          << (length(bin(x)) - 1))) * 16
+                                    >> (length(bin(x)) - 1))
+                       END AS bucket
+                FROM seq
+            ), h AS (
+                SELECT source, bucket, count(*) AS n FROM b GROUP BY 1, 2
+            ), c AS (
+                SELECT source, bucket, n,
+                       sum(n) OVER (PARTITION BY source
+                                    ORDER BY bucket) AS cum,
+                       sum(n) OVER (PARTITION BY source) AS tot
+                FROM h
+            ), lbv AS (
+                SELECT *,
+                       CASE WHEN bucket = -1 THEN 0.0
+                            ELSE CAST(16 + bucket % 16 AS DOUBLE) / 16.0
+                                 * CAST(CAST(1 AS BIGINT)
+                                        << CAST(bucket // 16 AS INT)
+                                        AS DOUBLE)
+                       END AS lo
+                FROM c
+            )
+            SELECT source, CAST(max(tot) AS BIGINT) AS n,
+                   min(CASE WHEN cum >= (tot * 1 + 1) // 2
+                            THEN lo END) AS p50,
+                   min(CASE WHEN cum >= (tot * 9 + 9) // 10
+                            THEN lo END) AS p90,
+                   min(CASE WHEN cum >= (tot * 99 + 99) // 100
+                            THEN lo END) AS p99
+            FROM lbv GROUP BY source
         """,
         # packing-efficiency replay: identical integer ceil arithmetic,
         # one rounding per utilization; NULL/non-positive n_tok ignored

@@ -192,7 +192,8 @@ class ResumableValidation:
 
     def __init__(self, suite, store: CheckpointStore, *,
                  partition_col: str, batch_size: int = 4,
-                 sketch_cols: tuple[str, ...] = ()) -> None:
+                 sketch_cols: tuple[str, ...] = (),
+                 quantile_cols: tuple[str, ...] = ()) -> None:
         self.suite = suite
         self.store = store
         self.partition_col = partition_col
@@ -202,6 +203,10 @@ class ResumableValidation:
         # then come from a driver-side union over manifests, never a
         # rescan of completed batches
         self.sketch_cols = tuple(sketch_cols)
+        # columns whose per-batch log-histogram quantile sketches are
+        # stored in the manifest (operators/sketches.py): running
+        # percentile estimates merge driver-side by integer addition
+        self.quantile_cols = tuple(quantile_cols)
 
     def run(
         self,
@@ -246,7 +251,7 @@ class ResumableValidation:
                 n_skip += 1
                 part_metrics.update({
                     k: v for k, v in prev["metrics"].items()
-                    if k != "__sketches__"
+                    if k not in ("__sketches__", "__qsketches__")
                 })
                 continue
             # partition pruning: the filter reaches the scan, so completed
@@ -280,6 +285,14 @@ class ResumableValidation:
                 metrics = dict(metrics)
                 metrics["__sketches__"] = batch_distinct_sketch(
                     sub, list(self.sketch_cols))
+            if self.quantile_cols:
+                from go_jsonschema_spark.operators.sketches import (
+                    batch_quantile_sketch,
+                )
+
+                metrics = dict(metrics)
+                metrics["__qsketches__"] = batch_quantile_sketch(
+                    sub, list(self.quantile_cols))
             self.store.mark_complete(run_id, key, [*batch], metrics, out_path)
             n_run += 1
 

@@ -68,6 +68,12 @@ def main() -> int:
                          "distinct sketches are stored in the checkpoint "
                          "manifests (running estimates via "
                          "operators.sketches.running_distinct, no rescan)")
+    ap.add_argument("--quantile-cols", default="",
+                    help="comma-separated non-negative integral columns "
+                         "whose per-batch log-histogram quantile sketches "
+                         "are stored in the checkpoint manifests (running "
+                         "p50/p90/p99 estimates via "
+                         "operators.sketches.running_quantiles, no rescan)")
     ap.add_argument("--counts-only", action="store_true",
                     help="batch-gate mode: per-partition verdict counts "
                     "from ONE aggregation (engine.verdict_counts — no "
@@ -137,10 +143,12 @@ def main() -> int:
 
     sketch_cols = tuple(
         c.strip() for c in args.sketch_cols.split(",") if c.strip())
+    quantile_cols = tuple(
+        c.strip() for c in args.quantile_cols.split(",") if c.strip())
     rv = ResumableValidation(
         suite, store,
         partition_col=args.partition_col, batch_size=args.batch_size,
-        sketch_cols=sketch_cols,
+        sketch_cols=sketch_cols, quantile_cols=quantile_cols,
     )
     dims = {"sources_dim": synth.sources_dim(spark)}
     report = rv.run(df, args.run_id, args.out, dims=dims)
@@ -156,6 +164,15 @@ def main() -> int:
 
         summary["distinct_estimates"] = running_distinct(
             spark, store, args.run_id, list(sketch_cols))
+    if quantile_cols:
+        from go_jsonschema_spark.operators.sketches import running_quantiles
+
+        summary["quantile_estimates"] = {
+            c: {str(q): v for q, v in qe.items()}
+            for c, qe in running_quantiles(
+                store, args.run_id, list(quantile_cols),
+                [0.5, 0.9, 0.99]).items()
+        }
     print(json.dumps(summary))
     spark.stop()
     return 0
