@@ -928,6 +928,25 @@ def _q_lm_perplexity_documents(spark: SparkSession, sf: str) -> DataFrame:
         F.round("ppl", 4).alias("ppl"))
 
 
+def _q_pagerank_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-point PageRank (r6, operators/graph.py) over the bipartite
+    customer→supplier order graph — three unrolled iterations of
+    edges⋈ranks + dst-keyed sum, ALL integer multiply/floor-div/sum so
+    the ranks are exact int64 mass units and DuckDB replays the whole
+    iteration bit-for-bit (float PageRank has no cross-engine oracle;
+    this one does)."""
+    from go_jsonschema_spark.operators.graph import pagerank
+
+    edges = (
+        _t(spark, sf, "orders")
+        .join(_t(spark, sf, "lineitem"),
+              F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+                F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"))
+    )
+    return pagerank(edges, iterations=3)
+
+
 def _q_tfidf_keywords_documents(spark: SparkSession, sf: str) -> DataFrame:
     """TF-IDF keyword extraction (r5): top-3 characteristic terms per
     doc, ranked on the ROUNDED score with a word-ASC tie-break so the
@@ -2591,6 +2610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_embeddings": _q_semantic_dedup_embeddings,
         "tfidf_keywords_documents": _q_tfidf_keywords_documents,
         "pmi_bigrams_documents": _q_pmi_bigrams_documents,
+        "pagerank_suppliers": _q_pagerank_suppliers,
         "vocab_overlap_sources": _q_vocab_overlap_sources,
         "props_json_validation": _q_props_json_validation,
         "props_json_native": _q_props_json_native,
@@ -4633,6 +4653,57 @@ def oracle_sql() -> dict[str, str]:
         CROSS JOIN tt CROSS JOIN bt
         ORDER BY pmi DESC, big.w1, big.w2
         LIMIT 50
+    """
+    # fixed-point PageRank: three unrolled iterations in BIGINT floor
+    # arithmetic — both engines' integer div truncate identically on
+    # non-negative mass, so ranks match exactly, no rounding anywhere
+    out["pagerank_suppliers"] = """
+        WITH e AS (
+            SELECT DISTINCT 'c' || o_custkey AS src,
+                            's' || l_suppkey AS dst
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE o_custkey IS NOT NULL AND l_suppkey IS NOT NULL
+        ), nodes AS (
+            SELECT src AS node FROM e UNION SELECT dst FROM e
+        ), od AS (
+            SELECT src, count(*) AS outdeg FROM e GROUP BY src
+        ), nn AS (SELECT count(*) AS n FROM nodes),
+        r0 AS (
+            SELECT node, od.outdeg,
+                   CAST(1000000000000 AS BIGINT) AS rank
+            FROM nodes LEFT JOIN od ON node = od.src
+        ),
+        c1 AS (SELECT e.dst, sum((r.rank * 17) // (20 * r.outdeg)) AS m
+               FROM e JOIN r0 r ON e.src = r.node GROUP BY e.dst),
+        d1 AS (SELECT coalesce(sum(rank), 0) AS dang
+               FROM r0 WHERE outdeg IS NULL),
+        r1 AS (SELECT r.node, r.outdeg,
+                      CAST(150000000000 + coalesce(c1.m, 0)
+                           + ((d1.dang // nn.n) * 17) // 20 AS BIGINT)
+                          AS rank
+               FROM r0 r LEFT JOIN c1 ON r.node = c1.dst
+               CROSS JOIN d1 CROSS JOIN nn),
+        c2 AS (SELECT e.dst, sum((r.rank * 17) // (20 * r.outdeg)) AS m
+               FROM e JOIN r1 r ON e.src = r.node GROUP BY e.dst),
+        d2 AS (SELECT coalesce(sum(rank), 0) AS dang
+               FROM r1 WHERE outdeg IS NULL),
+        r2 AS (SELECT r.node, r.outdeg,
+                      CAST(150000000000 + coalesce(c2.m, 0)
+                           + ((d2.dang // nn.n) * 17) // 20 AS BIGINT)
+                          AS rank
+               FROM r1 r LEFT JOIN c2 ON r.node = c2.dst
+               CROSS JOIN d2 CROSS JOIN nn),
+        c3 AS (SELECT e.dst, sum((r.rank * 17) // (20 * r.outdeg)) AS m
+               FROM e JOIN r2 r ON e.src = r.node GROUP BY e.dst),
+        d3 AS (SELECT coalesce(sum(rank), 0) AS dang
+               FROM r2 WHERE outdeg IS NULL),
+        r3 AS (SELECT r.node, r.outdeg,
+                      CAST(150000000000 + coalesce(c3.m, 0)
+                           + ((d3.dang // nn.n) * 17) // 20 AS BIGINT)
+                          AS rank
+               FROM r2 r LEFT JOIN c3 ON r.node = c3.dst
+               CROSS JOIN d3 CROSS JOIN nn)
+        SELECT node, rank FROM r3
     """
     # vocabulary overlap: distinct (source, word) sets, intersection by
     # self-join, all-pairs skeleton keeps empty intersections

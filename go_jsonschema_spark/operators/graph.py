@@ -1,0 +1,136 @@
+"""Iterative graph analytics over edge DataFrames — PageRank with a
+fixed, unrolled iteration count.
+
+Reference parity note: the reference (go-jsonschema) has no graph ops —
+this is north-star pipeline territory like dedup.py: rank entities by
+link structure (hosts by hyperlinks a la the original PageRank, docs by
+citation, users by interaction) to weight or filter training data.
+
+Determinism discipline (the repo rule that every operator's oracle
+replays value-for-value): floating-point PageRank is NOT reproducible
+across engines — the per-node contribution sum is a float reduction
+whose order Spark does not fix.  So ranks here are FIXED-POINT int64
+("mass units"): every step is integer multiply / floor-divide / sum,
+which is associative, order-free, and replayable in any SQL engine with
+BIGINT math.  With init = 10^12 units per node the quantization error
+is ~10^-12 relative — far below anything a ranking consumer can see —
+and two engines agree EXACTLY, not approximately.
+
+The update rule (damping d = num/den, N nodes, M = N·init total mass):
+
+    contrib(e: u→v) = (rank(u) · num) div (den · outdeg(u))
+    dang_share      = ((Σ_{outdeg(u)=0} rank(u)) div N · num) div den
+    rank'(v)        = (init · (den − num)) div den        (teleport)
+                      + Σ_incoming contrib + dang_share
+
+Scale shape (100 TB of edges):
+- the rank table is NODE-sized, edges are the big side; each iteration
+  is one edges⋈ranks equi-join on src + one dst-keyed aggregation —
+  the classic pattern.  Both tables are hash-partitioned on the join
+  key; AQE handles skew (celebrity nodes) with skew-join splitting.
+- the dangling-mass total is a one-row aggregate broadcast back into
+  the update (no driver collect inside the loop — the whole unrolled
+  plan stays lazy).
+- iterations are a fixed unroll (3 by default): each adds one shuffle
+  pair; for deep runs localCheckpoint every ~5 iterations to cut
+  lineage (documented, not needed at the gate's depth).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["pagerank"]
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    damping: tuple[int, int] = (17, 20),
+    init: int = 10**12,
+) -> DataFrame:
+    """Fixed-point PageRank over the DISTINCT directed edges of
+    ``edges`` (parallel edges collapse; self-loops count).  Returns
+    ``(node, rank)`` with rank in integer mass units — divide by
+    ``init·N`` for a probability if needed, but compare ranks as the
+    exact integers they are.
+
+    ``damping`` is an exact fraction (num, den); the default (17, 20)
+    is the canonical 0.85 without ever touching a float.
+
+    Overflow bound: a node's rank never exceeds the total mass N·init,
+    so pick init with N·init·num < 2^63 — the default 10^12 covers
+    graphs to ~5·10^5 nodes; drop to 10^6 units for billion-node
+    graphs (resolution then 10^-6, still invisible to consumers).
+    """
+    if iterations < 1:
+        raise ValueError(
+            f"pagerank: iterations must be >= 1, got {iterations}")
+    num, den = damping
+    if not (0 < num < den):
+        raise ValueError(f"pagerank: damping must be in (0, 1), got {damping}")
+
+    e = (
+        edges.select(F.col(src).cast("string").alias("src"),
+                     F.col(dst).cast("string").alias("dst"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # node-sized state: (node, outdeg|null, rank)
+    state = (
+        nodes.join(outdeg, nodes["node"] == outdeg["src"], "left")
+        .select("node", "outdeg", F.lit(int(init)).cast("long").alias("rank"))
+    )
+    # one collected scalar (the bigram_lm/kmeans contract): the node
+    # count is a single-row aggregate, not a per-iteration recompute
+    n_nodes = int(nodes.count())
+    if n_nodes == 0:
+        return state.select("node", "rank")
+    teleport = F.lit(int(init * (den - num) // den)).cast("long")
+
+    for _ in range(iterations):
+        # per-edge contribution: integer floor-divide, so the dst-keyed
+        # SUM is order-free and exact
+        contrib = (
+            e.join(state.select(F.col("node").alias("src"),
+                                "rank", "outdeg"), "src")
+            .select("dst",
+                    F.call_function(
+                        "div", F.col("rank") * num,
+                        F.lit(den).cast("long") * F.col("outdeg"))
+                    .cast("long").alias("c"))
+            .groupBy("dst").agg(F.sum("c").alias("in_mass"))
+        )
+        dang = state.filter(F.col("outdeg").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0)).alias("__dang__"))
+        state = (
+            state.join(contrib, state["node"] == contrib["dst"], "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node", "outdeg",
+                (teleport
+                 + F.coalesce(F.col("in_mass"), F.lit(0))
+                 + F.call_function(
+                     "div",
+                     F.call_function("div", F.col("__dang__"),
+                                     F.lit(n_nodes).cast("long")) * num,
+                     F.lit(den).cast("long"))
+                 ).cast("long").alias("rank"),
+            )
+        )
+        # each iteration reads `state` twice (contribution join + the
+        # update's base); checkpointing the node-sized table keeps the
+        # unrolled plan LINEAR in iterations instead of doubling per
+        # step, and caps recomputation — the standard iterative-join
+        # discipline (GraphX does the same with caching)
+        state = state.localCheckpoint(eager=True)
+    return state.select("node", "rank")
