@@ -928,6 +928,24 @@ def _q_lm_perplexity_documents(spark: SparkSession, sf: str) -> DataFrame:
         F.round("ppl", 4).alias("ppl"))
 
 
+def _q_interval_islands_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    """Gaps-and-islands interval merge (r6, timeseries.merge_intervals):
+    per-part shipping windows [shipdate, shipdate + quantity days] in
+    epoch seconds, overlapping-or-touching windows merged into maximal
+    islands by one key-partitioned sort window + running max — no
+    joins.  DuckDB replays the identical window recurrence."""
+    from go_jsonschema_spark.operators.timeseries import merge_intervals
+
+    li = _t(spark, sf, "lineitem").select(
+        "l_partkey",
+        F.unix_timestamp("l_shipdate").alias("w_start"),
+        (F.unix_timestamp("l_shipdate")
+         + F.col("l_quantity").cast("long") * 86400).alias("w_end"),
+    )
+    return merge_intervals(
+        li, key_col="l_partkey", start_col="w_start", end_col="w_end")
+
+
 def _q_pagerank_suppliers(spark: SparkSession, sf: str) -> DataFrame:
     """Fixed-point PageRank (r6, operators/graph.py) over the bipartite
     customer→supplier order graph — three unrolled iterations of
@@ -2611,6 +2629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_keywords_documents": _q_tfidf_keywords_documents,
         "pmi_bigrams_documents": _q_pmi_bigrams_documents,
         "pagerank_suppliers": _q_pagerank_suppliers,
+        "interval_islands_lineitem": _q_interval_islands_lineitem,
         "vocab_overlap_sources": _q_vocab_overlap_sources,
         "props_json_validation": _q_props_json_validation,
         "props_json_native": _q_props_json_native,
@@ -4653,6 +4672,41 @@ def oracle_sql() -> dict[str, str]:
         CROSS JOIN tt CROSS JOIN bt
         ORDER BY pmi DESC, big.w1, big.w2
         LIMIT 50
+    """
+    # gaps-and-islands replay: identical sort-window recurrence —
+    # running max end over preceding rows, strict-inequality island
+    # breaks, touching endpoints merge; epoch seconds are exact BIGINTs
+    out["interval_islands_lineitem"] = """
+        WITH iv AS (
+            SELECT l_partkey AS k,
+                   CAST(epoch(l_shipdate) AS BIGINT) AS s,
+                   CAST(epoch(l_shipdate) AS BIGINT)
+                       + CAST(l_quantity AS BIGINT) * 86400 AS e
+            FROM lineitem
+            WHERE l_partkey IS NOT NULL AND l_shipdate IS NOT NULL
+                  AND l_quantity IS NOT NULL
+        ), cl AS (
+            SELECT k, s, greatest(e, s) AS e FROM iv
+        ), fl AS (
+            SELECT k, s, e,
+                   CASE WHEN max(e) OVER (PARTITION BY k ORDER BY s, e
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING) IS NULL
+                          OR s > max(e) OVER (PARTITION BY k ORDER BY s, e
+                                              ROWS BETWEEN UNBOUNDED
+                                              PRECEDING AND 1 PRECEDING)
+                        THEN 1 ELSE 0 END AS nw
+            FROM cl
+        ), isl AS (
+            SELECT k, s, e,
+                   sum(nw) OVER (PARTITION BY k ORDER BY s, e
+                                 ROWS UNBOUNDED PRECEDING) AS i
+            FROM fl
+        )
+        SELECT k AS l_partkey, min(s) AS island_start,
+               max(e) AS island_end,
+               CAST(count(*) AS BIGINT) AS n_intervals
+        FROM isl GROUP BY k, i
     """
     # fixed-point PageRank: three unrolled iterations in BIGINT floor
     # arithmetic — both engines' integer div truncate identically on

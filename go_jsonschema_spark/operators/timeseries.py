@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 __all__ = ["resample", "distributed_cumsum", "concurrency_profile",
-           "cusum_changepoint", "ewma"]
+           "cusum_changepoint", "ewma", "merge_intervals"]
 
 
 def resample(
@@ -371,3 +371,59 @@ def ewma(
         F.round(folded["level"], 6).alias("ewma"),
         folded["n"].cast("long").alias("n_obs"),
     ).select(group_col, "n_obs", "ewma")
+
+
+def merge_intervals(
+    df: DataFrame,
+    *,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Merge overlapping-or-touching intervals per key into maximal
+    islands (the gaps-and-islands pattern): availability windows,
+    maintenance/outage coverage, validity ranges — any "how much of the
+    timeline is actually covered" question.
+
+    Rule: intervals sort by (start, end); an interval starts a NEW
+    island iff its start is strictly greater than the running max end
+    of everything before it (touching endpoints merge).  Zero-length
+    and inverted intervals are kept as points of their start (end
+    clamped up to start).  Rows with a NULL key, start or end are
+    dropped — they have no place on a timeline.
+
+    Shape (100 TB): one key-partitioned sort window (the single
+    shuffle), a running-max + cumulative-sum over it, then a
+    (key, island) aggregation that map-side combines — no joins, no
+    driver state, works on any orderable type (timestamps, longs).
+
+    Output: ``(key_col, island_start, island_end, n_intervals)`` —
+    one row per island, island bounds in the input column type.
+    """
+    c_key, c_s, c_e = F.col(key_col), F.col(start_col), F.col(end_col)
+    base = (
+        df.filter(c_key.isNotNull() & c_s.isNotNull() & c_e.isNotNull())
+        .select(c_key.alias("__k__"), c_s.alias("__s__"),
+                F.greatest(c_e, c_s).alias("__e__"))
+    )
+    w = Window.partitionBy("__k__").orderBy("__s__", "__e__")
+    prev_max = F.max("__e__").over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = base.select(
+        "__k__", "__s__", "__e__",
+        F.when(prev_max.isNull() | (F.col("__s__") > prev_max), 1)
+        .otherwise(0).alias("__new__"),
+    )
+    islands = flagged.select(
+        "__k__", "__s__", "__e__",
+        F.sum("__new__").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)).alias("__i__"),
+    )
+    return (
+        islands.groupBy("__k__", "__i__")
+        .agg(F.min("__s__").alias("island_start"),
+             F.max("__e__").alias("island_end"),
+             F.count(F.lit(1)).cast("long").alias("n_intervals"))
+        .select(F.col("__k__").alias(key_col),
+                "island_start", "island_end", "n_intervals")
+    )
