@@ -560,6 +560,24 @@ def _q_minhash_pairs_documents(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_incremental_dedup_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Continuous-ingestion dedup (r6): even doc_ids play the stored
+    minhash_index (signatures persisted, never recomputed), odd doc_ids
+    are the new batch — lsh_pairs_against_index finds cross-batch
+    near-dups with ONE band equi-join, no self-join over history.  Same
+    recall argument as minhash_pairs_documents (bands=16 puts the
+    S-curve ~1 at 0.9), so the output equals the brute-force cross-split
+    pair set and DuckDB oracles it exactly."""
+    from go_jsonschema_spark.operators.dedup import (
+        lsh_pairs_against_index, minhash_index)
+
+    docs = _t(spark, sf, "documents")
+    index = minhash_index(docs.filter(F.col("doc_id") % 2 == 0), k=64)
+    return lsh_pairs_against_index(
+        docs.filter(F.col("doc_id") % 2 == 1), index,
+        k=64, bands=16, threshold=0.9)
+
+
 def _simhash_hs_path() -> str:
     import os
 
@@ -2617,6 +2635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pairs_exact": _q_embedding_pairs_exact,
         "lang_id_documents": _q_lang_id_documents,
         "minhash_pairs_documents": _q_minhash_pairs_documents,
+        "incremental_dedup_documents": _q_incremental_dedup_documents,
         "simhash_pairs_documents": _q_simhash_pairs_documents,
         "exact_dups_documents": _q_exact_dups_documents,
         "near_dup_clusters": _q_near_dup_clusters,
@@ -3235,6 +3254,32 @@ def oracle_sql() -> dict[str, str]:
                                  / len(list_distinct(list_concat(l.s, r.s)))
                        END AS jac
                 FROM sh l JOIN sh r ON l.doc_id < r.doc_id
+            )
+            SELECT a, b, round(jac, 6) AS jaccard
+            FROM p WHERE round(jac, 6) >= 0.9
+        """,
+        # incremental (index-vs-batch) replay: brute force across the
+        # even/odd split with the same shared-tokenizer 3-shingles
+        "incremental_dedup_documents": r"""
+            WITH w AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+                FROM documents WHERE text IS NOT NULL
+            ), sh AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, greatest(len(ws) - 2, 1) + 1),
+                           i -> array_to_string(ws[i:i+2], ' '))) AS s
+                FROM w
+            ), p AS (
+                SELECT l.doc_id AS a, r.doc_id AS b,
+                       CASE WHEN len(list_distinct(list_concat(l.s, r.s))) = 0
+                            THEN 1.0
+                            ELSE len(list_intersect(l.s, r.s)) * 1.0
+                                 / len(list_distinct(list_concat(l.s, r.s)))
+                       END AS jac
+                FROM sh l JOIN sh r
+                  ON l.doc_id % 2 = 1 AND r.doc_id % 2 = 0
             )
             SELECT a, b, round(jac, 6) AS jaccard
             FROM p WHERE round(jac, 6) >= 0.9

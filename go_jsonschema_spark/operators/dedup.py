@@ -30,7 +30,7 @@ __all__ = [
     "minhash_signature",
     "minhash_lsh_pairs",
     "simhash",
-    "simhash_dup_pairs",
+    "simhash_dup_pairs", "minhash_index", "lsh_pairs_against_index",
     "simhash_feature_hashes",
     "simhash_pairs_from_hashes",
     "jaccard",
@@ -261,23 +261,12 @@ def minhash_lsh_pairs(
         base, k=k, bands=bands, threshold=threshold, max_bucket=max_bucket)
 
 
-def _lsh_pairs_from_shingles(
-    base: DataFrame,
-    *,
-    k: int,
-    bands: int,
-    threshold: float,
-    max_bucket: int | None,
-) -> DataFrame:
-    """The signature→band→bucket-join→exact-verify core shared by the
-    text (:func:`minhash_lsh_pairs`) and token
-    (operators.tokens.token_minhash_pairs) front-ends; ``base`` is
-    ``(id, sh: array<string>)`` with non-empty shingle sets."""
+def _band_rows(sig_df: DataFrame, *, k: int, bands: int) -> DataFrame:
+    """(id, band, bh): one row per LSH band, ``bh`` = xxhash64 of the
+    band's r = k/bands signature slots — the 16-byte keys that enter the
+    candidate join (shingles and signatures stay out of the shuffle)."""
     r = k // bands
-    sig = base.select(
-        "id", "sh", minhash_signature(F.col("sh"), k).alias("sig")
-    )
-    banded = sig.select(
+    return sig_df.select(
         "id",
         F.explode(
             F.array(
@@ -293,7 +282,25 @@ def _lsh_pairs_from_shingles(
             )
         ).alias("e"),
     ).select("id", "e.band", "e.bh")
-    banded = _cap_buckets(banded, ["band", "bh"], max_bucket)
+
+
+def _lsh_pairs_from_shingles(
+    base: DataFrame,
+    *,
+    k: int,
+    bands: int,
+    threshold: float,
+    max_bucket: int | None,
+) -> DataFrame:
+    """The signature→band→bucket-join→exact-verify core shared by the
+    text (:func:`minhash_lsh_pairs`) and token
+    (operators.tokens.token_minhash_pairs) front-ends; ``base`` is
+    ``(id, sh: array<string>)`` with non-empty shingle sets."""
+    sig = base.select(
+        "id", "sh", minhash_signature(F.col("sh"), k).alias("sig")
+    )
+    banded = _cap_buckets(_band_rows(sig, k=k, bands=bands),
+                          ["band", "bh"], max_bucket)
 
     cand = (
         banded.alias("l")
@@ -309,6 +316,87 @@ def _lsh_pairs_from_shingles(
     withsh = (
         cand.join(sh_tbl.select(F.col("id").alias("a"), F.col("sh").alias("sh_a")), "a")
         .join(sh_tbl.select(F.col("id").alias("b"), F.col("sh").alias("sh_b")), "b")
+    )
+    return (
+        withsh.select(
+            "a", "b",
+            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """The PERSISTABLE half of continuous-ingestion dedup: ``(id, sh,
+    sig)`` for every document — write it to parquet once, and every
+    future batch dedups against history WITHOUT re-shingling or
+    re-signing a single historical row (the checkpoint-manifest idea
+    applied to near-dup state).  Append each accepted batch's index rows
+    to the store and the index stays current.
+
+    ``sh`` (the shingle set) rides along because the exact-Jaccard
+    verify needs it; at 100 TB scale partition the store by an id range
+    or ingestion date so the band join below prunes old segments it
+    has already cleared."""
+    base = _spread(df).select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), shingle_n).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    return base.select(
+        "id", "sh", minhash_signature(F.col("sh"), k).alias("sig"))
+
+
+def lsh_pairs_against_index(
+    new_df: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 64,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    max_bucket: int | None = 1024,
+) -> DataFrame:
+    """Near-duplicate pairs BETWEEN a new batch and a stored
+    :func:`minhash_index` — ``(a, b, jaccard)`` with ``a`` from the new
+    batch, ``b`` from the index, jaccard >= threshold.  The incremental
+    twin of :func:`minhash_lsh_pairs`: bands of both sides meet in ONE
+    equi-join on (band, band_hash) — no self-join, so the historical
+    side is never paired with itself, and only the NEW batch pays the
+    shingle+signature cost (the index's ``sig`` column is reused as
+    stored).
+
+    ``k``, ``bands`` and ``shingle_n`` must match the index's build
+    parameters — xxhash64 is deterministic, so equal parameters mean
+    equal band hashes across runs and engines.  Re-ingested ids
+    (a == b) are dropped: "this exact id is already indexed" is an
+    exact-dedup fact, not a near-dup discovery."""
+    new_idx = minhash_index(
+        new_df, text_col, id_col, k=k, shingle_n=shingle_n)
+    nb = _cap_buckets(_band_rows(new_idx, k=k, bands=bands),
+                      ["band", "bh"], max_bucket)
+    ob = _cap_buckets(_band_rows(index, k=k, bands=bands),
+                      ["band", "bh"], max_bucket)
+    cand = (
+        nb.alias("l")
+        .join(ob.alias("rt"), on=["band", "bh"])
+        .filter(F.col("l.id") != F.col("rt.id"))
+        .select(F.col("l.id").alias("a"), F.col("rt.id").alias("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    withsh = (
+        cand.join(new_idx.select(F.col("id").alias("a"),
+                                 F.col("sh").alias("sh_a")), "a")
+        .join(index.select(F.col("id").alias("b"),
+                           F.col("sh").alias("sh_b")), "b")
     )
     return (
         withsh.select(
