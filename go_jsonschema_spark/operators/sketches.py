@@ -28,7 +28,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 __all__ = ["batch_distinct_sketch", "running_distinct", "union_estimate",
            "log_bucket", "bucket_lower_bound", "batch_quantile_sketch",
            "merge_quantile_sketches", "sketch_quantiles",
-           "running_quantiles", "grouped_sketch_quantiles"]
+           "running_quantiles", "grouped_sketch_quantiles",
+           "drift_between_runs"]
 
 _SKETCH_KEY = "__sketches__"
 
@@ -218,6 +219,19 @@ def sketch_quantiles(sketch: dict, qs: list) -> dict:
     return out
 
 
+def _merged_qsketches(store, run_id: str, cols: list[str]) -> dict[str, dict]:
+    """{col: merged sketch} from a run's checkpoint manifests (columns
+    with no stored sketches omitted)."""
+    by_col: dict[str, list[dict]] = {c: [] for c in cols}
+    for manifest in store.completed(run_id).values():
+        sk = manifest.get("metrics", {}).get(_QSKETCH_KEY, {})
+        for c in cols:
+            if c in sk:
+                by_col[c].append(sk[c])
+    return {c: merge_quantile_sketches(sks)
+            for c, sks in by_col.items() if sks}
+
+
 def running_quantiles(
     store, run_id: str, cols: list[str], qs: list,
 ) -> dict[str, dict]:
@@ -226,15 +240,35 @@ def running_quantiles(
     (sketches are ~KB of counters).  Requires the run to have used
     ``ResumableValidation(..., quantile_cols=cols)``; columns with no
     stored sketches are omitted."""
-    by_col: dict[str, list[dict]] = {c: [] for c in cols}
-    for manifest in store.completed(run_id).values():
-        sk = manifest.get("metrics", {}).get(_QSKETCH_KEY, {})
-        for c in cols:
-            if c in sk:
-                by_col[c].append(sk[c])
     return {
-        c: sketch_quantiles(merge_quantile_sketches(sks), qs)
-        for c, sks in by_col.items() if sks
+        c: sketch_quantiles(sk, qs)
+        for c, sk in _merged_qsketches(store, run_id, cols).items()
+    }
+
+
+def drift_between_runs(
+    store, base_run: str, cur_run: str, cols: list[str], *,
+    eps: float = 1e-6,
+) -> dict[str, float]:
+    """Distribution drift (PSI) of each column between two checkpointed
+    runs, computed ENTIRELY from manifests — the north rule's "drift
+    baselines live in checkpointed metadata" closed end-to-end: the
+    baseline run's quantile-sketch histogram IS the baseline, no golden
+    snapshot table and no rescan of either run's data.  Delegates to
+    ``operators.drift.psi`` (same eps clamping as every other PSI in
+    the engine) over the merged log-histogram buckets; columns missing
+    sketches in either run are omitted.  The log-bucket grain (6.25%
+    relative) is finer than the equi-width production binning PSI is
+    usually run at, so sensitivity is comparable."""
+    from go_jsonschema_spark.operators.drift import psi
+
+    base = _merged_qsketches(store, base_run, cols)
+    cur = _merged_qsketches(store, cur_run, cols)
+    return {
+        c: psi({int(b): n for b, n in cur[c]["buckets"].items()},
+               {int(b): n for b, n in base[c]["buckets"].items()},
+               eps=eps)
+        for c in cols if c in base and c in cur
     }
 
 

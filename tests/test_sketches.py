@@ -201,3 +201,40 @@ def test_grouped_sketch_quantiles_matches_driver_side(spark):
         assert got[g]["n"] == len(vs)
         assert got[g]["p50"] == want["0.5"], g
         assert got[g]["p99"] == want["0.99"], g
+
+
+def test_drift_between_runs_from_manifests(spark, tmp_path):
+    from go_jsonschema_spark.operators.drift import psi
+    from go_jsonschema_spark.operators.sketches import drift_between_runs
+
+    suite = ConstraintSuite(
+        TableSpec(columns={"v": {"type": "integer"}}), key="doc_id")
+    store = CheckpointStore(str(tmp_path / "dckpt"))
+
+    def run(name, df):
+        rv = ResumableValidation(suite, store, partition_col="part",
+                                 batch_size=2, quantile_cols=("v",))
+        rv.run(df, name, str(tmp_path / name))
+
+    base = spark.range(4000).selectExpr(
+        "cast(id as string) as doc_id", "id % 4 as part",
+        "cast(id % 100 + 1 as long) as v")
+    # shifted distribution: values 4x larger
+    cur = spark.range(4000).selectExpr(
+        "cast(id as string) as doc_id", "id % 4 as part",
+        "cast((id % 100 + 1) * 4 as long) as v")
+    run("base", base)
+    run("cur", cur)
+    got = drift_between_runs(store, "base", "cur", ["v"])
+    assert got["v"] > 0.5  # a 4x shift is gross drift
+    # self-drift is exactly zero (identical bucket histograms)
+    assert drift_between_runs(store, "base", "base", ["v"]) == {"v": 0.0}
+    # equals drift.psi over directly-computed whole-table sketches
+    sk_b = batch_quantile_sketch(base, ["v"])["v"]
+    sk_c = batch_quantile_sketch(cur, ["v"])["v"]
+    want = psi({int(b): n for b, n in sk_c["buckets"].items()},
+               {int(b): n for b, n in sk_b["buckets"].items()})
+    assert got["v"] == want
+    # missing column / missing run -> omitted, not an error
+    assert drift_between_runs(store, "base", "cur", ["nope"]) == {}
+    assert drift_between_runs(store, "ghost", "cur", ["v"]) == {}
