@@ -74,6 +74,13 @@ def main() -> int:
                          "are stored in the checkpoint manifests (running "
                          "p50/p90/p99 estimates via "
                          "operators.sketches.running_quantiles, no rescan)")
+    ap.add_argument("--drift-baseline-run", default=None,
+                    help="run-id of a PRIOR checkpointed run (with the "
+                         "same --quantile-cols) to compare against: the "
+                         "summary gains per-column PSI computed from the "
+                         "two runs' manifest histograms alone "
+                         "(operators.sketches.drift_between_runs, no "
+                         "rescan of either run)")
     ap.add_argument("--counts-only", action="store_true",
                     help="batch-gate mode: per-partition verdict counts "
                     "from ONE aggregation (engine.verdict_counts — no "
@@ -173,6 +180,12 @@ def main() -> int:
                 store, args.run_id, list(quantile_cols),
                 [0.5, 0.9, 0.99]).items()
         }
+    if args.drift_baseline_run and quantile_cols:
+        from go_jsonschema_spark.operators.sketches import drift_between_runs
+
+        summary["drift_psi_vs_baseline"] = drift_between_runs(
+            store, args.drift_baseline_run, args.run_id,
+            list(quantile_cols))
     print(json.dumps(summary))
     spark.stop()
     return 0
