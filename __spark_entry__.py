@@ -2514,13 +2514,35 @@ def _q_rebalance_sequences(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("source")
 
 
+# The driver's CORRECTNESS gate verifies the FIRST 50 queries() keys only.
+# Priority for the window, in order: (a) queries whose implementation
+# changed this round (flagship engine paths, segment_dedup's filtered dup
+# join, the shared LSH banding core), (b) the r6-late operators no driver
+# or judge has ever verified, (c) the r6 session-2 additions; the rest of
+# the window fills with still-never-driver-verified r5-late queries in
+# their existing order.  Everything below the fold stays covered by
+# tools/check_oracles.py at sf0.001+sf0.01.
+_VERIFY_FIRST = [
+    # (a) changed in r6
+    "sequences_validation", "violations_documents",
+    "segment_dedup_documents", "minhash_pairs_documents",
+    "token_minhash_pairs", "near_dup_clusters", "corpus_curation",
+    # (b) r6-late, never independently verified
+    "oov_sequences", "sequence_audit_by_source",
+    "token_decontam_sequences", "token_freq_sequences",
+    "scoped_violations_sequences", "dataset_card_sequences",
+    "sketch_distinct_sources", "packing_efficiency_sequences",
+    "rebalance_sequences",
+    # (c) r6 session-2 additions
+    "streaming_fk_violations", "pmi_bigrams_documents",
+    "vocab_overlap_sources", "sketch_quantiles_sequences",
+    "pagerank_suppliers", "interval_islands_lineitem",
+    "incremental_dedup_documents",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Dict order matters: the driver's CORRECTNESS gate verifies the FIRST 50
-    # keys only.  Rounds 1-5 verified 66 distinct queries; the 37 that have
-    # never been driver-verified come first this round, followed by the
-    # queries whose implementation changed in round 6 (range_join, privacy,
-    # perplexity, ANN-LSH, flagship) so the changes get driver re-verified.
-    return {
+    out = {
         # -- never driver-verified through r5 (37) -------------------------
         "edit_distance_pairs_documents": _q_edit_distance_pairs_documents,
         "robust_outliers_events": _q_robust_outliers_events,
@@ -2664,6 +2686,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_documents": _q_contamination_documents,
         "multimodal_features": _q_multimodal_features,
     }
+    ordered = {k: out[k] for k in _VERIFY_FIRST if k in out}
+    ordered.update({k: v for k, v in out.items() if k not in ordered})
+    return ordered
 
 
 # ---------------------------------------------------------------------------
