@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["metric_anomalies"]
+__all__ = ["metric_anomalies", "verdict_regressions"]
 
 
 def metric_anomalies(
@@ -88,3 +88,50 @@ def metric_anomalies(
             6,
         ).alias("z"),
     )
+
+
+def verdict_regressions(store, base_run: str, cur_run: str) -> list[dict]:
+    """Run-over-run verdict REGRESSIONS from checkpoint manifests alone
+    (the drift_between_runs discipline applied to pass/fail state): for
+    every partition present in both runs, report it when the current
+    run fails MORE rows (or newly flips to failing) than the baseline
+    run — the "what broke since yesterday's delivery" question answered
+    without rescanning either dataset.
+
+    Pure driver-side manifest fold (KB of counters); partitions only in
+    one run are reported with the other side's counts as None so a
+    vanished or brand-new partition is visible rather than silent.
+
+    Returns a list of dicts sorted by partition:
+    ``{partition, n_fail_base, n_fail_cur, n_rows_base, n_rows_cur,
+    regressed}`` — ``regressed`` is True when cur fails more rows than
+    base or the partition newly appeared already-failing.
+    """
+    def _parts(run_id: str) -> dict[str, dict]:
+        out: dict[str, dict] = {}
+        for manifest in store.completed(run_id).values():
+            for part, m in manifest.get("metrics", {}).items():
+                if part.startswith("__"):  # sketch blocks, not partitions
+                    continue
+                out[part] = m
+        return out
+
+    base = _parts(base_run)
+    cur = _parts(cur_run)
+    rows = []
+    for part in sorted(set(base) | set(cur)):
+        b, c = base.get(part), cur.get(part)
+        regressed = (
+            (b is not None and c is not None
+             and int(c["n_fail"]) > int(b["n_fail"]))
+            or (b is None and c is not None and int(c["n_fail"]) > 0)
+        )
+        rows.append({
+            "partition": part,
+            "n_fail_base": None if b is None else int(b["n_fail"]),
+            "n_fail_cur": None if c is None else int(c["n_fail"]),
+            "n_rows_base": None if b is None else int(b["n_rows"]),
+            "n_rows_cur": None if c is None else int(c["n_rows"]),
+            "regressed": regressed,
+        })
+    return rows

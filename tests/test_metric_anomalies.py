@@ -63,3 +63,42 @@ def test_null_values_excluded(spark):
 def test_guard(spark):
     with pytest.raises(ValueError):
         metric_anomalies(_hist(spark, [1.0]), window=0)
+
+
+# --- verdict_regressions (r6) -----------------------------------------------
+
+
+def test_verdict_regressions_from_manifests(spark, tmp_path):
+    from go_jsonschema_spark.checkpoint import (
+        CheckpointStore, ResumableValidation)
+    from go_jsonschema_spark.engine import ConstraintSuite
+    from go_jsonschema_spark.operators.history import verdict_regressions
+    from go_jsonschema_spark.spec import TableSpec
+
+    suite = ConstraintSuite(
+        TableSpec(columns={"v": {"minimum": 0}}), key="doc_id")
+    store = CheckpointStore(str(tmp_path / "ck"))
+
+    def run(name, rows):
+        df = spark.createDataFrame(rows, "doc_id string, part string, v long")
+        ResumableValidation(suite, store, partition_col="part",
+                            quantile_cols=("v",)).run(
+            df, name, str(tmp_path / name))
+
+    # base: p1 clean, p2 one failure
+    run("base", [("a", "p1", 1), ("b", "p1", 2), ("c", "p2", -1),
+                 ("d", "p2", 3)])
+    # cur: p1 now fails once (REGRESSION), p2 unchanged, p3 new + failing
+    run("cur", [("a", "p1", -5), ("b", "p1", 2), ("c", "p2", -1),
+                ("d", "p2", 3), ("e", "p3", -9)])
+    got = {r["partition"]: r for r in
+           verdict_regressions(store, "base", "cur")}
+    assert got["p1"]["regressed"] and got["p1"]["n_fail_cur"] == 1 \
+        and got["p1"]["n_fail_base"] == 0
+    assert not got["p2"]["regressed"]  # same failure count is not new
+    assert got["p3"]["regressed"] and got["p3"]["n_fail_base"] is None
+    # sketch blocks must never leak in as partitions
+    assert all(not p.startswith("__") for p in got)
+    # self-comparison: nothing regresses
+    assert not any(r["regressed"]
+                   for r in verdict_regressions(store, "base", "base"))
