@@ -81,6 +81,12 @@ def main() -> int:
                          "two runs' manifest histograms alone "
                          "(operators.sketches.drift_between_runs, no "
                          "rescan of either run)")
+    ap.add_argument("--verdicts-baseline-run", default=None,
+                    help="run-id of a PRIOR checkpointed run: the summary "
+                         "gains per-partition verdict REGRESSIONS (newly "
+                         "or more-failing partitions) computed from the "
+                         "two runs' manifests alone "
+                         "(operators.history.verdict_regressions)")
     ap.add_argument("--counts-only", action="store_true",
                     help="batch-gate mode: per-partition verdict counts "
                     "from ONE aggregation (engine.verdict_counts — no "
@@ -186,6 +192,13 @@ def main() -> int:
         summary["drift_psi_vs_baseline"] = drift_between_runs(
             store, args.drift_baseline_run, args.run_id,
             list(quantile_cols))
+    if args.verdicts_baseline_run:
+        from go_jsonschema_spark.operators.history import verdict_regressions
+
+        regs = verdict_regressions(
+            store, args.verdicts_baseline_run, args.run_id)
+        summary["verdict_regressions"] = [
+            r for r in regs if r["regressed"]]
     print(json.dumps(summary))
     spark.stop()
     return 0
