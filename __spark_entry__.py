@@ -560,6 +560,18 @@ def _q_minhash_pairs_documents(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_duplicate_spans_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact substring-dedup spans (r6, Lee et al. 2022 sliding-window
+    form): maximal word ranges covered by 13-word windows shared across
+    documents — window hashes explode narrowly, only violating hashes
+    join back, spans assemble via the gaps-and-islands window.  DuckDB
+    replays window strings (no hash), distinct-doc counts, and the
+    island recurrence exactly."""
+    from go_jsonschema_spark.operators.dedup import duplicate_spans
+
+    return duplicate_spans(_t(spark, sf, "documents"), k=13)
+
+
 def _q_incremental_dedup_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Continuous-ingestion dedup (r6): even doc_ids play the stored
     minhash_index (signatures persisted, never recomputed), odd doc_ids
@@ -2537,7 +2549,7 @@ _VERIFY_FIRST = [
     "streaming_fk_violations", "pmi_bigrams_documents",
     "vocab_overlap_sources", "sketch_quantiles_sequences",
     "pagerank_suppliers", "interval_islands_lineitem",
-    "incremental_dedup_documents",
+    "incremental_dedup_documents", "duplicate_spans_documents",
 ]
 
 
@@ -2658,6 +2670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_documents": _q_lang_id_documents,
         "minhash_pairs_documents": _q_minhash_pairs_documents,
         "incremental_dedup_documents": _q_incremental_dedup_documents,
+        "duplicate_spans_documents": _q_duplicate_spans_documents,
         "simhash_pairs_documents": _q_simhash_pairs_documents,
         "exact_dups_documents": _q_exact_dups_documents,
         "near_dup_clusters": _q_near_dup_clusters,
@@ -3308,6 +3321,52 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT a, b, round(jac, 6) AS jaccard
             FROM p WHERE round(jac, 6) >= 0.9
+        """,
+        # exact substring spans: windows replayed as STRINGS (no hash
+        # needed at oracle scale), distinct-doc counts, then the same
+        # gaps-and-islands recurrence as interval_islands — 0-based
+        # positions (ordinality i maps to i-1), end exclusive
+        "duplicate_spans_documents": r"""
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(
+                           lower(trim(coalesce(text, ''))), '\s+'),
+                           x -> len(x) > 0) AS ws
+                FROM documents WHERE text IS NOT NULL
+            ), win AS (
+                SELECT doc_id, CAST(i - 1 AS BIGINT) AS s,
+                       CAST(i - 1 + 13 AS BIGINT) AS t,
+                       array_to_string(ws[i:i+12], ' ') AS wstr
+                FROM w, UNNEST(range(1, greatest(len(ws) - 12, 0) + 1))
+                     AS u(i)
+            ), dup AS (
+                SELECT wstr FROM win GROUP BY wstr
+                HAVING count(DISTINCT doc_id) > 1
+            ), m AS (
+                SELECT doc_id, s, t FROM win JOIN dup USING (wstr)
+            ), fl AS (
+                SELECT doc_id, s, t,
+                       CASE WHEN max(t) OVER (PARTITION BY doc_id
+                                              ORDER BY s, t
+                                              ROWS BETWEEN UNBOUNDED
+                                              PRECEDING AND 1 PRECEDING)
+                                 IS NULL
+                              OR s > max(t) OVER (PARTITION BY doc_id
+                                                  ORDER BY s, t
+                                                  ROWS BETWEEN UNBOUNDED
+                                                  PRECEDING
+                                                  AND 1 PRECEDING)
+                            THEN 1 ELSE 0 END AS nw
+                FROM m
+            ), isl AS (
+                SELECT doc_id, s, t,
+                       sum(nw) OVER (PARTITION BY doc_id ORDER BY s, t
+                                     ROWS UNBOUNDED PRECEDING) AS i
+                FROM fl
+            )
+            SELECT doc_id, min(s) AS span_start, max(t) AS span_end,
+                   CAST(count(*) AS BIGINT) AS n_windows
+            FROM isl GROUP BY doc_id, i
         """,
         "near_dup_clusters": _NEAR_DUP_CLUSTERS_ORACLE,
         "props_json_validation": _PROPS_JSON_ORACLE,

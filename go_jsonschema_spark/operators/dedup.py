@@ -31,6 +31,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "simhash",
     "simhash_dup_pairs", "minhash_index", "lsh_pairs_against_index",
+    "duplicate_spans",
     "simhash_feature_hashes",
     "simhash_pairs_from_hashes",
     "jaccard",
@@ -1030,6 +1031,76 @@ def semantic_dedup(
     )
     return out.select(
         F.col("k").alias(key), "cell", "keep", "max_prev_sim")
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 13,
+    max_docs: int = 1,
+) -> DataFrame:
+    """EXACT duplicate-substring spans (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): the maximal word-index
+    ranges of each document covered by ``k``-word windows that occur in
+    more than ``max_docs`` DISTINCT documents.  Where
+    :func:`segment_dedup` approximates with fixed non-overlapping
+    segments, this is the paper's sliding-window form — every duplicated
+    run is found at its exact boundaries, and overlapping/adjacent
+    duplicated windows merge into one maximal span.
+
+    100 TB shape: windows explode is narrow (positions + an 8-byte
+    window hash — the window TEXT never leaves the row); the
+    distinct-document count is the segment_dedup two-phase shuffle on
+    the hash; only VIOLATING hashes join back (the boilerplate tail —
+    broadcast-sized, same asymmetry segment_dedup exploits); span
+    assembly is the gaps-and-islands sort window per document
+    (operators.timeseries.merge_intervals).
+
+    Output: ``(id_col, span_start, span_end, n_windows)`` — 0-based
+    word positions, ``span_end`` EXCLUSIVE, ``n_windows`` = duplicated
+    k-windows merged into the span.  Documents with no duplicated
+    window emit nothing.  Downstream removal = drop the spanned word
+    ranges (or the whole doc when spans cover it).
+    """
+    if k < 1:
+        raise ValueError(f"duplicate_spans: k must be >= 1, got {k}")
+    from go_jsonschema_spark.functions.text import words
+
+    w = F.filter(words(F.col(text_col)), lambda x: F.length(x) > 0)
+    n_win = F.size(w) - k + 1
+    wins = F.when(n_win > 0, F.transform(
+        F.sequence(F.lit(0), n_win - 1),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.xxhash64(F.array_join(F.slice(w, i + 1, k), " ")).alias("wh"),
+        ),
+    )).otherwise(F.array().cast("array<struct<pos:int,wh:bigint>>"))
+    base = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("id"), F.explode(wins).alias("e"))
+        .select("id", "e.pos", "e.wh")
+    )
+    counts = (
+        base.select("wh", "id").distinct()
+        .groupBy("wh").agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    dup_h = counts.filter(F.col("n_docs") > max_docs).select("wh")
+    marked = base.join(dup_h, "wh").select(
+        "id", F.col("pos").cast("long").alias("s"),
+        (F.col("pos") + k).cast("long").alias("t"))
+
+    from go_jsonschema_spark.operators.timeseries import merge_intervals
+
+    spans = merge_intervals(marked, key_col="id", start_col="s",
+                            end_col="t")
+    return spans.select(
+        F.col("id").alias(id_col),
+        F.col("island_start").alias("span_start"),
+        F.col("island_end").alias("span_end"),
+        F.col("n_intervals").alias("n_windows"),
+    )
 
 
 def segment_dedup(
