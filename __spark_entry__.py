@@ -572,6 +572,18 @@ def _q_duplicate_spans_documents(spark: SparkSession, sf: str) -> DataFrame:
     return duplicate_spans(_t(spark, sf, "documents"), k=13)
 
 
+def _q_stripped_spans_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """The removal half of substring dedup (r6): duplicate_spans feeds
+    strip_spans — spanned word ranges drop via ONE (element, index)
+    higher-order filter, no explode of the word stream.  DuckDB replays
+    detection AND removal (positional anti-join + ordered string_agg)."""
+    from go_jsonschema_spark.operators.dedup import (
+        duplicate_spans, strip_spans)
+
+    docs = _t(spark, sf, "documents")
+    return strip_spans(docs, duplicate_spans(docs, k=13))
+
+
 def _q_incremental_dedup_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Continuous-ingestion dedup (r6): even doc_ids play the stored
     minhash_index (signatures persisted, never recomputed), odd doc_ids
@@ -2550,6 +2562,7 @@ _VERIFY_FIRST = [
     "vocab_overlap_sources", "sketch_quantiles_sequences",
     "pagerank_suppliers", "interval_islands_lineitem",
     "incremental_dedup_documents", "duplicate_spans_documents",
+    "stripped_spans_documents",
 ]
 
 
@@ -2671,6 +2684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs_documents": _q_minhash_pairs_documents,
         "incremental_dedup_documents": _q_incremental_dedup_documents,
         "duplicate_spans_documents": _q_duplicate_spans_documents,
+        "stripped_spans_documents": _q_stripped_spans_documents,
         "simhash_pairs_documents": _q_simhash_pairs_documents,
         "exact_dups_documents": _q_exact_dups_documents,
         "near_dup_clusters": _q_near_dup_clusters,
@@ -3367,6 +3381,68 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, min(s) AS span_start, max(t) AS span_end,
                    CAST(count(*) AS BIGINT) AS n_windows
             FROM isl GROUP BY doc_id, i
+        """,
+        # detection + removal replay: same span CTEs, then a positional
+        # anti-join of every word against its doc's spans and an ordered
+        # reassembly; docs with no surviving word get NULL text_clean
+        "stripped_spans_documents": r"""
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(
+                           lower(trim(coalesce(text, ''))), '\s+'),
+                           x -> len(x) > 0) AS ws
+                FROM documents WHERE text IS NOT NULL
+            ), win AS (
+                SELECT doc_id, CAST(i - 1 AS BIGINT) AS s,
+                       CAST(i - 1 + 13 AS BIGINT) AS t,
+                       array_to_string(ws[i:i+12], ' ') AS wstr
+                FROM w, UNNEST(range(1, greatest(len(ws) - 12, 0) + 1))
+                     AS u(i)
+            ), dup AS (
+                SELECT wstr FROM win GROUP BY wstr
+                HAVING count(DISTINCT doc_id) > 1
+            ), m AS (
+                SELECT doc_id, s, t FROM win JOIN dup USING (wstr)
+            ), fl AS (
+                SELECT doc_id, s, t,
+                       CASE WHEN max(t) OVER (PARTITION BY doc_id
+                                              ORDER BY s, t
+                                              ROWS BETWEEN UNBOUNDED
+                                              PRECEDING AND 1 PRECEDING)
+                                 IS NULL
+                              OR s > max(t) OVER (PARTITION BY doc_id
+                                                  ORDER BY s, t
+                                                  ROWS BETWEEN UNBOUNDED
+                                                  PRECEDING
+                                                  AND 1 PRECEDING)
+                            THEN 1 ELSE 0 END AS nw
+                FROM m
+            ), isl AS (
+                SELECT doc_id, s, t,
+                       sum(nw) OVER (PARTITION BY doc_id ORDER BY s, t
+                                     ROWS UNBOUNDED PRECEDING) AS i
+                FROM fl
+            ), spans AS (
+                SELECT doc_id, min(s) AS s, max(t) AS t
+                FROM isl GROUP BY doc_id, i
+            ), tok AS (
+                SELECT doc_id, CAST(i - 1 AS BIGINT) AS idx, ws[i] AS word
+                FROM w, UNNEST(range(1, len(ws) + 1)) AS u(i)
+            ), kept AS (
+                SELECT tk.doc_id,
+                       string_agg(tk.word, ' ' ORDER BY tk.idx) AS txt,
+                       count(*) AS nk
+                FROM tok tk
+                WHERE NOT EXISTS (SELECT 1 FROM spans sp
+                                  WHERE sp.doc_id = tk.doc_id
+                                    AND tk.idx >= sp.s AND tk.idx < sp.t)
+                GROUP BY tk.doc_id
+            )
+            SELECT w.doc_id, kept.txt AS text_clean,
+                   CAST(coalesce(kept.nk, 0) AS BIGINT) AS n_words_kept,
+                   CAST(len(w.ws) - coalesce(kept.nk, 0) AS BIGINT)
+                       AS n_words_removed
+            FROM w LEFT JOIN kept ON w.doc_id = kept.doc_id
         """,
         "near_dup_clusters": _NEAR_DUP_CLUSTERS_ORACLE,
         "props_json_validation": _PROPS_JSON_ORACLE,

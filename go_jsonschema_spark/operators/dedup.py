@@ -31,7 +31,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "simhash",
     "simhash_dup_pairs", "minhash_index", "lsh_pairs_against_index",
-    "duplicate_spans",
+    "duplicate_spans", "strip_spans",
     "simhash_feature_hashes",
     "simhash_pairs_from_hashes",
     "jaccard",
@@ -1100,6 +1100,65 @@ def duplicate_spans(
         F.col("island_start").alias("span_start"),
         F.col("island_end").alias("span_end"),
         F.col("n_intervals").alias("n_windows"),
+    )
+
+
+def strip_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply :func:`duplicate_spans` output: remove the spanned word
+    ranges from each document and reassemble the survivors in order —
+    the removal half of the Lee et al. pipeline.  ``spans`` carries
+    ``(id_col, span_start, span_end)`` (0-based, end exclusive).
+
+    Shape: spans collapse to ONE array per document (they are few and
+    short by construction — groupBy map-side combines), join back on
+    the id, and the removal is a single higher-order ``filter`` with
+    the (element, index) lambda — no explode of the word stream, no
+    Python.  Documents without spans keep their text verbatim
+    (normalized by the shared tokenizer); documents whose every word is
+    spanned get ``text_clean = NULL``.
+
+    Output: ``(id_col, text_clean, n_words_kept, n_words_removed)``.
+    """
+    from go_jsonschema_spark.functions.text import words
+
+    sp = spans.groupBy(F.col(id_col).alias("__id__")).agg(
+        F.collect_list(
+            F.struct(F.col("span_start").alias("s"),
+                     F.col("span_end").alias("t"))).alias("__sp__"))
+    w = F.filter(words(F.col(text_col)), lambda x: F.length(x) > 0)
+    base = df.select(F.col(id_col).alias("__id__"),
+                     F.when(F.col(text_col).isNull(),
+                            F.array().cast("array<string>"))
+                     .otherwise(w).alias("__ws__"))
+    j = base.join(sp, "__id__", "left").select(
+        "__id__", "__ws__",
+        F.coalesce(F.col("__sp__"),
+                   F.array().cast(
+                       "array<struct<s:long,t:long>>")).alias("__sp__"),
+    )
+    kept = F.filter(
+        F.col("__ws__"),
+        lambda x, i: ~F.exists(
+            F.col("__sp__"),
+            lambda r: (i >= r["s"]) & (i < r["t"])),
+    )
+    out = j.select(
+        "__id__",
+        kept.alias("__kept__"),
+        F.size("__ws__").cast("long").alias("__nw__"),
+    )
+    return out.select(
+        F.col("__id__").alias(id_col),
+        F.when(F.size("__kept__") > 0,
+               F.array_join("__kept__", " ")).alias("text_clean"),
+        F.size("__kept__").cast("long").alias("n_words_kept"),
+        (F.col("__nw__") - F.size("__kept__")).cast("long")
+        .alias("n_words_removed"),
     )
 
 

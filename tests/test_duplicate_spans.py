@@ -70,3 +70,30 @@ def test_validation_and_short_docs(spark):
     # docs shorter than k emit no windows and no error
     assert duplicate_spans(
         _docs(spark, [(1, "a b"), (2, "a b")]), k=5).collect() == []
+
+
+def test_strip_spans_roundtrip(spark):
+    from go_jsonschema_spark.operators.dedup import strip_spans
+
+    docs = _docs(spark, [(1, "a b c d e f g h"), (2, "x y c d e f g z"),
+                         (3, "untouched words here"), (4, None)])
+    spans = duplicate_spans(docs, k=3)
+    got = {r["doc_id"]: r for r in strip_spans(docs, spans).collect()}
+    # doc1 span [2,7) removes c..g -> "a b h"
+    assert got[1]["text_clean"] == "a b h"
+    assert (got[1]["n_words_kept"], got[1]["n_words_removed"]) == (3, 5)
+    assert got[2]["text_clean"] == "x y z"
+    assert got[3]["text_clean"] == "untouched words here"
+    assert got[3]["n_words_removed"] == 0
+    assert got[4]["text_clean"] is None and got[4]["n_words_kept"] == 0
+
+
+def test_strip_spans_full_coverage_nulls_text(spark):
+    from go_jsonschema_spark.operators.dedup import strip_spans
+
+    t = "one two three four five"
+    docs = _docs(spark, [(1, t), (2, t)])
+    got = {r["doc_id"]: r for r in strip_spans(
+        docs, duplicate_spans(docs, k=3)).collect()}
+    assert got[1]["text_clean"] is None
+    assert got[1]["n_words_removed"] == 5
