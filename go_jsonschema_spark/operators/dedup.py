@@ -1202,7 +1202,18 @@ def segment_dedup(
     """
     from go_jsonschema_spark.functions.text import words
 
-    w = F.filter(words(F.col(text_col)), lambda x: F.length(x) > 0)
+    # materialize the word split into a bound column BEFORE the segment
+    # lambda references it: a higher-order lambda re-evaluates its free
+    # subexpressions per element, so the inline form re-ran
+    # filter(split(text)) once PER SEGMENT — O(words²/seg) per doc
+    # (the duplicate_spans lesson; ~8% here — seg_words=3 keeps the
+    # inline form's excess small — but strictly less work at any scale)
+    wcol = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        F.filter(words(F.col(text_col)),
+                 lambda x: F.length(x) > 0).alias("__w__"),
+    )
+    w = F.col("__w__")
     n_seg = F.ceil(F.size(w) / F.lit(seg_words)).cast("int")
     # sequence(0, -1) counts DOWN in Spark, so guard the empty-document
     # case explicitly instead of relying on the arithmetic.
@@ -1210,9 +1221,7 @@ def segment_dedup(
         F.sequence(F.lit(0), n_seg - 1),
         lambda i: F.array_join(F.slice(w, i * seg_words + 1, seg_words), " "),
     )).otherwise(F.array().cast("array<string>"))
-    base = df.filter(F.col(text_col).isNotNull()).select(
-        F.col(id_col).alias("id"), segs.alias("segs")
-    )
+    base = wcol.select("id", segs.alias("segs"))
     exploded = base.select(
         "id", F.posexplode("segs").alias("pos", "seg")
     ).withColumn("seg_h", F.xxhash64("seg"))
