@@ -36,8 +36,16 @@ __all__ = [
 
 
 def _dot_lit(vec: Column, q: list[float]) -> Column:
+    # ONE array literal node (see _lit_doubles), not a CreateArray of
+    # len(q) scalar literals: the value is identical, but an unrolled
+    # 64-element array costs ~65 plan nodes + a py4j round trip per
+    # element, and analyzer time is super-linear in plan size — with 16
+    # centroids the argmin expression alone cost ~1.1 s of pure driver
+    # time per query at sf0.1 (measured r7; guide §7.3 "planning very
+    # large expression trees").
     return F.aggregate(
-        F.zip_with(vec, F.array(*[F.lit(float(x)) for x in q]), lambda x, y: x * y),
+        F.zip_with(vec, _lit_doubles([float(x) for x in q]),
+                   lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
@@ -312,18 +320,59 @@ def kmeans_centroids(
     return cent
 
 
+def _lit_doubles(vals: list[float]) -> Column:
+    """A flat ``array<double>`` literal as ONE parsed SQL expression.
+    ``F.lit(x)`` per element costs a py4j round trip each (a 16×64
+    matrix ≈ 1000 round trips ≈ 0.4 s of pure driver time per query,
+    measured r7); ``repr(float)`` is the shortest round-trip form, so
+    Java's parser returns the bit-identical double.  Non-finite values
+    fall back to the element-wise path (no SQL literal syntax)."""
+    import math
+
+    if all(math.isfinite(v) for v in vals):
+        return F.expr(
+            "array(" + ",".join(repr(v) + "D" for v in vals) + ")")
+    return F.array(*[F.lit(v) for v in vals])
+
+
+def _lit_matrix(rows: list[list[float]]) -> Column:
+    """Nested ``array<array<double>>`` literal, same contract as
+    :func:`_lit_doubles`."""
+    import math
+
+    if all(math.isfinite(v) for r in rows for v in r):
+        return F.expr("array(" + ",".join(
+            "array(" + ",".join(repr(v) + "D" for v in r) + ")"
+            for r in rows) + ")")
+    return F.array(*[F.array(*[F.lit(v) for v in r]) for r in rows])
+
+
+def _centroid_scores(vec: Column, centroids) -> Column:
+    """``array<double>`` of per-centroid scores ``-2·v·c + ||c||²``
+    built from TWO literal nodes (the centroid matrix as one nested
+    array literal + the ``||c||²`` vector) and one ``zip_with`` — the
+    per-element arithmetic (x*y products, left-fold sum from 0.0, then
+    -2·dot + cc) is token-for-token the old unrolled form, so every
+    score is bit-identical; only the PLAN shrinks, from
+    O(n_centroids·dim) literal nodes (~1.1 s of driver-side analysis
+    per query at 16×64, measured r7 — guide §7.3) to O(1)."""
+    import numpy as np
+
+    mat = _lit_matrix([[float(x) for x in c] for c in centroids])
+    ccs = _lit_doubles([float(np.dot(c, c)) for c in centroids])
+    return F.zip_with(
+        mat, ccs,
+        lambda c, cc: F.lit(-2.0) * F.aggregate(
+            F.zip_with(vec, c, lambda x, y: x * y),
+            F.lit(0.0), lambda acc, x: acc + x) + cc,
+    )
+
+
 def assign_centroid(vec: Column, centroids) -> Column:
     """Nearest-centroid id (0-based) as a native expression: argmin over
     per-centroid squared distances ``||v||² - 2·v·c + ||c||²`` (the
     ``||v||²`` term is common — dropped)."""
-    import numpy as np
-
-    scores = [
-        -2.0 * _dot_lit(vec, [float(x) for x in c])
-        + float(np.dot(c, c))
-        for c in centroids
-    ]
-    arr = F.array(*scores)
+    arr = _centroid_scores(vec, centroids)
     return F.array_position(arr, F.array_min(arr)) - 1
 
 
@@ -333,16 +382,10 @@ def assign_centroids_multi(vec: Column, centroids, n_assign: int) -> Column:
     Multiple assignment ("spilled posting lists") is the standard IVF
     recall lever when neighbors straddle cell boundaries — each vector is
     indexed under its 2-3 nearest cells at 2-3× posting storage."""
-    import numpy as np
-
-    scored = F.array(*[
-        F.struct(
-            (-2.0 * _dot_lit(vec, [float(x) for x in c])
-             + float(np.dot(c, c))).alias("s"),
-            F.lit(i).alias("i"),
-        )
-        for i, c in enumerate(centroids)
-    ])
+    idx = F.lit(list(range(len(centroids)))).cast("array<int>")
+    scored = F.zip_with(
+        _centroid_scores(vec, centroids), idx,
+        lambda s, i: F.struct(s.alias("s"), i.alias("i")))
     return F.slice(
         F.transform(F.array_sort(scored), lambda x: x["i"]), 1, n_assign)
 

@@ -133,6 +133,15 @@ def range_join(
             (F.col(left_point) >= F.lit(span["lo"]))
             & (F.col(left_point) <= F.lit(span["hi"]))
         )
+        # a small point side (single parquet file → one scan partition)
+        # would run the entire candidate join — |L|·(bucket occupancy)
+        # range checks — in ONE task while every other core idles
+        # (measured 6.0 s → 1.7 s at sf0.1, r7).  Spread AFTER the span
+        # filter so the pushed-down scan predicate is unaffected; no-op
+        # for big inputs where the scan already has many partitions.
+        from go_jsonschema_spark.operators.dedup import _spread
+
+        cand = _spread(cand)
     lbin = F.floor(F.col(left_point) / w).cast("long")
     r = right.withColumn(
         "__bin__",

@@ -251,16 +251,24 @@ def token_ngram_contamination(
             f"probe set yields >{max_probe_windows} token {n}-gram "
             "windows; raise max_probe_windows or pre-reduce the probes")
     plist = sorted(r["w"] for r in probe_windows)
-    windows = _token_windows(tokens_col, n, hashed=hashed)
+    # bind the window list to its OWN projected column before the two
+    # consumers (size + array_intersect) reference it: expressions are
+    # re-evaluated per reference, so the inline form built every row's
+    # window strings twice (the duplicate_spans free-subexpression
+    # lesson; ~2× the corpus-side work)
+    bound = df.select(
+        F.col(id_col),
+        _token_windows(tokens_col, n, hashed=hashed).alias("__w__"),
+    )
     hits = (
         F.size(F.array_intersect(
-            windows, F.lit(plist).cast(
+            F.col("__w__"), F.lit(plist).cast(
                 "array<bigint>" if hashed else "array<string>")))
         if plist else F.lit(0)
     )
-    return df.select(
+    return bound.select(
         F.col(id_col),
-        F.size(windows).cast("long").alias("n_windows"),
+        F.size("__w__").cast("long").alias("n_windows"),
         hits.cast("long").alias("n_hits"),
     ).withColumn("contaminated", F.col("n_hits") > 0)
 
