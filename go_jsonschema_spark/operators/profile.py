@@ -170,7 +170,14 @@ def suggest_spec(
                 vals = vals + [None]  # observed NULLs stay admissible
             spec["enum"] = vals
         elif kw in ("minimum", "maximum"):
-            spec[kw] = float(v) if "." in v else int(v)
+            # int first, float fallback: _fmt renders small/large doubles
+            # in scientific notation ('1e-05' has no '.'), so a
+            # contains-'.' test crashed on such columns (ADVICE r6);
+            # values that parsed before parse to the same number
+            try:
+                spec[kw] = int(v)
+            except ValueError:
+                spec[kw] = float(v)
         elif kw in ("minLength", "maxLength"):
             spec[kw] = int(v)
         elif kw == "unique":

@@ -48,6 +48,7 @@ def oov_rate(
     tokens_col: str = "tokens",
     id_col: str = "doc_id",
     vocab_col: str = "token_id",
+    max_vocab: int = 5_000_000,
 ) -> DataFrame:
     """Per-document out-of-vocabulary audit:
     ``(doc_id, n_tok, n_oov, oov_rate)`` — exact membership of every
@@ -63,10 +64,21 @@ def oov_rate(
     NULL token elements count as OOV (no vocabulary contains NULL);
     NULL/empty arrays yield ``n_tok = 0`` and a NULL ``oov_rate``
     (0/0 — nothing to judge).  ``oov_rate`` is rounded to 6.
+
+    ``max_vocab`` bounds the driver collect (the sibling
+    ``max_probe_windows`` / ``max_queries`` discipline): a caller who
+    points ``vocab`` at a token STREAM instead of a tokenizer-sized id
+    table gets a crisp error naming the knob, not a driver OOM.
     """
     from pyspark.sql.functions import pandas_udf
 
-    ids = [r[0] for r in vocab.select(vocab_col).distinct().collect()]
+    ids = [r[0] for r in
+           vocab.select(vocab_col).distinct().limit(max_vocab + 1).collect()]
+    if len(ids) > max_vocab:
+        raise ValueError(
+            f"oov_rate: vocab has > {max_vocab} distinct {vocab_col!r} "
+            "values — that is a token stream, not a tokenizer "
+            "vocabulary; pre-reduce it or raise max_vocab")
     vocab_arr = np.asarray(
         sorted(int(x) for x in ids if x is not None), dtype=np.int64)
 

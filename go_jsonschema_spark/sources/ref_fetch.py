@@ -132,6 +132,19 @@ def _default_fetcher(allowlist: tuple[str, ...]) -> Callable[[str], str]:
                     f"{sorted(allowlist)}; pass allowlist=(...,) to "
                     "fetch_remote_refs, or supply your own fetcher"
                 )
+        else:
+            # file:// (and anything else _REMOTE_SCHEMES may grow) is a
+            # local-filesystem read, which the host allowlist does NOT
+            # govern — a schema with $ref "file:///..." would make the
+            # driver read arbitrary local JSON while the allowlist looks
+            # like it restricts all fetching (ADVICE r6).  The reference
+            # fetches http only (schema_refs.go:308); callers who trust
+            # file refs supply their own fetcher.
+            raise SpecError(
+                f"default fetcher refuses non-http(s) $ref {url!r}; "
+                "supply fetcher= to fetch_remote_refs to allow "
+                f"{scheme}:// documents"
+            )
         with urlopen(url, timeout=10) as r:  # noqa: S310 - gated above
             return r.read().decode("utf-8")
 

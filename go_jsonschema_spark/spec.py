@@ -563,6 +563,21 @@ class TableSpec:
                        integer arithmetic (``Fraction(str(mostly))``) so
                        0.9 of 1000 rows means exactly 900, immune to
                        binary-float rounding on either side.
+
+                       Denominator for SCOPED constraints (kind=scoped
+                       columns / row checks with ``where``): the budget
+                       divides by the partition's TOTAL row count, not
+                       the in-scope count — out-of-scope rows pass
+                       unjudged, so they consume none of the budget but
+                       do inflate its denominator.  This deviates from
+                       Great-Expectations' row_condition+mostly (which
+                       scopes the denominator); calibrate ``mostly``
+                       against the whole partition when tolerating a
+                       scoped constraint — a 1% scope slice needs
+                       mostly >= 0.99 to tolerate every in-scope
+                       failure (ADVICE r6 — documented rather than
+                       changed: the partition-rows rule is part of each
+                       oracle's replayed arithmetic).
     """
 
     columns: dict[str, Any] = field(default_factory=dict)

@@ -118,14 +118,31 @@ def test_already_registered_documents_are_not_refetched():
     assert got == {} and counter == []
 
 
-def test_file_url_fixture_with_default_fetcher(tmp_path):
-    """The default fetcher serves file:// URLs with no allowlist —
-    the manifest-driven pre-registration path."""
+def _file_fetcher():
+    """Explicit local-file fetcher — file:// is caller-opt-in only
+    (ADVICE r6: the default fetcher's allowlist governs http(s) hosts,
+    so it refuses local reads rather than silently allowing them)."""
+    from urllib.request import urlopen
+
+    def fetch(url: str) -> str:
+        with urlopen(url) as r:  # noqa: S310 - test fixture opt-in
+            return r.read().decode("utf-8")
+
+    return fetch
+
+
+def test_file_url_requires_explicit_fetcher(tmp_path):
+    """The DEFAULT fetcher refuses file:// (ADVICE r6 — an empty host
+    allowlist must not leave local reads open); an explicit
+    caller-supplied fetcher serves the manifest-driven
+    pre-registration path."""
     doc = {"type": "integer", "minimum": 3}
     p = tmp_path / "thing.json"
     p.write_text(json.dumps(doc))
     url = p.as_uri()
-    got = fetch_remote_refs({"$ref": url})
+    with pytest.raises(SpecError, match="file"):
+        fetch_remote_refs({"$ref": url})
+    got = fetch_remote_refs({"$ref": url}, fetcher=_file_fetcher())
     assert list(got) == [url] and got[url].root["minimum"] == 3
     r = validate_instance({"$ref": url}, 5, draft=7, registry=got)
     assert r.valid
@@ -154,8 +171,10 @@ def test_max_docs_bound(tmp_path):
     a.write_text(json.dumps({"$ref": b.as_uri()}))
     b.write_text(json.dumps({"type": "integer"}))
     with pytest.raises(SpecError, match="max_docs"):
-        fetch_remote_refs({"$ref": a.as_uri()}, max_docs=1)
-    got = fetch_remote_refs({"$ref": a.as_uri()}, max_docs=2)
+        fetch_remote_refs({"$ref": a.as_uri()}, max_docs=1,
+                          fetcher=_file_fetcher())
+    got = fetch_remote_refs({"$ref": a.as_uri()}, max_docs=2,
+                            fetcher=_file_fetcher())
     assert len(got) == 2
 
 
@@ -172,8 +191,8 @@ def test_register_remote_refs_on_suite(tmp_path):
     url = p.as_uri()
     ts = TableSpec(columns={"lang": {"$ref": url}})
     suite = ConstraintSuite(ts, key="doc_id")
-    added = register_remote_refs(suite)
+    added = register_remote_refs(suite, fetcher=_file_fetcher())
     assert added == [url]
     assert url in suite.registry
     # second call: already resolvable, nothing re-fetched
-    assert register_remote_refs(suite) == []
+    assert register_remote_refs(suite, fetcher=_file_fetcher()) == []
