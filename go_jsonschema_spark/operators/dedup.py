@@ -136,7 +136,8 @@ def minhash_signature(shingles: Column, k: int = 64) -> Column:
     return minhash_signature_from_hashes(base, k)
 
 
-def minhash_signature_from_hashes(hashes: Column, k: int = 64) -> Column:
+def minhash_signature_from_hashes(hashes: Column | str,
+                                  k: int = 64) -> Column:
     """The k permutations over an ALREADY-HASHED shingle set
     (``array<bigint>``).  Callers that can bind the base hash to its own
     projected column first should do so and call this — the k
@@ -144,7 +145,20 @@ def minhash_signature_from_hashes(hashes: Column, k: int = 64) -> Column:
     ``minhash_signature`` re-hashes the shingle STRINGS k times (the
     duplicate_spans free-subexpression lesson; measured 5.6 s → 3.4 s on
     the LSH-pair query at sf0.1, r7).  Values are identical either way:
-    ``xxhash64(xxhash64(s), seed_i)`` is the same permutation chain."""
+    ``xxhash64(xxhash64(s), seed_i)`` is the same permutation chain.
+
+    Pass the column NAME when you can: the name form parses the k
+    transforms from ONE SQL string — pyspark's lambda builder costs ~30
+    py4j round trips per transform, ~0.6 s of driver time per plan at
+    k=64 (measured r7, same lesson as :func:`simhash`)."""
+    if isinstance(hashes, str):
+        qn = f"`{hashes}`"
+        # {i} parses as an INT literal, matching F.lit(seed) in
+        # _hash_with_seed — xxhash64 hashes int and long children
+        # differently, so the literal type is part of the permutation
+        return F.expr("array(" + ",".join(
+            f"array_min(transform({qn}, h -> xxhash64(h, {i})))"
+            for i in range(k)) + ")")
     return F.array(
         *[
             F.array_min(F.transform(hashes, _hash_with_seed(i)))
@@ -277,23 +291,20 @@ def minhash_lsh_pairs(
 def _band_rows(sig_df: DataFrame, *, k: int, bands: int) -> DataFrame:
     """(id, band, bh): one row per LSH band, ``bh`` = xxhash64 of the
     band's r = k/bands signature slots — the 16-byte keys that enter the
-    candidate join (shingles and signatures stay out of the shuffle)."""
+    candidate join (shingles and signatures stay out of the shuffle).
+    Built from ONE parsed SQL string (the py4j-chatter lesson of
+    :func:`minhash_signature_from_hashes`; same expression tree)."""
     r = k // bands
+    structs = ",".join(
+        "named_struct('band', {b}, 'bh', xxhash64({slots}))".format(
+            b=b,
+            slots=",".join(f"element_at(`sig`, {b * r + j + 1})"
+                           for j in range(r)),
+        )
+        for b in range(bands)
+    )
     return sig_df.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.element_at("sig", b * r + j + 1) for j in range(r)]
-                        ).alias("bh"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("e"),
+        "id", F.expr(f"explode(array({structs}))").alias("e"),
     ).select("id", "e.band", "e.bh")
 
 
@@ -320,7 +331,7 @@ def _lsh_pairs_from_shingles(
         F.transform(F.col("sh"), lambda s: F.xxhash64(s)).alias("hs"))
     sig = hashed.select(
         "id", "sh",
-        minhash_signature_from_hashes(F.col("hs"), k).alias("sig")
+        minhash_signature_from_hashes("hs", k).alias("sig")
     )
     banded = _cap_buckets(_band_rows(sig, k=k, bands=bands),
                           ["band", "bh"], max_bucket)
@@ -378,7 +389,7 @@ def minhash_index(
         "id", "sh",
         F.transform(F.col("sh"), lambda s: F.xxhash64(s)).alias("hs"),
     ).select(
-        "id", "sh", minhash_signature_from_hashes(F.col("hs"), k).alias("sig"))
+        "id", "sh", minhash_signature_from_hashes("hs", k).alias("sig"))
 
 
 def lsh_pairs_against_index(
@@ -439,7 +450,7 @@ def lsh_pairs_against_index(
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash(hashes: Column, bits: int = 63) -> Column:
+def simhash(hashes: Column | str, bits: int = 63) -> Column:
     """Charikar SimHash over a column of PRE-HASHED features
     (``array<bigint>``, e.g. ``transform(shingles, xxhash64)``).
 
@@ -450,7 +461,22 @@ def simhash(hashes: Column, bits: int = 63) -> Column:
     sent Catalyst's optimizer into minutes of planning when duplicated
     across a self-join (measured 57 s for a 2k-row join); 63 independent
     small expressions plan in milliseconds.  Features are hashed once,
-    upstream, not once per bit."""
+    upstream, not once per bit.
+
+    Pass the column NAME when you can: the name form builds the 63-term
+    expression as ONE parsed SQL string — the pyspark lambda builder
+    costs ~30 py4j round trips per filter(), ~0.7 s of pure driver time
+    per call at 63 bits (measured r7).  The parsed tree is the same
+    expression, so signatures are identical either way."""
+    if isinstance(hashes, str):
+        qn = f"`{hashes}`"
+        terms = " + ".join(
+            f"(CASE WHEN (size(filter({qn}, h -> ((shiftright(h, {j}) & 1)"
+            f" = 1))) * 2) > size({qn}) THEN CAST({1 << j} AS BIGINT)"
+            " ELSE CAST(0 AS BIGINT) END)"
+            for j in range(bits)
+        )
+        return F.expr(terms)
 
     def _bit_test(j: int):
         return lambda h: F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1
@@ -527,7 +553,7 @@ def simhash_pairs_from_hashes(
     only SURVIVING shared block is a later one — the same recall
     tradeoff bucket capping already makes, and absent entirely when no
     bucket overflows (the testdata case, where outputs are identical)."""
-    sig = hashed.select("id", simhash(F.col("hs")).alias("sig"))
+    sig = hashed.select("id", simhash("hs").alias("sig"))
     blocks = sig.select(
         "id",
         "sig",
