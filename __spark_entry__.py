@@ -1980,6 +1980,9 @@ def _q_column_stats_full(spark: SparkSession, sf: str) -> DataFrame:
     distinct."""
     from go_jsonschema_spark.operators.stats import column_stats
 
+    # NOT spread: an interleaved A/B (r7) measured the single-task agg at
+    # 0.55 s vs 0.94 s with a pre-spread shuffle — the sketch build over
+    # 600k×3 numerics is cheaper than repartitioning its input
     s = column_stats(
         _t(spark, sf, "lineitem"),
         ["l_quantity", "l_extendedprice", "l_orderkey"],
@@ -2556,30 +2559,44 @@ def _q_rebalance_sequences(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # The driver's CORRECTNESS gate verifies the FIRST 50 queries() keys only.
-# Priority for the window, in order: (a) queries whose implementation
-# changed this round (flagship engine paths, segment_dedup's filtered dup
-# join, the shared LSH banding core), (b) the r6-late operators no driver
-# or judge has ever verified, (c) the r6 session-2 additions; the rest of
-# the window fills with still-never-driver-verified r5-late queries in
-# their existing order.  Everything below the fold stays covered by
-# tools/check_oracles.py at sf0.001+sf0.01.
+# Priority for the r7 window, in order: (a) the 20 queries NO driver
+# round has ever verified (VERDICT r6 item 1 — with these green,
+# cumulative driver coverage reaches 131/131); (b) every query whose
+# implementation the r7 optimization round touched (compact literal
+# expressions, plan cache, _spread, pagerank restructure, snapshot
+# writers), so the driver proves them green POST-change.  Everything
+# below the fold stays covered by tools/check_oracles.py at
+# sf0.001+sf0.01 (all 131 run green locally this round).
 _VERIFY_FIRST = [
-    # (a) changed in r6
+    # (a) never driver-verified through r6 (20)
+    "benford_prices_lineitem", "chi2_documents_lang_source",
+    "completeness_documents", "dup_ngrams_documents",
+    "fd_source_lang_documents", "funnel_events",
+    "heavy_hitter_bigrams", "integrity_events_by_user",
+    "latest_event_per_user", "metric_anomalies_events",
+    "mixing_weights_documents", "pairwise_corr_lineitem",
+    "reconcile_order_quantities", "resample_purchases",
+    "retention_cohorts", "spec_suggestions_documents",
+    "tolerant_verdicts_sequences", "unpivot_hourly_event_types",
+    "verdict_counts_by_source", "weighted_sample_documents",
+    # (b) optimized in r7 (engine plan cache + exists-expr; compact
+    # centroid/minhash/simhash literal expressions; _spread; pagerank;
+    # pyarrow snapshots; psi_per_window)
     "sequences_validation", "violations_documents",
-    "segment_dedup_documents", "minhash_pairs_documents",
-    "token_minhash_pairs", "near_dup_clusters", "corpus_curation",
-    # (b) r6-late, never independently verified
-    "oov_sequences", "sequence_audit_by_source",
-    "token_decontam_sequences", "token_freq_sequences",
-    "scoped_violations_sequences", "dataset_card_sequences",
-    "sketch_distinct_sources", "packing_efficiency_sequences",
-    "rebalance_sequences",
-    # (c) r6 session-2 additions
-    "streaming_fk_violations", "pmi_bigrams_documents",
-    "vocab_overlap_sources", "sketch_quantiles_sequences",
-    "pagerank_suppliers", "interval_islands_lineitem",
-    "incremental_dedup_documents", "duplicate_spans_documents",
-    "stripped_spans_documents",
+    "scoped_violations_sequences", "verdicts_by_source",
+    "props_json_validation", "streaming_violations",
+    "streaming_windowed_verdicts", "streaming_drift_psi",
+    "minhash_pairs_documents", "token_minhash_pairs",
+    "near_dup_clusters", "corpus_curation",
+    "incremental_dedup_documents", "simhash_pairs_documents",
+    "edit_distance_pairs_documents", "embedding_pairs_exact",
+    "record_linkage_customer", "record_linkage_multipass_customer",
+    "range_join_ship_windows", "pagerank_suppliers",
+    "token_decontam_sequences", "oov_sequences",
+    "semantic_dedup_embeddings", "diversity_sample_embeddings",
+    "ann_ivf_embeddings", "ann_lsh_embeddings",
+    "ann_batch_embeddings", "ann_topk_exact",
+    "hard_negatives_embeddings", "centroid_similarity_embeddings",
 ]
 
 

@@ -1129,7 +1129,7 @@ def duplicate_spans(
     # string work instead of O(n) hashing + O(k) long copies (measured
     # 6.9 s -> 1.9 s warm at sf0.1, 3.6x)
     hashed = (
-        df.filter(F.col(text_col).isNotNull())
+        _spread(df).filter(F.col(text_col).isNotNull())
         .select(F.col(id_col).alias("id"),
                 F.transform(w, lambda x: F.xxhash64(x)).alias("hw"))
     )

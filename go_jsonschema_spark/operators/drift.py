@@ -92,12 +92,19 @@ def psi_per_window(
     either side).  Everything is O(windows × bins) — broadcast joins,
     no shuffle of anything row-scaled.  Returns
     ``(window_start, n_rows, psi)``."""
+    import pandas as pd
+
     spark = hist.sparkSession
     rows = baseline.select("bucket", "count").collect()
     nb = sum(int(r["count"]) for r in rows) or 1
-    pb = spark.createDataFrame(
-        [(int(r["bucket"]), int(r["count"]) / nb) for r in rows],
-        "bucket long, pb double")
+    # pandas + Arrow path: half the round-trip cost of the pickled-rows
+    # parallelize for this tiny driver-local table (measured r7)
+    pb = spark.createDataFrame(pd.DataFrame({
+        "bucket": pd.Series([int(r["bucket"]) for r in rows],
+                            dtype="int64"),
+        "pb": pd.Series([int(r["count"]) / nb for r in rows],
+                        dtype="float64"),
+    }))
     wins = hist.select("window_start").distinct()
     # skeleton: every baseline bucket present in every window, so a
     # bucket the window never saw still contributes its (eps - pb) term

@@ -83,12 +83,18 @@ def pagerank(
     if not (0 < num < den):
         raise ValueError(f"pagerank: damping must be in (0, 1), got {damping}")
 
+    from go_jsonschema_spark.operators.dedup import _spread
+
     e = (
         edges.select(F.col(src).cast("string").alias("src"),
                      F.col(dst).cast("string").alias("dst"))
         .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
-        .distinct()
     )
+    # single-partition edge inputs (small files, or a join whose stream
+    # side was one file) would run the distinct's ENTIRE map-side
+    # partial aggregation in one task; spread first so it parallelizes
+    # (no-op for big inputs — guide §2.6)
+    e = _spread(e).distinct()
     # the edge table feeds every iteration's contribution join PLUS the
     # node/outdegree derivations — without materialization the upstream
     # (often a join itself) re-executes 2 + iterations times.  Caching
@@ -96,21 +102,31 @@ def pagerank(
     # caches its EdgeRDD); with the state cache below this took the
     # supplier-graph query 6.2 s -> 4.6 s warm at sf0.1
     e = e.localCheckpoint(eager=True)
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
-        .distinct()
-    )
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    # node-sized state: (node, outdeg|null, rank)
+    # node-sized state (node, outdeg|null, rank) in ONE aggregation:
+    # each edge emits (src, 1) and (dst, 0); sum per node is the
+    # outdegree and the group keys are exactly distinct(src ∪ dst).
+    # The union-distinct + groupBy + join formulation this replaces
+    # cost three shuffles for the same table (guide §2.4).
     state = (
-        nodes.join(outdeg, nodes["node"] == outdeg["src"], "left")
-        .select("node", "outdeg", F.lit(int(init)).cast("long").alias("rank"))
+        e.select(F.expr(
+            "explode(array(named_struct('node', src, 'c', 1),"
+            " named_struct('node', dst, 'c', 0))) AS x"))
+        .select("x.node", "x.c")
+        .groupBy("node").agg(F.sum("c").alias("__deg__"))
+        .select(
+            "node",
+            F.when(F.col("__deg__") > 0, F.col("__deg__"))
+            .alias("outdeg"),
+            F.lit(int(init)).cast("long").alias("rank"),
+        )
+        .persist()
     )
     # one collected scalar (the bigram_lm/kmeans contract): the node
-    # count is a single-row aggregate, not a per-iteration recompute
-    n_nodes = int(nodes.count())
+    # count is a single-row aggregate over the cached node table, not a
+    # per-iteration recompute
+    n_nodes = int(state.count())
     if n_nodes == 0:
+        state.unpersist()
         return state.select("node", "rank")
     teleport = F.lit(int(init * (den - num) // den)).cast("long")
     # node-sized tables broadcast below the gate so edges never shuffle
@@ -119,8 +135,8 @@ def pagerank(
     small = n_nodes <= broadcast_max_nodes
     maybe_b = F.broadcast if small else (lambda d: d)
 
-    prev_persisted: DataFrame | None = None
-    for _ in range(iterations):
+    cached: list[DataFrame] = [state]  # state0 is cached too
+    for it in range(iterations):
         # per-edge contribution: integer floor-divide, so the dst-keyed
         # SUM is order-free and exact
         contrib = (
@@ -154,16 +170,22 @@ def pagerank(
         # each iteration reads `state` 3× (contribution join, dangling
         # aggregate, the update's base); caching the node-sized table
         # keeps the unrolled computation LINEAR in iterations instead of
-        # doubling per step (GraphX caches the same way).  The persist is
-        # materialized eagerly (one node-sized count per iteration) so
-        # the PREVIOUS iteration's cache can be released immediately —
-        # peak cached state is 2 node tables, not `iterations` of them
-        # (ADVICE r6: the lazy-persist form leaked one cached node table
-        # per iteration, plus it re-ran the full lineage on cache
-        # eviction).
-        new_state = new_state.persist()
-        new_state.count()
-        if prev_persisted is not None:
-            prev_persisted.unpersist()
-        prev_persisted, state = new_state, new_state
+        # doubling per step (GraphX caches the same way).  Persists stay
+        # LAZY — the whole unrolled chain executes as one job at the
+        # materialization points below, each state cached on first use —
+        # and every 5th iteration (and at the end) the chain-so-far is
+        # materialized once and the PRIOR states released, so peak cache
+        # is ≤6 node tables however deep the run, and nothing stays
+        # cached after return except the final ranks (ADVICE r6: the old
+        # form leaked one cached node table per iteration, forever).
+        state = new_state.persist()
+        cached.append(state)
+        if (it + 1) % 5 == 0 and (it + 1) < iterations:
+            state.count()
+            for d in cached[:-1]:
+                d.unpersist()
+            cached = [state]
+    state.count()  # ONE job runs the remaining chain; intermediates free
+    for d in cached[:-1]:
+        d.unpersist()
     return state.select("node", "rank")
