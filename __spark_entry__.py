@@ -908,8 +908,6 @@ def _q_diversity_sample_embeddings(spark: SparkSession, sf: str) -> DataFrame:
     DuckDB recomputes EVERY assignment with the identical score formula
     (-2·v·c + ||c||², ties → smallest cell) and replays the capping —
     a wrong cell or a wrong kept-set is a hash mismatch."""
-    import numpy as np
-
     from go_jsonschema_spark.operators.ann import kmeans_centroids
     from go_jsonschema_spark.operators.sampling import (
         diversity_sample, hash_bucket,
@@ -931,8 +929,6 @@ def _q_semantic_dedup_embeddings(spark: SparkSession, sf: str) -> DataFrame:
     the identical score formula and brute-forces every within-cell
     earlier-pair cosine — a wrong cell, keep bit, or max-sim is a hash
     mismatch."""
-    import numpy as np
-
     from go_jsonschema_spark.operators.ann import kmeans_centroids
     from go_jsonschema_spark.operators.dedup import semantic_dedup
 

@@ -71,10 +71,14 @@ def pagerank(
     the one scalar this function already collects): at or below
     ``broadcast_max_nodes`` the node-sized state/contribution tables are
     broadcast into the per-iteration joins, so the edge table — the big
-    side at any scale — is NEVER shuffled (3 iterations went from 3 edge
-    shuffles to 3 map-side-combined aggregations; 3.7 s → ~1 s at
-    sf0.1, r7).  Billion-node graphs exceed the gate and keep the
-    shuffled equi-join, where AQE's skew handling still applies.
+    side at any scale — is NEVER shuffled (3 iterations: 3 edge
+    shuffles → 3 map-side-combined aggregations).  At sf0.1 an
+    interleaved A/B measured the broadcast form wall-time NEUTRAL (the
+    per-job scheduling floor dominates a 600k-edge graph); the win is
+    the removed edge shuffles, which grow with the edge table while the
+    broadcast side stays node-sized.  Billion-node graphs exceed the
+    gate and keep the shuffled equi-join, where AQE's skew handling
+    still applies.
     """
     if iterations < 1:
         raise ValueError(
