@@ -96,6 +96,33 @@ class ConstraintPlan:
     predicates: list[tuple[str, Column]]  # (constraint_id, pred)
     observed: dict[str, Column]  # constraint_id -> observed-value column
     table_checks: list[dict[str, Any]]
+    # memo of run()-derived Column fragments (see _run_fragments): Columns
+    # are immutable unbound expressions, so the ~250 py4j round trips that
+    # assemble them per run() call are pure fixed driver cost — cached per
+    # (key, partition_col, tolerances) alongside the plan.  Never holds
+    # DataFrames, data, or anything input-derived (the fk-fold value list
+    # stays per-run in run()).
+    derived: dict[tuple, "_RunFragments"] = field(default_factory=dict)
+
+
+@dataclass
+class _RunFragments:
+    """Per-(key, partition_col, tolerances) Column fragments reused across
+    run() calls on the same compiled plan.  Everything here is a pure
+    function of the plan's predicate/observed Columns and the suite
+    config — independent of the input DataFrame and of any data."""
+
+    pred_aliases: list[Column]  # predicates aliased to safe names
+    pass_col: Column  # AND over the safe predicate columns
+    row_entries: list[Column]  # per-cid when(~ok, struct(cid, observed))
+    entries_nofk: Column  # filtered entries array for the no-folded-fk case
+    doc_id_col: Column  # key cast to string, aliased doc_id
+    part_col: Column  # partition column (or the __all__ literal)
+    rowfail_col: Column  # ~__pass__ aliased __rowfail__
+    nfail_agg: Column  # sum(__rowfail__) aliased n_fail
+    cid_counts: list[Column]  # per-cid exists-sum aggregates
+    fail_map_col: Column  # map_from_arrays(cids, counts) (or typed NULL)
+    verdict_passed: Column  # tolerant gate or n_fail == 0
 
 
 @dataclass
@@ -699,6 +726,111 @@ class ConstraintSuite:
         s.registry = self.registry
         return s
 
+    def _run_fragments(
+        self, plan: ConstraintPlan, ids: list[str], safe: dict[str, str],
+        partition_col: str | None,
+    ) -> _RunFragments:
+        """Build (or fetch) the per-run Column fragments for this plan.
+
+        cProfile on the r7 flagship put ~0.3-0.4 s of every run() call in
+        assembling these Columns (entries array, exists-counters, verdict
+        map — ~1000 py4j round trips); they are pure functions of the
+        CACHED plan plus (key, partition_col, tolerances), so they are
+        memoized on the plan with exactly that key.  Data-dependent
+        Columns (the folded-fk isin over a collected dim) are NOT here —
+        run() rebuilds those every call."""
+        import functools
+        import operator
+
+        tol_fp = tuple(sorted(
+            (k, str(v)) for k, v in (self.spec.tolerances or {}).items()))
+        dk = (self.key, partition_col, tol_fp)
+        frag = plan.derived.get(dk)
+        if frag is not None:
+            return frag
+
+        pred_aliases = [p.alias(safe[cid]) for cid, p in plan.predicates]
+        pass_col = (
+            functools.reduce(
+                operator.and_, [F.col(safe[cid]) for cid in ids]
+            )
+            if ids
+            else F.lit(True)
+        )
+        row_entries = [
+            F.when(
+                ~F.col(safe[cid]),
+                F.struct(
+                    F.lit(cid).alias("constraint_id"),
+                    plan.observed[cid].alias("observed"),
+                ),
+            )
+            for cid in ids
+        ]
+        entries_nofk = F.filter(
+            F.array(*row_entries)
+            if row_entries
+            else F.array().cast(
+                "array<struct<constraint_id:string,observed:string>>"
+            ),
+            lambda x: x.isNotNull(),
+        )
+        part = F.col(partition_col) if partition_col else F.lit("__all__")
+
+        # ONE parsed expr string per constraint where the id is
+        # literal-safe: pyspark's F.exists builds its lambda via ~30 py4j
+        # round trips each, which cProfile put at ~0.3 s of driver time
+        # per run() at 10 constraints (r7); the parsed form is the same
+        # expression.
+        def _cid_count(cid: str) -> Column:
+            if "'" not in cid and "\\" not in cid:
+                ex = F.expr(f"exists(entries, e -> e.constraint_id = '{cid}')")
+            else:  # ids with quote/escape chars keep the lambda builder
+                ex = F.exists(
+                    "entries", lambda e: e.getField("constraint_id") == cid)
+            return F.sum(ex.cast("long")).alias(f"__n{ids.index(cid)}__")
+
+        fail_map_col = (
+            F.map_from_arrays(
+                F.array(*[F.lit(cid) for cid in ids]),
+                F.array(*[F.col(f"__n{i}__") for i in range(len(ids))]),
+            ).alias("fail_by_constraint")
+            if ids
+            else F.lit(None)
+            .cast("map<string,bigint>")
+            .alias("fail_by_constraint")
+        )
+        verdict_passed = (
+            # per-constraint budget gate; the NULL map (no failing rows in
+            # the partition) coalesces to all-zero counts
+            self._tolerant_passed(
+                ids,
+                lambda cid: F.coalesce(
+                    F.element_at("fail_by_constraint", F.lit(cid)),
+                    F.lit(0),
+                ),
+                F.col("n_rows"),
+            )
+            if self.spec.tolerances
+            else F.col("n_fail") == 0
+        )
+        frag = _RunFragments(
+            pred_aliases=pred_aliases,
+            pass_col=pass_col,
+            row_entries=row_entries,
+            entries_nofk=entries_nofk,
+            doc_id_col=F.col(self.key).cast("string").alias("doc_id"),
+            part_col=part,
+            rowfail_col=(~F.col("__pass__")).alias("__rowfail__"),
+            nfail_agg=F.sum(
+                F.col("__rowfail__").cast("long")).alias("n_fail"),
+            cid_counts=[_cid_count(cid) for cid in ids],
+            fail_map_col=fail_map_col,
+            verdict_passed=verdict_passed,
+        )
+        plan.derived[dk] = frag
+        return frag
+
     # -- run --------------------------------------------------------------
     def run(
         self,
@@ -725,6 +857,7 @@ class ConstraintSuite:
         # internal alias per constraint — ids may contain '.', which Column
         # resolution would read as struct access
         safe = {cid: f"__c{i}__" for i, cid in enumerate(ids)}
+        frag = self._run_fragments(plan, ids, safe, partition_col)
 
         import functools
         import operator
@@ -771,47 +904,39 @@ class ConstraintSuite:
                 (tc["id"], ok, F.col(tc["column"]).cast("string")))
             fk_folded_ids.add(tc["id"])
 
-        pass_col = (
-            functools.reduce(
-                operator.and_, [F.col(safe[cid]) for cid in ids]
-            )
-            if ids
-            else F.lit(True)
-        )
-        part = F.col(partition_col) if partition_col else F.lit("__all__")
+        part = frag.part_col
         fk_safe = {cid: f"__fk{i}__" for i, (cid, _, _) in
                    enumerate(fk_folded)}
         checked = df.select(
             "*",
-            *[p.alias(safe[cid]) for cid, p in plan.predicates],
+            *frag.pred_aliases,
             *[ok.alias(fk_safe[cid]) for cid, ok, _ in fk_folded],
-        ).withColumn("__pass__", pass_col)
+        ).withColumn("__pass__", frag.pass_col)
 
         # violations: one row per FAILING source row with the array of its
         # failed constraints (kept un-exploded so row identity survives —
         # a nondeterministic row id would be re-evaluated per exploded row
         # and doc_id may legitimately repeat via duplicate rows); the
         # exploded per-constraint view and the per-partition counts all
-        # derive from this one DF.
-        entries = [
-            F.when(
-                ~F.col(safe[cid]),
-                F.struct(
-                    F.lit(cid).alias("constraint_id"),
-                    plan.observed[cid].alias("observed"),
-                ),
-            )
-            for cid in ids
-        ] + [
-            F.when(
-                ~F.col(fk_safe[cid]),
-                F.struct(
-                    F.lit(cid).alias("constraint_id"),
-                    obs.alias("observed"),
-                ),
-            )
-            for cid, _ok, obs in fk_folded
-        ]
+        # derive from this one DF.  The fk entries embed this run's
+        # collected dim values, so the combined array is rebuilt whenever
+        # a folded fk is present; without one the cached fragment is the
+        # identical expression.
+        if fk_folded:
+            entries = frag.row_entries + [
+                F.when(
+                    ~F.col(fk_safe[cid]),
+                    F.struct(
+                        F.lit(cid).alias("constraint_id"),
+                        obs.alias("observed"),
+                    ),
+                )
+                for cid, _ok, obs in fk_folded
+            ]
+            entries_col = F.filter(
+                F.array(*entries), lambda x: x.isNotNull())
+        else:
+            entries_col = frag.entries_nofk
         # rows are emitted when ANY row constraint OR folded fk fails;
         # __rowfail__ preserves the verdict semantics (fk failures are
         # table-check violations, never verdict fail counts)
@@ -821,17 +946,10 @@ class ConstraintSuite:
             + [~F.col(fk_safe[cid]) for cid, _, _ in fk_folded],
         )
         failed_rows = checked.filter(emit).select(
-            F.col(self.key).cast("string").alias("doc_id"),
+            frag.doc_id_col,
             part.alias("__part__"),
-            (~F.col("__pass__")).alias("__rowfail__"),
-            F.filter(
-                F.array(*entries)
-                if entries
-                else F.array().cast(
-                    "array<struct<constraint_id:string,observed:string>>"
-                ),
-                lambda x: x.isNotNull(),
-            ).alias("entries"),
+            frag.rowfail_col,
+            entries_col.alias("entries"),
         )
         if persist_violations:
             from pyspark import StorageLevel
@@ -862,61 +980,23 @@ class ConstraintSuite:
         # ONE aggregation over failed_rows yields both the row fail count
         # and the per-constraint breakdown (one sum(exists(...)) per
         # constraint — the plan prunes to nothing extra, and the predicate
-        # pass is not re-run a second time for the map).  The exists goes
-        # through ONE parsed expr string per constraint where the id is
-        # literal-safe: pyspark's F.exists builds its lambda via ~30 py4j
-        # round trips each, which cProfile put at ~0.3 s of driver time
-        # per run() at 10 constraints (r7); the parsed form is the same
-        # expression.
-        def _cid_count(cid: str) -> Column:
-            if "'" not in cid and "\\" not in cid:
-                ex = F.expr(f"exists(entries, e -> e.constraint_id = '{cid}')")
-            else:  # ids with quote/escape chars keep the lambda builder
-                ex = F.exists(
-                    "entries", lambda e: e.getField("constraint_id") == cid)
-            return F.sum(ex.cast("long")).alias(f"__n{ids.index(cid)}__")
-
+        # pass is not re-run a second time for the map).  The aggregate
+        # and verdict-map Columns come from the cached fragments.
         fail_counts = failed_rows.groupBy(
             F.col("__part__").alias("partition")
         ).agg(
             # only ROW-constraint failures count toward verdicts — a row
             # emitted purely for a folded fk violation has __rowfail__
             # False and contributes nothing here
-            F.sum(F.col("__rowfail__").cast("long")).alias("n_fail"),
-            *[_cid_count(cid) for cid in ids],
-        ).select(
-            "partition",
-            "n_fail",
-            F.map_from_arrays(
-                F.array(*[F.lit(cid) for cid in ids]),
-                F.array(*[F.col(f"__n{i}__") for i in range(len(ids))]),
-            ).alias("fail_by_constraint")
-            if ids
-            else F.lit(None)
-            .cast("map<string,bigint>")
-            .alias("fail_by_constraint"),
-        )
+            frag.nfail_agg,
+            *frag.cid_counts,
+        ).select("partition", "n_fail", frag.fail_map_col)
         verdicts = (
             row_counts.join(fail_counts, "partition", "left")
             .withColumn("n_fail", F.coalesce(F.col("n_fail"), F.lit(0)))
             .withColumn("n_pass", F.col("n_rows") - F.col("n_fail"))
+            .withColumn("passed", frag.verdict_passed)
         )
-        if self.spec.tolerances:
-            # per-constraint budget gate; the NULL map (no failing rows in
-            # the partition) coalesces to all-zero counts
-            verdicts = verdicts.withColumn(
-                "passed",
-                self._tolerant_passed(
-                    ids,
-                    lambda cid: F.coalesce(
-                        F.element_at("fail_by_constraint", F.lit(cid)),
-                        F.lit(0),
-                    ),
-                    F.col("n_rows"),
-                ),
-            )
-        else:
-            verdicts = verdicts.withColumn("passed", F.col("n_fail") == 0)
 
         return SuiteResult(
             checked, violations, verdicts, ids,
