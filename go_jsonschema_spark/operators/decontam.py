@@ -130,11 +130,17 @@ def contamination_hits(
     )
     if len(vals) <= literal_cap:
         # small probe set: one literal array, zero shuffle, zero explode.
-        # F.lit(list) ships the WHOLE array in one py4j call — the
-        # per-element F.lit form cost one round trip each (~0.3 s at the
-        # 2000-gram cap, measured r7) for the identical literal.
-        probe_lit = F.lit(list(vals)).cast(
-            "array<bigint>" if hashed else "array<string>")
+        # Built as ONE parsed SQL expression — pyspark's F.lit(list)
+        # expands to a per-element lit chain (one py4j round trip each,
+        # ~0.3 s at the 2000-gram cap, measured r7); the parsed form is
+        # the identical literal.
+        from go_jsonschema_spark.functions.literals import (
+            lit_bigints, lit_strings,
+        )
+
+        probe_lit = (
+            lit_bigints(list(vals)) if hashed
+            else lit_strings(list(vals)))
         hits = F.size(F.array_intersect(mine, probe_lit))
         return (
             docs.select(F.col(id_col).alias("doc_id"), hits.alias("n_hits"))

@@ -746,8 +746,17 @@ def _clusters_local(
         stats_out["rounds"] = 0
     spark = pairs.sparkSession
     id_type = pairs.schema[a_col].dataType.simpleString()
+    schema = f"id {id_type}, cluster {id_type}"
+    if not out:
+        return spark.createDataFrame([], schema)
+    # Arrow-backed pandas conversion: the row-based path serializes each
+    # tuple through py4j/pickle (~0.28 s for a few-thousand-row result,
+    # measured r7); the pandas path ships one Arrow batch.  Values and
+    # schema are identical either way.
+    import pandas as pd
+
     return spark.createDataFrame(
-        out or [], f"id {id_type}, cluster {id_type}")
+        pd.DataFrame(out, columns=["id", "cluster"]), schema)
 
 
 def _clusters_star(
@@ -961,10 +970,14 @@ def embedding_cosine_pairs(
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_planes, dim))
 
+    from go_jsonschema_spark.operators.ann import _lit_doubles
+
     vec = F.col(vec_col)
     bucket = F.lit(0).cast("long")
     for i in range(n_planes):
-        lit_plane = F.array(*[F.lit(float(x)) for x in planes[i]])
+        # one parsed literal per plane (vs dim py4j round trips each —
+        # the r7 _lit_doubles rationale; identical doubles via repr)
+        lit_plane = _lit_doubles([float(x) for x in planes[i]])
         bit = F.when(_dot(vec, lit_plane) > 0, F.lit(1).cast("long")).otherwise(
             F.lit(0).cast("long")
         )

@@ -72,15 +72,19 @@ def oov_rate(
     """
     from pyspark.sql.functions import pandas_udf
 
-    ids = [r[0] for r in
-           vocab.select(vocab_col).distinct().limit(max_vocab + 1).collect()]
+    # Arrow-backed toPandas: the bounded collect of up to max_vocab ids
+    # lands as one Arrow batch instead of pickled Rows (the Row path
+    # spent ~0.1 s deserializing a 32k vocab and scales linearly with
+    # vocab size — r7); same distinct values either way
+    ids = vocab.select(vocab_col).distinct().limit(
+        max_vocab + 1).toPandas()[vocab_col]
     if len(ids) > max_vocab:
         raise ValueError(
             f"oov_rate: vocab has > {max_vocab} distinct {vocab_col!r} "
             "values — that is a token stream, not a tokenizer "
             "vocabulary; pre-reduce it or raise max_vocab")
     vocab_arr = np.asarray(
-        sorted(int(x) for x in ids if x is not None), dtype=np.int64)
+        sorted(int(x) for x in ids.dropna()), dtype=np.int64)
 
     @pandas_udf("long")
     def oov_count(tokens: pd.Series) -> pd.Series:
@@ -272,10 +276,17 @@ def token_ngram_contamination(
         F.col(id_col),
         _token_windows(tokens_col, n, hashed=hashed).alias("__w__"),
     )
+    # one PARSED array literal: pyspark's F.lit(list) expands per
+    # element (~1.2 s of driver build for a 2,400-window probe at 13
+    # tokens, measured r7); the parsed form is the identical literal
+    from go_jsonschema_spark.functions.literals import (
+        lit_bigints, lit_strings,
+    )
+
     hits = (
         F.size(F.array_intersect(
-            F.col("__w__"), F.lit(plist).cast(
-                "array<bigint>" if hashed else "array<string>")))
+            F.col("__w__"),
+            lit_bigints(plist) if hashed else lit_strings(plist)))
         if plist else F.lit(0)
     )
     return bound.select(
@@ -439,7 +450,17 @@ def token_ngram_heavy_hitters(
     codes = F.when(
         last >= 1, F.transform(F.sequence(F.lit(1), last), _code)
     ).otherwise(F.array().cast("array<bigint>"))
-    exploded = df.select(F.explode(codes).alias("code"))
+    # the certificate's window total rides the recount scan as an
+    # Observation metric: every exploded row IS one window (null/short
+    # arrays explode to zero rows, matching greatest(size-(n-1), 0)), so
+    # count(*) observed below the broadcast join equals the separate
+    # sum-of-sizes scan this replaces — one fewer full pass over the
+    # token arrays (r7; at corpus scale that pass reread every row).
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    exploded = df.select(F.explode(codes).alias("code")).observe(
+        obs, F.count(F.lit(1)).alias("nw"))
     counted = (
         exploded.join(F.broadcast(cand), "code")
         .groupBy("code").agg(F.count(F.lit(1)).alias("cnt"))
@@ -447,10 +468,9 @@ def token_ngram_heavy_hitters(
     top = counted.orderBy(F.desc("cnt"), F.asc("code")).limit(k)
 
     # ---- phase 3: certificate — N windows vs the k-th candidate count
-    n_windows = df.select(
-        F.sum(F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0)))
-        .alias("nw")).first()["nw"] or 0
+    # (n_windows arrives with the recount job via the Observation)
     rows = top.collect()
+    n_windows = obs.get["nw"] or 0
     kth = rows[-1]["cnt"] if len(rows) >= k else 0
     exact = bool(len(rows) >= k and kth * capacity > n_windows)
 
