@@ -25,8 +25,29 @@ EVENT_TYPES = ["click", "view", "purchase", "signup"]  # 'error' out → FK hits
 NCHARS_MAX = 400
 
 
+# Per-session memo of the LAZY source relations: spark.read.parquet
+# costs ~80 ms of driver time (file listing + footer schema read) per
+# call, paid by every attempt of every query on the same immutable
+# test tables (~10 s across a full suite run, measured r7).  The memo
+# stores only the unexecuted plan — no rows, no results; every action
+# still scans the parquet files, and a fresh process (each bench or
+# oracle invocation) starts empty.  Keyed by application id so a new
+# session never sees another JVM's Column references.  Only the
+# immutable ``{sf_dir}/{name}.parquet`` tables go through here —
+# snapshot paths that queries overwrite per call keep their direct
+# ``spark.read.parquet`` (a memoized file listing would go stale).
+_T_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    df = _T_CACHE.get(key)
+    if df is None:
+        if len(_T_CACHE) >= 64:  # bound across sessions/sf dirs
+            _T_CACHE.pop(next(iter(_T_CACHE)))
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        _T_CACHE[key] = df
+    return df
 
 
 def _documents_suite():
