@@ -96,13 +96,14 @@ class ConstraintPlan:
     predicates: list[tuple[str, Column]]  # (constraint_id, pred)
     observed: dict[str, Column]  # constraint_id -> observed-value column
     table_checks: list[dict[str, Any]]
-    # memo of run()-derived Column fragments (see _run_fragments): Columns
-    # are immutable unbound expressions, so the ~250 py4j round trips that
-    # assemble them per run() call are pure fixed driver cost — cached per
-    # (key, partition_col, tolerances) alongside the plan.  Never holds
-    # DataFrames, data, or anything input-derived (the fk-fold value list
-    # stays per-run in run()).
-    derived: dict[tuple, "_RunFragments"] = field(default_factory=dict)
+    # memo of derived Column fragments (run()'s _RunFragments bundles and
+    # verdict_counts' fragment dicts): Columns are immutable unbound
+    # expressions, so the ~250 py4j round trips that assemble them per
+    # call are pure fixed driver cost — cached per (key, partition_col,
+    # tolerances) alongside the plan.  Never holds DataFrames, data, or
+    # anything input-derived (the fk-fold value list stays per-run in
+    # run()).
+    derived: dict[tuple, Any] = field(default_factory=dict)
 
 
 @dataclass
@@ -662,39 +663,42 @@ class ConstraintSuite:
 
         plan = self.compile(df)
         ids = [cid for cid, _ in plan.predicates]
-        preds = dict(plan.predicates)
-        pass_col = (
-            functools.reduce(operator.and_, [preds[cid] for cid in ids])
-            if ids else F.lit(True)
-        )
-        part = F.col(partition_col) if partition_col else F.lit("__all__")
-        # a NULL predicate never survives run()'s violation filter (NULL
-        # is not true there), so it counts as non-failing — coalesce to
-        # True, NOT False, to mirror run().verdicts exactly
-        agged = df.groupBy(part.alias("partition")).agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum((~F.coalesce(pass_col, F.lit(True)))
-                  .cast("long")).alias("n_fail"),
-            *[
-                F.sum((~F.coalesce(preds[cid], F.lit(True)))
-                      .cast("long")).alias(f"__n{i}__")
-                for i, cid in enumerate(ids)
-            ],
-        )
-        passed = (
-            self._tolerant_passed(
-                ids,
-                lambda cid: F.col(f"__n{ids.index(cid)}__"),
-                F.col("n_rows"),
+        # memoized Column fragments, same discipline as _run_fragments
+        # (the "vc" tag keeps the key space disjoint from run()'s)
+        tol_fp = tuple(sorted(
+            (k, str(v)) for k, v in (self.spec.tolerances or {}).items()))
+        dk = ("vc", partition_col, tol_fp)
+        frag = plan.derived.get(dk)
+        if frag is None:
+            preds = dict(plan.predicates)
+            pass_col = (
+                functools.reduce(operator.and_, [preds[cid] for cid in ids])
+                if ids else F.lit(True)
             )
-            if self.spec.tolerances
-            else F.col("n_fail") == 0
-        )
-        return agged.select(
-            "partition",
-            "n_rows",
-            "n_fail",
-            (
+            # a NULL predicate never survives run()'s violation filter
+            # (NULL is not true there), so it counts as non-failing —
+            # coalesce to True, NOT False, to mirror run().verdicts
+            # exactly
+            aggs = [
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum((~F.coalesce(pass_col, F.lit(True)))
+                      .cast("long")).alias("n_fail"),
+                *[
+                    F.sum((~F.coalesce(preds[cid], F.lit(True)))
+                          .cast("long")).alias(f"__n{i}__")
+                    for i, cid in enumerate(ids)
+                ],
+            ]
+            passed = (
+                self._tolerant_passed(
+                    ids,
+                    lambda cid: F.col(f"__n{ids.index(cid)}__"),
+                    F.col("n_rows"),
+                )
+                if self.spec.tolerances
+                else F.col("n_fail") == 0
+            )
+            fail_map = (
                 # run() leaves the map NULL when no row failed (its
                 # left join finds no fail_counts row) — mirror that
                 F.when(
@@ -707,9 +711,26 @@ class ConstraintSuite:
                 )
                 if ids
                 else F.lit(None).cast("map<string,bigint>")
-            ).alias("fail_by_constraint"),
-            (F.col("n_rows") - F.col("n_fail")).alias("n_pass"),
-            passed.alias("passed"),
+            ).alias("fail_by_constraint")
+            part = (F.col(partition_col) if partition_col
+                    else F.lit("__all__"))
+            frag = {
+                "part": part, "aggs": aggs,
+                "fail_map": fail_map,
+                "n_pass": (F.col("n_rows") - F.col("n_fail"))
+                .alias("n_pass"),
+                "passed": passed.alias("passed"),
+            }
+            plan.derived[dk] = frag
+        agged = df.groupBy(frag["part"].alias("partition")).agg(
+            *frag["aggs"])
+        return agged.select(
+            "partition",
+            "n_rows",
+            "n_fail",
+            frag["fail_map"],
+            frag["n_pass"],
+            frag["passed"],
         )
 
     def row_only(self) -> "ConstraintSuite":
